@@ -1,0 +1,315 @@
+"""Parse kernels: pure ``dict[key, bytes] -> (spans, child_urls)`` functions.
+
+One kernel per payload family the reference parses (SURVEY.md section 2.3,
+FIXTURES.md section F3). Each re-derives the reference's transform semantics
+— nonzero filters (M3), {val:...} unwraps (M4), list-of-struct flattens (M5),
+column drops (M6), epoch-ms conversion (M8), keyword classification (M14),
+guarded geocode (M15) — from scratch, vectorizable and pandas-free so they
+run cheaply inside ``map_batches`` on Arrow batches.
+
+Returned spans follow the interleaved-doc model: one span per normalized
+record, kind = the reference's level key (per_outage / per_county / ...),
+media spans carry media_ref and empty text.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from .common import (
+    ZIP_SENTINEL,
+    epoch_ms_to_str,
+    finish,
+    parse_html_table,
+    span,
+    strip_jsonp,
+    synth_zipcode,
+    xml_records,
+    zips_for_points,
+)
+
+Kernel = Callable[[dict[str, bytes], str, str, str], tuple[list[dict], list[str]]]
+# signature: (bodies, emc, ts, url) -> (spans, child_urls)
+
+
+def parse_nisc(bodies, emc, ts, url):
+    """NISC dual-JSON layout (ga_scraper.py:210-266): boundaries flatten +
+    nonzero filter; outages with guarded zip extraction."""
+    spans, off = [], 0
+    cty = json.loads(bodies["per_county"].decode("utf8"))
+    for item in cty:
+        for b in item["boundaries"]:
+            if b["customersAffected"] != 0 or b["customersOutNow"] != 0:
+                spans.append(span("per_county", finish(b, ts, emc), off))
+                off += 1
+    out = json.loads(bodies["per_outage"].decode("utf8"))
+    pts = [(o["outagePoint"]["lat"], o["outagePoint"]["lng"]) for o in out]
+    zips = zips_for_points(pts)
+    for o, z in zip(out, zips):
+        rec = dict(o)
+        rec["zip"] = z
+        spans.append(span("per_outage", finish(rec, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_wov(bodies, emc, ts, url):
+    """weboutageviewer JSON (ga_scraper.py:273-297): no filter."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans = []
+    for i, o in enumerate(val["Outages"]):
+        spans.append(span("per_outage", finish(o, ts, emc), i))
+    return spans, []
+
+
+def parse_asmx(bodies, emc, ts, url):
+    """asmx XML services (ga_scraper.py:300-348): CustomersAffected string
+    compare != "0" (M3 string variant), Shape column dropped (M6)."""
+    spans, off = [], 0
+    for rec in xml_records(bodies["per_county"].decode("utf8"), "MobileCounty"):
+        if rec.get("CustomersAffected") != "0":
+            rec = {k: v for k, v in rec.items() if k != "Shape"}
+            spans.append(span("per_county", finish(rec, ts, emc), off))
+            off += 1
+    for rec in xml_records(bodies["per_outage"].decode("utf8"), "MobileOutage"):
+        spans.append(span("per_outage", finish(rec, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+_KUBRA_KIND = {
+    "zip": "per_zipcode",
+    "county": "per_county",
+    "city": "per_city",
+    "ctv": "per_town",
+    "ward": "per_ward",
+    "MEDIA": "per_media",
+}
+
+
+def parse_kubra_deck(bodies, emc, ts, url):
+    """Kubra stormcenter parent: the discovery fetch. The reference discovers
+    report.json URLs by sniffing XHR traffic (ga_scraper.py:405-435,
+    il_scraper.py:199-219); here the deck lists them -> child frontier rows."""
+    deck = json.loads(bodies["deck"].decode("utf8"))
+    return [], list(deck["decks"])
+
+
+def parse_kubra_report(bodies, emc, ts, url):
+    """One kubra report: {val:...} unwrap (M4, ga_scraper.py:362-364),
+    nonzero filter cust_a|n_out (M3), drop gotoMap (M6), keyword kind
+    classification (M14, ga_scraper.py:417-434). MEDIA reports become pure
+    media spans (per_media, ga_scraper.py:432-434)."""
+    val = json.loads(bodies["report"].decode("utf8"))
+    title = url.rsplit("/reports/", 1)[-1].split("/", 1)[0]
+    kind = _KUBRA_KIND.get(title, "per_outage")
+    if title == "MEDIA":
+        return [span("per_media", None, 0, media_ref=val["tile"])], []
+    spans, off = [], 0
+    for a in val["file_data"]["areas"]:
+        rec = dict(a)
+        rec["cust_a"] = rec["cust_a"]["val"]
+        rec["percent_cust_a"] = rec["percent_cust_a"]["val"]
+        if rec["cust_a"] != 0 or rec["n_out"] != 0:
+            rec.pop("gotoMap", None)
+            spans.append(span(kind, finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_epochms(bodies, emc, ts, url):
+    """Epoch-ms outage list (ga_scraper.py:443-479): ms -> datetime strings
+    (M8), guarded zip extraction (M15)."""
+    out = json.loads(bodies["per_outage"].decode("utf8"))
+    pts = [(o["latitude"], o["longitude"]) for o in out]
+    zips = zips_for_points(pts)
+    spans = []
+    for i, (o, z) in enumerate(zip(out, zips)):
+        rec = dict(o)
+        rec["startTime"] = epoch_ms_to_str(rec["startTime"])
+        rec["lastUpdatedTime"] = epoch_ms_to_str(rec["lastUpdatedTime"])
+        rec["zip"] = z
+        spans.append(span("per_outage", finish(rec, ts, emc), i))
+    return spans, []
+
+
+def parse_polygons(bodies, emc, ts, url):
+    """reportData polygons (ga_scraper.py:486-510, ms_scraper.py:65-74):
+    affected > 0 filter, report id -> level classification."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans, off = [], 0
+    for report in val["reportData"]["reports"]:
+        kind = "per_county" if report["id"] == "County" else "per_zipcode"
+        for p in report["polygons"]:
+            if p["affected"] > 0:
+                spans.append(span(kind, finish(dict(p), ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_shellout(bodies, emc, ts, url):
+    """ShellOut markers (ga_scraper.py:518-589): marker rows with outages != 0
+    -> per_outage; service-area stats -> one per_emc summary span."""
+    val = json.loads(bodies["shellout"].decode("utf8"))
+    area = val["areas"]
+    spans, off = [], 0
+    for m in area["markers"]:
+        if m["outages"] != 0:
+            spans.append(span("per_outage", finish(dict(m), ts, emc), off))
+            off += 1
+    summary = {
+        "service_index_name": area["service_index_name"],
+        "outages": area["outages"],
+        "NumConsumers": area["stats"]["NumConsumers"],
+    }
+    spans.append(span("per_emc", finish(summary, ts, emc), off))
+    return spans, []
+
+
+def parse_domtable(bodies, emc, ts, url):
+    """DOM HTML table (M11/M16, ga_scraper.py:614-645): blank-header columns
+    dropped, rows with empty cells dropped, '# Out' != '0' string filter."""
+    header, rows = parse_html_table(bodies["per_county"].decode("utf8"))
+    keep = [i for i, h in enumerate(header) if h]
+    spans, off = [], 0
+    for r in rows:
+        if len(r) < len(header) or any(not r[i] for i in keep):
+            continue  # dropna (ga_scraper.py:638)
+        rec = {header[i]: r[i] for i in keep}
+        if rec.get("# Out") == "0":
+            continue
+        spans.append(span("per_county", finish(rec, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_arcgis(bodies, emc, ts, url):
+    """ArcGIS FeatureServer (ca_scraper.py:14-64): JSONP strip (M13),
+    attributes+geometry flatten (M5), epoch-ms dates (M8)."""
+    body = strip_jsonp(bodies["per_outage"].decode("utf8"))
+    val = json.loads(body)
+    spans = []
+    for i, f in enumerate(val["features"]):
+        rec = dict(f["attributes"])
+        for c in ("StartDate", "EstimatedRestoreDate"):
+            if c in rec:
+                rec[c] = epoch_ms_to_str(rec[c])
+        rec["x"] = f["geometry"]["x"]
+        rec["y"] = f["geometry"]["y"]
+        spans.append(span("per_outage", finish(rec, ts, emc), i))
+    return spans, []
+
+
+def parse_prejson(bodies, emc, ts, url):
+    """pre-tag JSON (fl_scraper.py:39-53): 'Customers Out' != '0' string
+    filter (M3 string variant)."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans, off = [], 0
+    for o in val["outages"]:
+        if o["Customers Out"] != "0":
+            spans.append(span("per_outage", finish(dict(o), ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_eshits(bodies, emc, ts, url):
+    """Elasticsearch hits (fl_scraper.py:208-259): hits.hits[*]._source
+    flatten with _id carried along (M5)."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans, off = [], 0
+    for h in val[0]["hits"]["hits"]:
+        rec = {"id": h["_id"], **h["_source"]}
+        spans.append(span("per_outage", finish(rec, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_regionsets(bodies, emc, ts, url):
+    """regionDataSets (fl_scraper.py:488-518): numberOut != 0 filter, region
+    set id carried onto each row."""
+    val = json.loads(bodies["per_region"].decode("utf8"))
+    spans, off = [], 0
+    for s in val["regionDataSets"]:
+        for r in s["regions"]:
+            if r["numberOut"] != 0:
+                rec = dict(r)
+                rec["regionSet"] = s["id"]
+                spans.append(span("per_region", finish(rec, ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_incidents(bodies, emc, ts, url):
+    """TN incidents (tn_scraper.py:113-227): district reshape (M17) +
+    outage details + derived per_county / per_zipcode rollups of
+    customerCount (A3, tn_scraper.py:190-200)."""
+    spans, off = [], 0
+    dm = json.loads(bodies["per_district"].decode("utf8"))
+    for d in dm["district_metrics"]:
+        rec = {
+            "district": d["district"],
+            "custom_qty": d["outage_reported"]["customer_qty"],
+            "incident_qty": d["outage_reported"]["incident_qty"],
+        }
+        spans.append(span("per_district", finish(rec, ts, emc), off))
+        off += 1
+    det = json.loads(bodies["per_outage"].decode("utf8"))["electricOutageDetails"]
+    for o in det:
+        spans.append(span("per_outage", finish(dict(o), ts, emc), off))
+        off += 1
+    county_sum: dict[str, int] = {}
+    zip_sum: dict[str, int] = {}
+    for o in det:
+        county_sum[o["county"]] = county_sum.get(o["county"], 0) + o["customerCount"]
+        zip_sum[o["zipcode"]] = zip_sum.get(o["zipcode"], 0) + o["customerCount"]
+    # sorted keys = pandas groupby default sort=True (tn_scraper.py:190-200)
+    for c in sorted(county_sum):
+        spans.append(span("per_county", finish({"county": c, "customerCount": county_sum[c]}, ts, emc), off))
+        off += 1
+    for z in sorted(zip_sum):
+        spans.append(span("per_zipcode", finish({"zipcode": z, "customerCount": zip_sum[z]}, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_alloutages(bodies, emc, ts, url):
+    """alloutages (la_scraper.py:40-74): extension / affectedAreas removed."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans = []
+    for i, d in enumerate(val["data"]):
+        rec = {k: v for k, v in d.items() if k not in ("extension", "affectedAreas")}
+        spans.append(span("per_outage", finish(rec, ts, emc), i))
+    return spans, []
+
+
+def parse_singlevalue(bodies, emc, ts, url):
+    """Single-value DOM scrape (ms_scraper.py:77-103): two text nodes ->
+    one-row table."""
+    import re
+
+    html = bodies["per_emc"].decode("utf8")
+    cur = re.search(r'id="currentOutages">([^<]*)<', html).group(1)
+    upd = re.search(r'id="lastUpdated">([^<]*)<', html).group(1)
+    rec = {"currentOutages": cur, "lastUpdated": upd}
+    return [span("per_emc", finish(rec, ts, emc), 0)], []
+
+
+KERNELS: dict[str, Kernel] = {
+    "nisc": parse_nisc,
+    "wov": parse_wov,
+    "asmx": parse_asmx,
+    "kubra": parse_kubra_deck,
+    "kubra_report": parse_kubra_report,
+    "epochms": parse_epochms,
+    "polygons": parse_polygons,
+    "shellout": parse_shellout,
+    "domtable": parse_domtable,
+    "arcgis": parse_arcgis,
+    "prejson": parse_prejson,
+    "eshits": parse_eshits,
+    "regionsets": parse_regionsets,
+    "incidents": parse_incidents,
+    "alloutages": parse_alloutages,
+    "singlevalue": parse_singlevalue,
+}

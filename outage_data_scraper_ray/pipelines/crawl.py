@@ -1,0 +1,356 @@
+"""The crawl pipeline: epoch-driven frontier loop with checkpoint/resume.
+
+Reference shape (app/main.py:13-64): a sequential per-EMC loop — fetch,
+parse, append CSV, log failures. This engine re-expresses it as an
+epoch-driven Ray Data loop designed for a 10^10-URL frontier:
+
+    frontier(e)  [parquet]
+      -> politeness admission  (groupby(host).map_groups rank < budget;
+                                budgets from sharded token-bucket actors on a
+                                virtual clock — deterministic)
+      -> seen filter           (sharded cuckoo-filter actors, mark-on-admit)
+      -> fetch + parse         (actor pool map_batches, zero-copy Arrow)
+      -> docs(e)  [parquet partition per epoch]   (interleaved span rows)
+      -> children(docs) ∪ deferred  ->  frontier(e+1)  [parquet]
+      -> checkpoint manifest (seen dumps, bucket states, counters, lineage)
+
+Scale notes:
+- The frontier lives on disk between epochs (never materialized on the
+  driver); each epoch streams it through the gate.
+- Discovery (S9/S10, ga_scraper.py:405-435) feeds child URLs back through
+  the same loop — driving epochs from the driver avoids the executor
+  feedback deadlock called out in SURVEY.md section 7.4.
+- Every epoch directory is written once and finalized by an atomic manifest
+  rename, so a killed job resumes at the last complete epoch and re-runs at
+  most one epoch of work (the seen-filter makes the re-run idempotent:
+  already-marked URLs are dropped, which matches the reference's
+  append-only-sink tolerance of re-runs, util.py:38-53).
+- Skew: admission is per-host top-k inside map_groups; a pathologically hot
+  host is bounded by its token budget long before group size matters, and
+  hosts are spread across scheduler shards by hash (salting precedent:
+  SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..schemas import FRONTIER
+from ..stages.fetch import (
+    FetchParseStage,
+    SeenFilterStage,
+    add_hash_columns,
+    admit_group,
+    children_to_frontier,
+)
+from ..state.counters import CrawlCounters
+from ..state.cuckoo import SeenShard
+from ..state.politeness import HostScheduler, scheduler_shard_of
+from ..synth import make_seed_registry
+
+
+@dataclass
+class CrawlConfig:
+    seed: int = 42
+    n_seeds: int = 285
+    max_rows: int = 8
+    failure_rate: float = 0.02
+    politeness_rate: float = 64.0   # tokens/sec per host
+    politeness_burst: float = 64.0
+    politeness_dt: float = 1.0      # virtual seconds per epoch
+    n_seen_shards: int = 4
+    n_sched_shards: int = 2
+    seen_capacity: int = 1 << 20
+    exact_seen: bool = False        # exact per-shard sets for conformance tests
+    max_epochs: int = 50
+    batch_size: int = 256
+    fetch_concurrency: int = 4
+    workdir: str = "/tmp/odsr_crawl"
+    seeds_table: pa.Table | None = field(default=None, repr=False)
+
+
+class CrawlJob:
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.workdir = cfg.workdir
+        os.makedirs(self.workdir, exist_ok=True)
+        # state actors are bookkeeping, not compute: num_cpus=0 so they never
+        # compete with (or deadlock against) the Data execution pool
+        self.seen = [
+            ray.remote(num_cpus=0)(SeenShard).remote(cfg.seen_capacity, cfg.exact_seen)
+            for _ in range(cfg.n_seen_shards)
+        ]
+        self.sched = [
+            ray.remote(num_cpus=0)(HostScheduler).remote(
+                cfg.politeness_rate, cfg.politeness_burst, cfg.politeness_dt
+            )
+            for _ in range(cfg.n_sched_shards)
+        ]
+        self.counters = ray.remote(num_cpus=0)(CrawlCounters).remote()
+
+    # ---- paths -----------------------------------------------------------
+    def _epoch_dir(self, e: int) -> str:
+        # no '=' in the name: pyarrow would infer a hive partition column
+        # from 'epoch=NNNNN' and silently widen every schema read below it
+        return os.path.join(self.workdir, f"ep-{e:05d}")
+
+    def _frontier_next_path(self, e: int) -> str:
+        # frontier feeding epoch e+1, produced by (and stored with) epoch e so
+        # every epoch directory is self-contained for resume
+        return os.path.join(self._epoch_dir(e), "frontier_next")
+
+    def _docs_path(self, e: int) -> str:
+        return os.path.join(self._epoch_dir(e), "docs")
+
+    def _manifest_path(self, e: int) -> str:
+        return os.path.join(self._epoch_dir(e), "MANIFEST.json")
+
+    # ---- seeding / resume ------------------------------------------------
+    def _initial_frontier(self) -> pa.Table:
+        seeds = self.cfg.seeds_table
+        if seeds is None:
+            seeds = make_seed_registry(self.cfg.n_seeds, self.cfg.seed)
+        n = seeds.num_rows
+        t = seeds.append_column("depth", pa.array(np.zeros(n, dtype=np.int32)))
+        t = t.append_column("parent_doc_id", pa.array([""] * n, pa.string()))
+        t = t.append_column(
+            "crawl_key", pa.array(seeds.column("seed_index").to_numpy().astype(np.int64))
+        )
+        t = t.append_column("canonical_hash", pa.array(np.zeros(n, dtype=np.uint64)))
+        return t.cast(FRONTIER)
+
+    def last_complete_epoch(self) -> int:
+        e = -1
+        while os.path.exists(self._manifest_path(e + 1)):
+            e += 1
+        return e
+
+    def _restore_state(self, e: int) -> None:
+        with open(self._manifest_path(e)) as f:
+            manifest = json.load(f)
+        state_dir = os.path.join(self._epoch_dir(e), "state")
+        for i, shard in enumerate(self.seen):
+            z = np.load(os.path.join(state_dir, f"seen_{i}.npz"), allow_pickle=False)
+            state = {
+                "table": z["table"],
+                "count": int(z["count"]),
+                "bucket_size": int(z["bucket_size"]),
+                "exact": bool(z["exact"]),
+                "exact_set": z["exact_set"] if z["exact"] else None,
+            }
+            ray.get(shard.load.remote(state))
+        for i, shard in enumerate(self.sched):
+            with open(os.path.join(state_dir, f"sched_{i}.json")) as f:
+                ray.get(shard.load.remote(json.load(f)))
+        ray.get(self.counters.load.remote(manifest["counters"]))
+
+    def _checkpoint(self, e: int, extra: dict[str, Any]) -> None:
+        state_dir = os.path.join(self._epoch_dir(e), "state")
+        os.makedirs(state_dir, exist_ok=True)
+        dumps = ray.get([s.dump.remote() for s in self.seen])
+        for i, d in enumerate(dumps):
+            np.savez(
+                os.path.join(state_dir, f"seen_{i}.npz"),
+                table=d["table"],
+                count=d["count"],
+                bucket_size=d["bucket_size"],
+                exact=d["exact"],
+                exact_set=d["exact_set"] if d["exact_set"] is not None else np.array([], dtype=np.uint64),
+            )
+        for i, d in enumerate(ray.get([s.dump.remote() for s in self.sched])):
+            with open(os.path.join(state_dir, f"sched_{i}.json"), "w") as f:
+                json.dump(d, f)
+        manifest = {"epoch": e, "counters": ray.get(self.counters.snapshot.remote()), **extra}
+        tmp = self._manifest_path(e) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(e))  # atomic finalize
+
+    # ---- the loop --------------------------------------------------------
+    def run(self, resume: bool = False) -> dict[str, Any]:
+        cfg = self.cfg
+        start_epoch = 0
+        if resume:
+            last = self.last_complete_epoch()
+            if last >= 0:
+                self._restore_state(last)
+                start_epoch = last + 1
+                # wipe partial work from any interrupted epoch; its inputs
+                # (frontier_next of the last complete epoch) are untouched
+                k = start_epoch
+                while os.path.exists(self._epoch_dir(k)):
+                    shutil.rmtree(self._epoch_dir(k))
+                    k += 1
+        if start_epoch == 0:
+            if os.path.exists(self.workdir):
+                shutil.rmtree(self.workdir)
+            os.makedirs(self._epoch_dir(0), exist_ok=True)
+            pq.write_table(
+                self._initial_frontier(),
+                os.path.join(self._epoch_dir(0), "frontier_init.parquet"),
+            )
+
+        # never let the fetch actor pool reserve every CPU: leave headroom
+        # for the read/write task operators or the streaming executor starves
+        # (see ray_guide "actor pools" sizing note)
+        total_cpus = int(ray.cluster_resources().get("CPU", 4))
+        fetch_conc = max(1, min(cfg.fetch_concurrency, total_cpus - 2))
+
+        e = start_epoch
+        while e < cfg.max_epochs:
+            frontier_file = (
+                os.path.join(self._epoch_dir(0), "frontier_init.parquet")
+                if e == 0
+                else self._frontier_next_path(e - 1)
+            )
+            if not os.path.exists(frontier_file):
+                break
+            frontier = rd.read_parquet(frontier_file)
+            if frontier.count() == 0:
+                break
+            os.makedirs(self._epoch_dir(e), exist_ok=True)
+
+            # 1. politeness budgets (virtual-clock tick + per-host counts)
+            pending = frontier.groupby("host").count().to_pandas()
+            hosts = pending["host"].tolist()
+            by_shard: dict[int, list[str]] = {}
+            for h in hosts:
+                by_shard.setdefault(scheduler_shard_of(h, cfg.n_sched_shards), []).append(h)
+            ray.get([s.tick.remote() for s in self.sched])
+            budget_parts = ray.get(
+                [self.sched[i].budgets.remote(hs) for i, hs in by_shard.items()]
+            )
+            budgets: dict[str, int] = {}
+            for part in budget_parts:
+                budgets.update(part)
+            pending_n = dict(zip(pending["host"], pending["count()"]))
+            admitted_n = {h: min(int(pending_n[h]), budgets.get(h, 0)) for h in hosts}
+            consume_by_shard: dict[int, dict[str, int]] = {}
+            for h, n in admitted_n.items():
+                if n:
+                    consume_by_shard.setdefault(
+                        scheduler_shard_of(h, cfg.n_sched_shards), {}
+                    )[h] = n
+            ray.get(
+                [self.sched[i].consume.remote(d) for i, d in consume_by_shard.items()]
+            )
+
+            # 2. admission (per-host top-budget by priority) — the politeness
+            # shuffle, partitioned by host.
+            budgets_ref = ray.put(budgets)
+
+            def _admit(g, _ref=budgets_ref):
+                return admit_group(g, budgets=ray.get(_ref))
+
+            gated_path = os.path.join(self._epoch_dir(e), "gated")
+            frontier.groupby("host").map_groups(
+                _admit, batch_format="pandas"
+            ).write_parquet(gated_path)
+
+            # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e)
+            admitted = (
+                rd.read_parquet(gated_path)
+                .filter(expr="admitted")
+                .drop_columns(["admitted"])
+                .map_batches(add_hash_columns, batch_format="pyarrow")
+                # seen filter runs as stateless tasks (construction is just
+                # actor handles — no per-task cost), so it never reserves
+                # CPUs the way an actor pool would and cannot starve the
+                # read/write stages on small clusters
+                .map_batches(
+                    lambda t, _a=self.seen: SeenFilterStage(_a)(t),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+                .map_batches(
+                    FetchParseStage,
+                    fn_constructor_kwargs={
+                        "seed": cfg.seed,
+                        "max_rows": cfg.max_rows,
+                        "failure_rate": cfg.failure_rate,
+                        "counters": self.counters,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    concurrency=fetch_conc,
+                )
+                .map_batches(
+                    lambda t, _e=e: t.append_column(
+                        "epoch", pa.array(np.full(t.num_rows, _e, dtype=np.int32))
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            admitted.write_parquet(self._docs_path(e))
+
+            # 4. next frontier = deferred ∪ discovered children
+            nxt = rd.read_parquet(gated_path).filter(expr="admitted == False").drop_columns(["admitted"])
+            if os.path.exists(self._docs_path(e)):
+                # an epoch that admitted nothing writes no docs dir at all
+                children = rd.read_parquet(
+                    self._docs_path(e),
+                    columns=[
+                        "doc_id", "emc", "state", "crawl_key",
+                        "utility_tier", "refresh_deadline", "child_urls",
+                    ],
+                ).map_batches(
+                    partial(children_to_frontier, depth=1), batch_format="pyarrow"
+                )
+                nxt = nxt.union(
+                    children.map_batches(add_hash_columns, batch_format="pyarrow")
+                )
+            nxt.write_parquet(self._frontier_next_path(e))
+
+            # 5. finalize epoch
+            self._checkpoint(e, {"budgets": {k: int(v) for k, v in admitted_n.items()}})
+            e += 1
+
+        seen_sizes = ray.get([s.size.remote() for s in self.seen])
+        return {
+            "epochs": e,
+            "counters": ray.get(self.counters.snapshot.remote()),
+            "seen": int(sum(seen_sizes)),
+            "docs_paths": [self._docs_path(i) for i in range(e) if os.path.exists(self._docs_path(i))],
+        }
+
+    def docs_dataset(self) -> "rd.Dataset":
+        import glob
+
+        files: list[str] = []
+        for i in range(self.cfg.max_epochs):
+            p = self._docs_path(i)
+            if os.path.exists(p):
+                files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        if not files:
+            from ..schemas import DOCS
+
+            return rd.from_arrow(DOCS.empty_table())
+        return rd.read_parquet(files)
+
+    def seen_hashes(self) -> set[int]:
+        """Exact URL-seen set (only meaningful with exact_seen=True)."""
+        dumps = ray.get([s.dump.remote() for s in self.seen])
+        out: set[int] = set()
+        for d in dumps:
+            if d["exact_set"] is not None:
+                out.update(d["exact_set"].tolist())
+        return out
+
+
+def run_crawl(cfg: CrawlConfig, resume: bool = False) -> tuple[CrawlJob, dict[str, Any]]:
+    job = CrawlJob(cfg)
+    stats = job.run(resume=resume)
+    return job, stats

@@ -1,0 +1,422 @@
+"""Sequential oracle: reference-semantics simulator for conformance tests.
+
+The reference cannot run here (selenium, live endpoints), so the north_rule's
+"matches the reference's crawl ordering / URL-seen set / span sequence"
+checks compare the distributed engine against THIS module: an independent,
+single-process, pandas-based re-derivation of the reference's behavior
+(SURVEY.md section 5) on the same synthetic web:
+
+- parse: DataFrame-shaped transforms exactly like the reference scrapers
+  (pd.DataFrame -> boolean-mask filters -> applymap unwraps -> column drops),
+  emitted as spans. The distributed kernels build records directly from
+  JSON; agreement between the two proves the kernels preserve reference
+  semantics.
+- crawl: the sequential loop of app/main.py:21 under the same virtual-clock
+  politeness budgets and priority order as the distributed scheduler.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from ..state.politeness import VirtualBudgets
+from ..synth import SyntheticWeb, canonical_url, fetch_plan, host_of
+from ..kernels.common import SCRAPE_TS_FORMAT, ZIP_SENTINEL, synth_zipcode
+
+
+def _py(v: Any) -> Any:
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _df_spans(df: pd.DataFrame, kind: str, out: list[dict]) -> None:
+    for _, row in df.iterrows():
+        rec = {k: _py(v) for k, v in row.items()}
+        out.append(
+            {
+                "kind": kind,
+                "text": json.dumps(rec, separators=(",", ":"), default=str),
+                "media_ref": "",
+                "offset": len(out),
+            }
+        )
+
+
+def _guarded_zips(points: list[tuple[float, float]]) -> list[str]:
+    if len(points) < 10:
+        return [synth_zipcode(a, b) for a, b in points]
+    return [ZIP_SENTINEL] * len(points)
+
+
+def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: str):
+    """pandas re-derivation of each scraper's parse(); returns (spans, children)."""
+    spans: list[dict] = []
+
+    if layout == "nisc":
+        val = json.loads(bodies["per_county"].decode())
+        flat = [b for item in val for b in item["boundaries"]]
+        df = pd.DataFrame(flat)
+        if len(df):
+            df = df[(df["customersAffected"] != 0) | (df["customersOutNow"] != 0)]
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_county", spans)
+        out = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(out)
+        if len(df):
+            pts = [(p["lat"], p["lng"]) for p in df["outagePoint"]]
+            df["zip"] = _guarded_zips(pts)
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "wov":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(val["Outages"])
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "asmx":
+        root = ET.fromstring(bodies["per_county"].decode())
+        recs = [
+            {el.tag: el.text for el in item} for item in root.iter("MobileCounty")
+        ]
+        df = pd.DataFrame(recs)
+        if len(df):
+            df = df[df["CustomersAffected"] != "0"]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            df = df.drop(columns=["Shape"])
+            # reference drops Shape then timestamp/EMC are already added
+            df = df[[c for c in recs[0] if c != "Shape"] + ["timestamp", "EMC"]]
+        _df_spans(df, "per_county", spans)
+        root = ET.fromstring(bodies["per_outage"].decode())
+        recs = [{el.tag: el.text for el in item} for item in root.iter("MobileOutage")]
+        df = pd.DataFrame(recs)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "kubra":
+        deck = json.loads(bodies["deck"].decode())
+        return [], list(deck["decks"])
+
+    if layout == "kubra_report":
+        val = json.loads(bodies["report"].decode())
+        title = url.rsplit("/reports/", 1)[-1].split("/", 1)[0]
+        if title == "MEDIA":
+            return [{"kind": "per_media", "text": "", "media_ref": val["tile"], "offset": 0}], []
+        kind = {
+            "zip": "per_zipcode", "county": "per_county", "city": "per_city",
+            "ctv": "per_town", "ward": "per_ward",
+        }.get(title, "per_outage")
+        df = pd.DataFrame(val["file_data"]["areas"])
+        if len(df):
+            df[["cust_a", "percent_cust_a"]] = df[["cust_a", "percent_cust_a"]].map(
+                lambda x: x["val"]
+            )
+            df = df[(df["cust_a"] != 0) | (df["n_out"] != 0)]
+            df = df.drop(columns=["gotoMap"])
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, kind, spans)
+        return spans, []
+
+    if layout == "epochms":
+        out = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["startTime"] = pd.to_datetime(df["startTime"], unit="ms").astype(str)
+            df["lastUpdatedTime"] = pd.to_datetime(df["lastUpdatedTime"], unit="ms").astype(str)
+            pts = list(zip(df["latitude"], df["longitude"]))
+            df["zip"] = _guarded_zips(pts)
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "polygons":
+        val = json.loads(bodies["per_outage"].decode())
+        for report in val["reportData"]["reports"]:
+            kind = "per_county" if report["id"] == "County" else "per_zipcode"
+            df = pd.DataFrame(report["polygons"])
+            if len(df):
+                df = df[df["affected"] > 0]
+                df["timestamp"] = ts
+                df["EMC"] = emc
+            _df_spans(df, kind, spans)
+        return spans, []
+
+    if layout == "shellout":
+        val = json.loads(bodies["shellout"].decode())
+        area = val["areas"]
+        df = pd.DataFrame(area["markers"])
+        if len(df):
+            df = df[df["outages"] != 0]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        sdf = pd.DataFrame(
+            [{
+                "service_index_name": area["service_index_name"],
+                "outages": area["outages"],
+                "NumConsumers": area["stats"]["NumConsumers"],
+            }]
+        )
+        sdf["timestamp"] = ts
+        sdf["EMC"] = emc
+        _df_spans(sdf, "per_emc", spans)
+        return spans, []
+
+    if layout == "domtable":
+        html = bodies["per_county"].decode()
+        root = ET.fromstring(html)
+        table = root.find(".//table")
+        rows = table.findall("tr")
+        header = ["".join(c.itertext()).strip() for c in rows[0]]
+        data = [["".join(c.itertext()).strip() for c in r] for r in rows[1:]]
+        df = pd.DataFrame(data, columns=header)
+        df = df.drop(columns=[c for c in df.columns if not c])
+        df = df.replace("", np.nan).dropna(axis=0)
+        if len(df):
+            df = df[df["# Out"] != "0"]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_county", spans)
+        return spans, []
+
+    if layout == "arcgis":
+        body = bodies["per_outage"].decode()
+        if not body.startswith("{") and not body.startswith("["):
+            body = body[body.index("(") + 1 : body.rindex(")")]
+        val = json.loads(body)
+        recs = []
+        for f in val["features"]:
+            rec = dict(f["attributes"])
+            rec["x"] = f["geometry"]["x"]
+            rec["y"] = f["geometry"]["y"]
+            recs.append(rec)
+        df = pd.DataFrame(recs)
+        if len(df):
+            for c in ("StartDate", "EstimatedRestoreDate"):
+                df[c] = pd.to_datetime(df[c], unit="ms").astype(str)
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "prejson":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(val["outages"])
+        if len(df):
+            df = df[df["Customers Out"] != "0"]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "eshits":
+        val = json.loads(bodies["per_outage"].decode())
+        hits = val[0]["hits"]["hits"]
+        recs = [{"id": h["_id"], **h["_source"]} for h in hits]
+        df = pd.DataFrame(recs)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "regionsets":
+        val = json.loads(bodies["per_region"].decode())
+        frames = []
+        for s in val["regionDataSets"]:
+            df = pd.DataFrame(s["regions"])
+            df = df[df["numberOut"] != 0]
+            df["regionSet"] = s["id"]
+            frames.append(df)
+        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if len(df):
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_region", spans)
+        return spans, []
+
+    if layout == "incidents":
+        dm = json.loads(bodies["per_district"].decode())["district_metrics"]
+        recs = [
+            {
+                "district": d["district"],
+                "custom_qty": d["outage_reported"]["customer_qty"],
+                "incident_qty": d["outage_reported"]["incident_qty"],
+            }
+            for d in dm
+        ]
+        df = pd.DataFrame(recs)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_district", spans)
+        det = json.loads(bodies["per_outage"].decode())["electricOutageDetails"]
+        ddf = pd.DataFrame(det)
+        ddf["timestamp"] = ts
+        ddf["EMC"] = emc
+        _df_spans(ddf, "per_outage", spans)
+        base = pd.DataFrame(det)
+        if len(base):
+            cs = base.groupby("county")["customerCount"].sum().reset_index()
+            cs["timestamp"] = ts
+            cs["EMC"] = emc
+            _df_spans(cs, "per_county", spans)
+            zs = base.groupby("zipcode")["customerCount"].sum().reset_index()
+            zs["timestamp"] = ts
+            zs["EMC"] = emc
+            _df_spans(zs, "per_zipcode", spans)
+        return spans, []
+
+    if layout == "alloutages":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(val["data"])
+        if len(df):
+            df = df.drop(columns=["extension", "affectedAreas"])
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "singlevalue":
+        html = bodies["per_emc"].decode()
+        cur = re.search(r'id="currentOutages">([^<]*)<', html).group(1)
+        upd = re.search(r'id="lastUpdated">([^<]*)<', html).group(1)
+        df = pd.DataFrame([{"currentOutages": cur, "lastUpdated": upd}])
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_emc", spans)
+        return spans, []
+
+    raise ValueError(layout)
+
+
+@dataclass
+class SimDoc:
+    url: str
+    emc: str
+    layout: str
+    epoch: int
+    crawl_key: int
+    status: int
+    reason: str
+    spans: list[dict]
+    children: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SimResult:
+    docs: list[SimDoc]                 # in the deterministic crawl order
+    seen_hashes: set[int]
+    admitted_per_epoch: list[list[str]]
+
+
+def simulate_crawl(
+    seeds: pd.DataFrame,
+    *,
+    seed: int = 42,
+    max_rows: int = 8,
+    failure_rate: float = 0.02,
+    politeness_rate: float = 64.0,
+    politeness_burst: float = 64.0,
+    politeness_dt: float = 1.0,
+    max_epochs: int = 50,
+    ts: str = "10-05-2023 08:00:00",
+) -> SimResult:
+    """Sequential crawl under the same politeness budgets + priority order as
+    the distributed job. Crawl order within an epoch = sort by
+    (utility_tier, refresh_deadline, crawl_key) — the engine's deterministic
+    generalization of the reference's seed-dict order (app/main.py:21)."""
+    web = SyntheticWeb(seed=seed, max_rows=max_rows, failure_rate=failure_rate)
+    vb = VirtualBudgets(politeness_rate, politeness_burst, politeness_dt)
+
+    pending: list[dict] = []
+    for _, r in seeds.iterrows():
+        d = r.to_dict()
+        d["crawl_key"] = int(d["seed_index"])
+        d["depth"] = 0
+        pending.append(d)
+
+    docs: list[SimDoc] = []
+    seen: set[int] = set()
+    admitted_log: list[list[str]] = []
+
+    for epoch in range(max_epochs):
+        if not pending:
+            break
+        hosts = [p["host"] for p in pending]
+        budgets = vb.epoch_budgets(hosts)
+        by_host: dict[str, list[dict]] = {}
+        for p in pending:
+            by_host.setdefault(p["host"], []).append(p)
+        admitted: list[dict] = []
+        deferred: list[dict] = []
+        consumed: dict[str, int] = {}
+        for h, rows in by_host.items():
+            rows.sort(key=lambda p: (p["utility_tier"], p["refresh_deadline"], p["crawl_key"]))
+            b = budgets.get(h, 0)
+            admitted.extend(rows[:b])
+            deferred.extend(rows[b:])
+            if rows[:b]:
+                consumed[h] = len(rows[:b])
+        vb.consume(consumed)
+        admitted.sort(key=lambda p: (p["utility_tier"], p["refresh_deadline"], p["crawl_key"]))
+        admitted_log.append([p["url"] for p in admitted])
+
+        children_rows: list[dict] = []
+        for p in admitted:
+            h64 = int(pd.util.hash_array(np.array([canonical_url(p["url"])], dtype=object),
+                                         categorize=False)[0])
+            if h64 in seen:
+                continue
+            seen.add(h64)
+            try:
+                bodies = web.fetch(p["url"], p["layout"])
+                spans, children = oracle_parse(bodies, p["layout"], p["emc"], ts, p["url"])
+                doc = SimDoc(p["url"], p["emc"], p["layout"], epoch, p["crawl_key"],
+                             200, "", spans, children)
+            except RuntimeError as e:
+                doc = SimDoc(p["url"], p["emc"], p["layout"], epoch, p["crawl_key"],
+                             500, str(e), [], [])
+            docs.append(doc)
+            for j, cu in enumerate(doc.children):
+                children_rows.append(
+                    {
+                        "url": cu,
+                        "host": host_of(cu),
+                        "emc": p["emc"],
+                        "state": p["state"],
+                        "layout": "kubra_report",
+                        "seed_index": -1,
+                        "utility_tier": p["utility_tier"],
+                        "refresh_deadline": p["refresh_deadline"],
+                        "depth": 1,
+                        "crawl_key": (1 << 40) + p["crawl_key"] * 64 + j,
+                    }
+                )
+        pending = deferred + children_rows
+
+    return SimResult(docs, seen, admitted_log)

@@ -1,0 +1,201 @@
+"""Crawl stages: hashing, seen-filter, politeness admission, fetch+parse.
+
+All stages are ``map_batches`` bodies over Arrow batches of frontier rows.
+Stateful ones (SeenFilterStage, FetchParseStage) are callable classes →
+actor pools; setup happens once per actor in ``__init__``.
+
+The reference equivalent of fetch+parse is the per-EMC
+``Scraper(state, layout, url, emc).parse()`` call in the sequential Lambda
+loop (app/main.py:21-30); here one actor processes a whole batch of URLs
+and emits one interleaved-span doc row per URL.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import KERNELS
+from ..kernels.common import SCRAPE_TS_FORMAT
+from ..schemas import SPAN_STRUCT
+from ..state.cuckoo import shard_of
+from ..synth import SyntheticWeb, canonical_url, host_of
+
+# virtual scrape timestamp injected for determinism (reference stamps
+# wall-clock at parse time, util.py:92-93)
+VIRTUAL_SCRAPE_TS = "10-05-2023 08:00:00"
+
+
+def add_hash_columns(batch: pa.Table) -> pa.Table:
+    """canonical_hash = 64-bit siphash of the canonicalized URL.
+    Vectorized via pandas' C hash (deterministic across processes)."""
+    urls = batch.column("url").to_pylist()
+    canon = np.array([canonical_url(u) for u in urls], dtype=object)
+    hashes = pd.util.hash_array(canon, categorize=False)
+    out = batch
+    if "canonical_hash" in batch.column_names:
+        out = out.drop_columns(["canonical_hash"])
+    return out.append_column("canonical_hash", pa.array(hashes, type=pa.uint64()))
+
+
+class SeenFilterStage:
+    """Filters frontier rows whose canonical hash is already in the sharded
+    URL-seen set, marking new ones seen (the reference's visited-list
+    semantics, il_scraper.py:200-212, scaled out)."""
+
+    def __init__(self, seen_actors: list[Any]):
+        self.shards = seen_actors
+        self.n = len(seen_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch.column("canonical_hash").to_numpy()
+        route = shard_of(hashes, self.n)
+        seen = np.zeros(len(hashes), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n):
+            idx = np.flatnonzero(route == s)
+            if idx.size:
+                refs.append(self.shards[s].check_add.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            seen[idx] = mask
+        return batch.filter(pa.array(~seen))
+
+
+def admit_group(group: pd.DataFrame, *, budgets: dict[str, int]) -> pd.DataFrame:
+    """Politeness admission for one host: sort pending URLs by the scheduler
+    priority (utility_tier, refresh_deadline, crawl_key) and admit the first
+    ``budget`` of them. Runs inside ``groupby("host").map_groups`` — the
+    per-host partitioning IS the politeness isolation; determinism comes from
+    the sort + the virtual-clock budgets."""
+    g = group.sort_values(
+        ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
+    ).reset_index(drop=True)
+    b = budgets.get(g["host"].iloc[0], 0)
+    g["admitted"] = np.arange(len(g)) < b
+    return g
+
+
+class FetchParseStage:
+    """Actor-pool fetch + parse: one SyntheticWeb 'session' per actor
+    (the reference's expensive per-scraper webdriver init,
+    ga_scraper.py:146-208, amortized across batches), kernels dispatched by
+    layout family. Emits one doc row per URL: interleaved spans + discovered
+    child URLs + fetch status."""
+
+    def __init__(
+        self,
+        seed: int = 42,
+        max_rows: int = 8,
+        failure_rate: float = 0.02,
+        counters: Any = None,
+    ):
+        self.web = SyntheticWeb(seed=seed, max_rows=max_rows, failure_rate=failure_rate)
+        self.kernels = KERNELS
+        self.counters = counters
+        self.ts = VIRTUAL_SCRAPE_TS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        emcs = batch.column("emc").to_pylist()
+        layouts = batch.column("layout").to_pylist()
+        hashes = batch.column("canonical_hash").to_pylist()
+
+        statuses = np.empty(len(urls), dtype=np.int32)
+        reasons: list[str] = []
+        all_spans: list[list[dict]] = []
+        all_children: list[list[str]] = []
+        n_spans = 0
+        for i, (url, emc, layout) in enumerate(zip(urls, emcs, layouts)):
+            try:
+                bodies = self.web.fetch(url, layout)
+                spans, children = self.kernels[layout](bodies, emc, self.ts, url)
+                statuses[i] = 200
+                reasons.append("")
+                all_spans.append(spans)
+                all_children.append(children)
+                n_spans += len(spans)
+            except Exception as e:  # failure-row semantics, app/main.py:32-41
+                statuses[i] = 500
+                reasons.append(str(e))
+                all_spans.append([])
+                all_children.append([])
+
+        if self.counters is not None:
+            ok = int((statuses == 200).sum())
+            self.counters.add_many.remote(
+                {"fetched": len(urls), "fetch_ok": ok,
+                 "fetch_failed": len(urls) - ok, "spans": n_spans}
+            )
+
+        doc_ids = [f"d{h:016x}" for h in hashes]
+        cols: dict[str, Any] = {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "url": batch.column("url"),
+            "emc": batch.column("emc"),
+            "state": batch.column("state"),
+            "layout": batch.column("layout"),
+            "crawl_key": batch.column("crawl_key"),
+            "utility_tier": batch.column("utility_tier"),
+            "refresh_deadline": batch.column("refresh_deadline"),
+            "status": pa.array(statuses, type=pa.int32()),
+            "reason": pa.array(reasons, type=pa.string()),
+            "spans": pa.array(all_spans, type=pa.list_(SPAN_STRUCT)),
+            "child_urls": pa.array(all_children, type=pa.list_(pa.string())),
+        }
+        return pa.table(cols)
+
+
+def children_to_frontier(batch: pa.Table, *, depth: int) -> pa.Table:
+    """Flatten discovered child URLs into new frontier rows (S9/S10 discovery
+    feedback). Child priority inherits the parent EMC's tier/deadline;
+    crawl_key = (1<<40) + parent_key*64 + ordinal keeps global order keys
+    unique and deterministic."""
+    rows: dict[str, list] = {k: [] for k in (
+        "url", "host", "emc", "state", "layout", "seed_index",
+        "utility_tier", "refresh_deadline", "depth", "parent_doc_id", "crawl_key",
+    )}
+    child_lists = batch.column("child_urls").to_pylist()
+    for i, children in enumerate(child_lists):
+        if not children:
+            continue
+        emc = batch.column("emc")[i].as_py()
+        state = batch.column("state")[i].as_py()
+        pkey = batch.column("crawl_key")[i].as_py()
+        pdoc = batch.column("doc_id")[i].as_py()
+        tier = batch.column("utility_tier")[i].as_py() if "utility_tier" in batch.column_names else 0
+        deadline = batch.column("refresh_deadline")[i].as_py() if "refresh_deadline" in batch.column_names else 0
+        for j, cu in enumerate(children):
+            rows["url"].append(cu)
+            rows["host"].append(host_of(cu))
+            rows["emc"].append(emc)
+            rows["state"].append(state)
+            rows["layout"].append("kubra_report")
+            rows["seed_index"].append(-1)
+            rows["utility_tier"].append(tier)
+            rows["refresh_deadline"].append(deadline)
+            rows["depth"].append(depth)
+            rows["parent_doc_id"].append(pdoc)
+            rows["crawl_key"].append((1 << 40) + pkey * 64 + j)
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "host": pa.array(rows["host"], pa.string()),
+            "emc": pa.array(rows["emc"], pa.string()),
+            "state": pa.array(rows["state"], pa.string()),
+            "layout": pa.array(rows["layout"], pa.string()),
+            "seed_index": pa.array(rows["seed_index"], pa.int32()),
+            "utility_tier": pa.array(rows["utility_tier"], pa.int32()),
+            "refresh_deadline": pa.array(rows["refresh_deadline"], pa.timestamp("ms")),
+            "depth": pa.array(rows["depth"], pa.int32()),
+            "parent_doc_id": pa.array(rows["parent_doc_id"], pa.string()),
+            "crawl_key": pa.array(rows["crawl_key"], pa.int64()),
+        }
+    )

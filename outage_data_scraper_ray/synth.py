@@ -1,0 +1,456 @@
+"""Deterministic synthetic seed registry + fixture web.
+
+The reference crawls ~285 live utility endpoints listed in
+events/<state>/layout_<id>.json (app/main.py:14-21). This sandbox has no
+network, so the engine crawls a *deterministic synthetic web*: every URL's
+payload is a pure function of (global_seed, url), generated to match the
+payload families the reference parses (FIXTURES.md section F3, SURVEY.md
+section 2.1). Any worker can "fetch" any URL without shared state, which is
+what makes the fetch stage an embarrassingly parallel actor-pool
+``map_batches`` at 10^10-frontier scale.
+
+Payload families (reference provenance in kernels/__init__.py):
+nisc, wov, asmx, kubra (parent deck -> child reports, the discovery
+precedent of ga_scraper.py:405-435), epochms, polygons, shellout, domtable,
+arcgis (+JSONP), prejson, eshits, regionsets, incidents, alloutages,
+singlevalue.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .schemas import SEEDS
+
+# ---------------------------------------------------------------------------
+# hashing
+
+def hash64(s: str) -> int:
+    """Stable 64-bit hash of a string (canonical-URL hash basis)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def canonical_url(url: str) -> str:
+    """Canonicalize: lowercase scheme+host, strip trailing slash + fragment."""
+    url = url.split("#", 1)[0]
+    if "://" in url:
+        scheme, rest = url.split("://", 1)
+        host, _, path = rest.partition("/")
+        url = scheme.lower() + "://" + host.lower() + ("/" + path if path else "")
+    return url.rstrip("/")
+
+
+def host_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest.partition("/")[0].lower()
+
+
+# ---------------------------------------------------------------------------
+# seed registry
+
+# (state, family) cells mirroring the reference's states x layout spread
+# (events/ has 12 states; ga alone has 11 layouts). Family weights skew the
+# host sizes so the skew/salting path is exercised.
+_CELLS: list[tuple[str, str]] = [
+    ("ga", "nisc"), ("ga", "wov"), ("ga", "asmx"), ("ga", "kubra"),
+    ("ga", "epochms"), ("ga", "polygons"), ("ga", "shellout"), ("ga", "domtable"),
+    ("ca", "arcgis"), ("ca", "epochms"), ("ca", "arcgis"),
+    ("tx", "domtable"), ("tx", "kubra"), ("tx", "arcgis"), ("tx", "prejson"),
+    ("fl", "prejson"), ("fl", "eshits"), ("fl", "regionsets"),
+    ("il", "kubra"), ("il", "shellout"),
+    ("ny", "domtable"), ("ny", "kubra"),
+    ("tn", "domtable"), ("tn", "incidents"),
+    ("nc", "domtable"), ("sc", "nisc"), ("al", "asmx"),
+    ("la", "alloutages"), ("ms", "polygons"), ("ms", "singlevalue"),
+]
+
+
+def make_seed_registry(n_seeds: int = 285, seed: int = 42) -> pa.Table:
+    """Deterministic seed table shaped like the reference's EMC registry.
+
+    seed_index preserves the reference's crawl-order precedent (the dict
+    insertion order of the event file, app/main.py:21). utility_tier and
+    refresh_deadline are the scheduler priority keys from the north_star.
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[dict[str, Any]] = []
+    for i in range(n_seeds):
+        state, family = _CELLS[i % len(_CELLS)]
+        emc = f"{state.upper()} EMC {i:05d}"
+        slug = f"emc{i:05d}"
+        url = f"https://outage.{slug}.{state}.synthgrid.example"
+        rows.append(
+            {
+                "url": url,
+                "host": host_of(url),
+                "emc": emc,
+                "state": state,
+                "layout": family,
+                "seed_index": i,
+                "utility_tier": int(rng.integers(0, 3)),
+                "refresh_deadline": 1_700_000_000_000 + int(rng.integers(0, 3600)) * 1000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.cast(SEEDS)
+
+
+# ---------------------------------------------------------------------------
+# fetch plans: which sub-requests one seed implies (the reference's fetch()
+# methods issue 1-3 GETs per EMC, e.g. ga_scraper.py:256-266 does two).
+
+FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
+    "nisc": [("per_county", "data/boundaries.json"), ("per_outage", "data/outages.json")],
+    "wov": [("per_outage", "api/weboutageviewer/get_live_data")],
+    "asmx": [
+        ("per_county", "MobileMap/OMSMobileService.asmx/GetAllCounties"),
+        ("per_outage", "MobileMap/OMSMobileService.asmx/GetAllOutages"),
+    ],
+    "kubra": [("deck", "data/deck.json")],
+    "kubra_report": [("report", "")],
+    "epochms": [("per_outage", "outages")],
+    "polygons": [("per_outage", "report.json")],
+    "shellout": [("shellout", "ShellOut.aspx")],
+    "domtable": [("per_county", "outages/table")],
+    "arcgis": [("per_outage", "FeatureServer/0/query")],
+    "prejson": [("per_outage", "outages.json")],
+    "eshits": [("per_outage", "es/_search")],
+    "regionsets": [("per_region", "regions.json")],
+    "incidents": [("per_district", "incidents"), ("per_outage", "outage-details")],
+    "alloutages": [("per_outage", "alloutages")],
+    "singlevalue": [("per_emc", "")],
+}
+
+KUBRA_REPORT_TITLES = ["county", "zip", "MEDIA", "city", "ctv", "ward"]
+
+
+def fetch_plan(url: str, layout: str) -> list[tuple[str, str]]:
+    base = url.rstrip("/")
+    return [(key, base + ("/" + rel if rel else "")) for key, rel in FETCH_PLANS[layout]]
+
+
+def child_urls_for(url: str, layout: str, seed: int) -> list[str]:
+    """Discovery: a kubra parent deck yields child report URLs
+    (the reference sniffs these from XHR traffic, ga_scraper.py:405-435;
+    il_scraper.py:199-219)."""
+    if layout != "kubra":
+        return []
+    rng = _rng_for(url + "#deck", seed)
+    n = int(rng.integers(2, len(KUBRA_REPORT_TITLES) + 1))
+    return [f"{url.rstrip('/')}/reports/{t}/report.json" for t in KUBRA_REPORT_TITLES[:n]]
+
+
+def _rng_for(key: str, seed: int) -> np.random.Generator:
+    return np.random.default_rng((seed * 0x9E3779B97F4A7C15 ^ hash64(key)) % (2**63))
+
+
+# ---------------------------------------------------------------------------
+# payload synthesis
+
+_COUNTIES = ["APPLING", "BACON", "BAKER", "BALDWIN", "BANKS", "BARROW", "BARTOW", "CLARKE"]
+_CITIES = ["Milledgeville", "Sandersville", "Tennille", "Deepstep", "Irwinton", "Gordon"]
+_CAUSES = ["Tree on line", "Equipment failure", "Weather", "Planned", "Animal", "Unknown"]
+
+
+def failure_for(url: str, seed: int, rate: float = 0.02) -> str | None:
+    """Deterministic transient-failure injection (reference logs failures and
+    continues, app/main.py:32-41). Returns a reason string or None."""
+    r = _rng_for(url + "#fail", seed).random()
+    if r < rate / 2:
+        return "Request timed out"
+    if r < rate:
+        return "HTTP Error 503: Service Unavailable"
+    return None
+
+
+def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) -> bytes:
+    """Deterministic payload bytes for one sub-request URL."""
+    rng = _rng_for(url, seed)
+    n = int(rng.integers(0, max_rows + 1))
+
+    def county(i: int) -> str:
+        return _COUNTIES[int(rng.integers(0, len(_COUNTIES)))]
+
+    if layout == "nisc":
+        if key == "per_county":
+            items = []
+            for _ in range(max(1, n // 3)):
+                bnds = [
+                    {
+                        "boundaryName": county(0),
+                        "customersAffected": int(rng.integers(0, 3) * rng.integers(0, 40)),
+                        "customersOutNow": int(rng.integers(0, 3) * rng.integers(0, 30)),
+                        "customersServed": int(rng.integers(500, 20000)),
+                    }
+                    for _ in range(int(rng.integers(1, 4)))
+                ]
+                items.append({"boundaries": bnds})
+            return json.dumps(items).encode()
+        # per_outage
+        out = [
+            {
+                "outageRecID": f"O{int(rng.integers(10**6, 10**7))}",
+                "outagePoint": {
+                    "lat": round(30 + 5 * rng.random(), 6),
+                    "lng": round(-85 + 4 * rng.random(), 6),
+                },
+                "outageStartTime": f"2023-10-0{int(rng.integers(1,9))} "
+                f"{int(rng.integers(0,24)):02d}:{int(rng.integers(0,60)):02d}:00",
+                "customersOutNow": int(rng.integers(1, 200)),
+                "cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(out).encode()
+
+    if layout == "wov":
+        outs = [
+            {
+                "OutageID": int(rng.integers(10**5, 10**6)),
+                "OutageLocation": {
+                    "X": round(-85 + 4 * rng.random(), 6),
+                    "Y": round(30 + 5 * rng.random(), 6),
+                },
+                "CustomersAffected": int(rng.integers(1, 300)),
+                "Cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"Outages": outs}).encode()
+
+    if layout == "asmx":
+        if key == "per_county":
+            rows = "".join(
+                "<MobileCounty>"
+                f"<CountyName>{county(0)}</CountyName>"
+                f"<CustomersAffected>{int(rng.integers(0, 3) * rng.integers(0, 50))}</CustomersAffected>"
+                f"<CustomersServed>{int(rng.integers(500, 9000))}</CustomersServed>"
+                "<Shape>poly</Shape>"
+                "</MobileCounty>"
+                for _ in range(max(1, n // 2))
+            )
+            return f"<ArrayOfMobileCounty>{rows}</ArrayOfMobileCounty>".encode()
+        rows = "".join(
+            "<MobileOutage>"
+            f"<OutageID>{int(rng.integers(10**5, 10**6))}</OutageID>"
+            f"<CustomersOut>{int(rng.integers(1, 120))}</CustomersOut>"
+            f"<X>{round(-85 + 4 * rng.random(), 6)}</X>"
+            f"<Y>{round(30 + 5 * rng.random(), 6)}</Y>"
+            "</MobileOutage>"
+            for _ in range(n)
+        )
+        return f"<MobileOutageInfo><Outages>{rows}</Outages></MobileOutageInfo>".encode()
+
+    if layout in ("kubra", "kubra_report"):
+        if key == "deck":
+            return json.dumps({"decks": child_urls_for(url.rsplit("/data/", 1)[0], "kubra", seed)}).encode()
+        title = url.rsplit("/reports/", 1)[-1].split("/", 1)[0]
+        if title == "MEDIA":
+            tile = f"https://tiles.synthgrid.example/{hash64(url) % 10**8}/cluster.png"
+            return json.dumps({"file_title": "MEDIA", "tile": tile}).encode()
+        areas = [
+            {
+                "name": f"{title}-{int(rng.integers(1, 999))}",
+                "cust_a": {"val": int(rng.integers(0, 3) * rng.integers(0, 80))},
+                "percent_cust_a": {"val": round(rng.random(), 4)},
+                "n_out": int(rng.integers(0, 4)),
+                "cust_s": int(rng.integers(100, 50000)),
+                "gotoMap": {"zoom": 9},
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"file_title": f"public/{title}-1", "file_data": {"areas": areas}}).encode()
+
+    if layout == "epochms":
+        base_ms = 1_696_000_000_000
+        out = [
+            {
+                "id": int(rng.integers(10**5, 10**6)),
+                "startTime": base_ms + int(rng.integers(0, 10**6)) * 1000,
+                "lastUpdatedTime": base_ms + int(rng.integers(10**6, 2 * 10**6)) * 1000,
+                "latitude": round(30 + 5 * rng.random(), 6),
+                "longitude": round(-85 + 4 * rng.random(), 6),
+                "numPeople": int(rng.integers(1, 150)),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(out).encode()
+
+    if layout == "polygons":
+        reports = []
+        for rid in ("County", "Zip"):
+            polys = [
+                {
+                    "name": county(0) if rid == "County" else str(int(rng.integers(30000, 32000))),
+                    "affected": int(rng.integers(0, 3) * rng.integers(0, 60)),
+                    "served": int(rng.integers(200, 9000)),
+                }
+                for _ in range(max(1, n // 2))
+            ]
+            reports.append({"id": rid, "polygons": polys})
+        return json.dumps({"reportData": {"reports": reports}}).encode()
+
+    if layout == "shellout":
+        markers = [
+            {
+                "lat": round(30 + 5 * rng.random(), 6),
+                "lon": round(-85 + 4 * rng.random(), 6),
+                "outages": int(rng.integers(1, 9)),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(
+            {
+                "isHighTraffic": bool(rng.random() < 0.1),
+                "areas": {
+                    "markers": markers,
+                    "service_index_name": "district_a",
+                    "outages": len(markers),
+                    "stats": {"NumConsumers": int(rng.integers(1000, 90000))},
+                },
+            }
+        ).encode()
+
+    if layout == "domtable":
+        hdr = "<tr><th>County</th><th># Out</th><th>Served</th><th></th></tr>"
+        body = "".join(
+            f"<tr><td> {county(0)} </td><td>{int(rng.integers(0, 3) * rng.integers(0, 70))}</td>"
+            f"<td>{int(rng.integers(100, 8000))}</td><td>x</td></tr>"
+            for _ in range(n)
+        )
+        return f"<html><body><table>{hdr}{body}</table></body></html>".encode()
+
+    if layout == "arcgis":
+        feats = [
+            {
+                "attributes": {
+                    "OBJECTID": int(rng.integers(1, 10**6)),
+                    "StartDate": 1_696_000_000_000 + int(rng.integers(0, 10**6)) * 1000,
+                    "EstimatedRestoreDate": 1_697_000_000_000 + int(rng.integers(0, 10**6)) * 1000,
+                    "ImpactedCustomers": int(rng.integers(1, 400)),
+                    "Cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                },
+                "geometry": {
+                    "x": round(-120 + 4 * rng.random(), 6),
+                    "y": round(33 + 5 * rng.random(), 6),
+                },
+            }
+            for _ in range(n)
+        ]
+        payload = json.dumps({"features": feats})
+        if rng.random() < 0.3:  # JSONP wrapper variant (tx_scraper.py:258-261)
+            payload = f"jsonpcb({payload});"
+        return payload.encode()
+
+    if layout == "prejson":
+        outs = [
+            {
+                "Outage ID": f"P{int(rng.integers(10**5, 10**6))}",
+                "Customers Out": str(int(rng.integers(0, 3) * rng.integers(0, 50))),
+                "County": county(0),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"outages": outs}).encode()
+
+    if layout == "eshits":
+        hits = [
+            {
+                "_id": f"E{int(rng.integers(10**5, 10**6))}",
+                "_source": {
+                    "customerCount": int(rng.integers(1, 80)),
+                    "estimatedTimeOfRestoration": "2023-10-05T10:00:00",
+                    "reason": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                    "status": "Crew dispatched",
+                    "updateTime": "2023-10-05T08:00:00",
+                },
+            }
+            for _ in range(n)
+        ]
+        return json.dumps([{"hits": {"hits": hits}}]).encode()
+
+    if layout == "regionsets":
+        sets = [
+            {
+                "id": f"region-{j}",
+                "regions": [
+                    {"name": _CITIES[int(rng.integers(0, len(_CITIES)))],
+                     "numberOut": int(rng.integers(0, 3) * rng.integers(0, 40)),
+                     "served": int(rng.integers(100, 4000))}
+                    for _ in range(int(rng.integers(1, 4)))
+                ],
+            }
+            for j in range(max(1, n // 2))
+        ]
+        return json.dumps({"regionDataSets": sets}).encode()
+
+    if layout == "incidents":
+        if key == "per_district":
+            dm = [
+                {
+                    "district": f"D{j}",
+                    "outage_reported": {
+                        "customer_qty": int(rng.integers(0, 200)),
+                        "incident_qty": int(rng.integers(0, 9)),
+                    },
+                }
+                for j in range(max(1, n // 2))
+            ]
+            return json.dumps({"district_metrics": dm}).encode()
+        det = [
+            {
+                "id": f"I{int(rng.integers(10**5, 10**6))}",
+                "county": county(0),
+                "zipcode": str(int(rng.integers(30000, 32000))),
+                "customerCount": int(rng.integers(1, 90)),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"electricOutageDetails": det}).encode()
+
+    if layout == "alloutages":
+        data = [
+            {
+                "id": int(rng.integers(10**5, 10**6)),
+                "numPeople": int(rng.integers(1, 60)),
+                "cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                "extension": {"x": 1},
+                "affectedAreas": [county(0)],
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"data": data}).encode()
+
+    if layout == "singlevalue":
+        return (
+            f'<html><span id="currentOutages">{int(rng.integers(0, 500))}</span>'
+            f'<span id="lastUpdated">10-05-2023 08:{int(rng.integers(0,60)):02d}:00</span></html>'
+        ).encode()
+
+    raise ValueError(f"unknown layout family: {layout}")
+
+
+class SyntheticWeb:
+    """The fixture 'internet': deterministic fetches, no network, no state."""
+
+    def __init__(self, seed: int = 42, max_rows: int = 8, failure_rate: float = 0.02):
+        self.seed = seed
+        self.max_rows = max_rows
+        self.failure_rate = failure_rate
+
+    def fetch(self, url: str, layout: str) -> dict[str, bytes]:
+        """All sub-request bodies for one frontier row, keyed like the
+        reference's raw_data dict (ga_scraper.py:41-51).
+        Raises RuntimeError on injected failure."""
+        reason = failure_for(url, self.seed, self.failure_rate)
+        if reason is not None:
+            raise RuntimeError(reason)
+        out = {}
+        for key, sub in fetch_plan(url, layout):
+            out[key] = synth_body(sub, layout, key, self.seed, self.max_rows)
+        return out

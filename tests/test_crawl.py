@@ -1,0 +1,147 @@
+"""Crawl conformance: the distributed Ray Data crawl must match the
+sequential oracle simulator (reference semantics, app/main.py:21) on:
+
+- the final URL-seen set (north_rule exact-set equality),
+- the set of URLs fetched per epoch (politeness-budget agreement),
+- the deterministic crawl order (sort by epoch, tier, deadline, crawl_key),
+- per-doc span sequences (kind, text, media_ref, order),
+- failure rows (injected fetch failures recorded, not raised —
+  app/main.py:32-41 semantics),
+
+plus checkpoint/resume: a job killed mid-crawl and resumed produces an
+identical final state.
+"""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from outage_data_scraper_ray.pipelines.crawl import CrawlConfig, CrawlJob
+from outage_data_scraper_ray.pipelines.oracle_sim import simulate_crawl
+from outage_data_scraper_ray.synth import make_seed_registry
+
+N_SEEDS = 48
+POLITENESS = dict(politeness_rate=2.0, politeness_burst=3.0, politeness_dt=1.0)
+
+
+def _cfg(workdir, **kw):
+    base = dict(
+        n_seeds=N_SEEDS,
+        exact_seen=True,
+        workdir=workdir,
+        max_epochs=30,
+        failure_rate=0.05,
+        n_seen_shards=3,
+        n_sched_shards=2,
+        fetch_concurrency=2,
+        **POLITENESS,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def crawl_and_oracle(ray_session):
+    workdir = "/tmp/odsr_test_crawl"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir))
+    stats = job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(
+        make_seed_registry(N_SEEDS, 42).to_pandas(),
+        failure_rate=0.05,
+        **POLITENESS,
+    )
+    return job, stats, docs, sim
+
+
+def test_seen_set_equality(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    assert job.seen_hashes() == sim.seen_hashes
+
+
+def test_urls_per_epoch_equality(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want = {}
+    seen = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+
+
+def test_crawl_order(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    ordered = docs.sort_values(
+        ["epoch", "utility_tier", "refresh_deadline", "crawl_key"]
+    )["url"].tolist()
+    assert ordered == [d.url for d in sim.docs]
+
+
+def test_span_sequences(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    by_url = {d.url: d for d in sim.docs}
+    assert set(docs["url"]) == set(by_url)
+    for _, row in docs.iterrows():
+        want = by_url[row["url"]]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+        want_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want.spans]
+        assert got_spans == want_spans, f"span mismatch at {row['url']}"
+        assert row["status"] == want.status
+        assert row["reason"] == want.reason
+
+
+def test_failures_recorded_not_raised(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    assert (docs["status"] == 500).sum() == sum(1 for d in sim.docs if d.status == 500)
+    assert stats["counters"]["fetch_failed"] == int((docs["status"] == 500).sum())
+    assert (docs.loc[docs["status"] == 500, "reason"] != "").all()
+
+
+def test_discovery_produced_children(crawl_and_oracle):
+    job, stats, docs, sim = crawl_and_oracle
+    assert (docs["layout"] == "kubra_report").any()
+    assert docs["child_urls"].map(len).sum() > 0
+
+
+def test_resume_matches_uninterrupted(ray_session):
+    """Kill after a few epochs, resume from checkpoint, compare final state."""
+    full_dir, part_dir = "/tmp/odsr_crawl_full", "/tmp/odsr_crawl_part"
+    for d in (full_dir, part_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    full_job = CrawlJob(_cfg(full_dir))
+    full_job.run()
+    full_docs = full_job.docs_dataset().to_pandas()
+
+    # "killed" run: stop after 2 epochs
+    part_job = CrawlJob(_cfg(part_dir, max_epochs=2))
+    part_job.run()
+    assert part_job.last_complete_epoch() == 1
+
+    # resume in a fresh job object (fresh actors — state must come from disk)
+    resumed = CrawlJob(_cfg(part_dir))
+    resumed.run(resume=True)
+    resumed_docs = resumed.docs_dataset().to_pandas()
+
+    assert resumed.seen_hashes() == full_job.seen_hashes()
+    key = ["epoch", "url"]
+    got = resumed_docs.sort_values(key).reset_index(drop=True)
+    want = full_docs.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["epoch", "url", "status", "crawl_key"]],
+        want[["epoch", "url", "status", "crawl_key"]],
+    )
+    got_spans = got["spans"].map(
+        lambda ss: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ss]
+    )
+    want_spans = want["spans"].map(
+        lambda ss: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ss]
+    )
+    assert got_spans.tolist() == want_spans.tolist()
