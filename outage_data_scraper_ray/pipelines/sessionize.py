@@ -1,0 +1,321 @@
+"""Bluefire sessionization: county-level CustomersOut series -> discrete
+outage events.
+
+Reference: scripts/bluefire/step1_threshold.py (delta-threshold segmentation
+with an open-outage tracking list, cases A-D) and step1_ganz.py
+(level-crossing windows), fed by the idxmin dedup (A4,
+step1_threshold.py:385-388) and consumed by step2_property.py global
+aggregates (A5).
+
+Ray-Data-first shape (SURVEY.md section 3.3): the group key is
+(UtilityName, StateName, CountyName, CityName); rows are sorted by
+RecordDateTime inside ``map_groups`` (the reference assumes stored file
+order, step1_threshold.py:400) and the per-group session state (the
+``tracking`` list) lives entirely inside the group function, bounded by
+group size. The is_new() zero-return break (step1_threshold.py:13-25)
+splits each group into sub-series before merging.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+GROUP_KEYS = ["UtilityName", "StateName", "CountyName", "CityName"]
+
+
+# ---------------------------------------------------------------------------
+# A4: exact dedup keeping the min-CustomersOut row per (keys, RecordDateTime)
+
+def dedup_min_customers_out(ds: rd.Dataset) -> rd.Dataset:
+    """groupby(keys + RecordDateTime) keep the row with minimal CustomersOut
+    (step1_threshold.py:385-388): the hash-partition + per-group-min exact
+    dedup pattern."""
+
+    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g["CustomersOut"].idxmin()]]
+
+    return ds.groupby(GROUP_KEYS + ["RecordDateTime"]).map_groups(
+        _keep_min, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sub-series split: consecutive runs ending after a zero (is_new semantics)
+
+def _split_runs(g: pd.DataFrame) -> list[pd.DataFrame]:
+    """Split one key-group (already time-sorted) into the sub-series the
+    reference's row loop produces: a new run starts after any row with
+    CustomersOut == 0 (step1_threshold.py:23-24) — the zero row itself
+    closes the previous run."""
+    zero_before = g["CustomersOut"].shift(1).fillna(1).eq(0)
+    run_id = zero_before.cumsum()
+    return [sub for _, sub in g.groupby(run_id)]
+
+
+# ---------------------------------------------------------------------------
+# threshold merger: delta segmentation with open-outage tracking
+
+def merge_threshold_sessions(
+    rows: list[dict[str, Any]], threshold: float, abs_diff: float
+) -> list[dict[str, Any]]:
+    """Session segmentation over one ordered sub-series.
+
+    Semantics re-derived from step1_threshold.py:37-331: a list of open
+    outages ("tracking") absorbs small deltas (cases A/C), opens a new
+    outage on a big increase (case B), and on a big decrease closes the
+    open outage whose size is closest to the drop (case D) — splitting or
+    closing several when no single one matches. customer_affected_mean is
+    the time-weighted average of each outage's share of CustomersOut.
+    """
+    if not rows:
+        return []
+    head = rows[0]
+    base = {
+        "UtilityName": head["UtilityName"],
+        "StateName": head["StateName"],
+        "CountyName": head["CountyName"],
+        "CityName": head["CityName"],
+        "CountyFIPS": head["CountyFIPS"],
+        "CustomersTracked": head["CustomersTracked"],
+    }
+
+    results: list[dict[str, Any]] = []
+    tracking: list[dict[str, Any]] = []
+    prev = None
+
+    def _accrue(o: dict[str, Any], now: pd.Timestamp) -> None:
+        o["_total"] += (now - o["end_time"]).total_seconds() * o["_size"]
+
+    for row in rows:
+        now = pd.to_datetime(row["RecordDateTime"])
+        out = row["CustomersOut"]
+
+        if not tracking:
+            tracking.append(
+                dict(base, start_time=now, end_time=now, _size=out,
+                     _total=0.0, customer_affected_mean=out)
+            )
+            prev = row
+            continue
+
+        delta = out - prev["CustomersOut"]
+        last = tracking[-1]
+        small = (
+            abs(delta) < threshold * last["_size"] or abs(delta) < abs_diff
+        )
+
+        if delta >= 0 and (delta < threshold * last["_size"] or abs(delta) < abs_diff):
+            # case A: absorb the increase into the last open outage
+            _accrue(last, now)
+            last["end_time"] = now
+            last["_size"] += delta
+            span = (last["end_time"] - last["start_time"]).total_seconds()
+            last["customer_affected_mean"] = last["_total"] / span
+        elif delta >= 0:
+            # case B: big increase -> open a new outage sized by the jump
+            tracking.append(
+                dict(base, start_time=now, end_time=now, _size=delta,
+                     _total=0.0, customer_affected_mean=delta)
+            )
+        elif -delta < threshold * last["_size"] or abs(delta) < abs_diff:
+            # case C: absorb the decrease
+            _accrue(last, now)
+            last["end_time"] = now
+            last["_size"] += delta
+            span = (last["end_time"] - last["start_time"]).total_seconds()
+            last["customer_affected_mean"] = last["_total"] / span
+        else:
+            # case D: big decrease -> close the open outage(s) matching the drop
+            drop = -delta
+            last_end = last["end_time"]
+            sizes = [o["_size"] for o in tracking]
+            closest = min(range(len(tracking)), key=lambda i: abs(drop - sizes[i]))
+            to_close: list[int] = []
+
+            if abs(drop - sizes[closest]) >= max(10, 0.1 * drop):
+                if drop <= sizes[closest]:
+                    # split the closest outage in two: one part closes now
+                    victim = tracking[closest]
+                    span = (victim["end_time"] - victim["start_time"]).total_seconds()
+                    rest = dict(victim)
+                    rest["_size"] = victim["customer_affected_mean"] - drop
+                    rest["customer_affected_mean"] = rest["_size"]
+                    rest["_total"] = rest["_size"] * span
+                    tracking.append(rest)
+                    victim["_size"] = drop
+                    victim["customer_affected_mean"] = drop
+                    victim["_total"] = drop * span
+                    to_close.append(closest)
+                else:
+                    # close a set of smaller outages summing up to the drop
+                    tracking.sort(key=lambda o: o["_size"], reverse=True)
+                    start_i = next(
+                        (i for i, o in enumerate(tracking) if o["_size"] < drop),
+                        None,
+                    )
+                    if start_i is not None:
+                        acc = 0.0
+                        for i in range(start_i, len(tracking)):
+                            acc += tracking[i]["_size"]
+                            if acc >= drop:
+                                acc -= tracking[i]["_size"]
+                                continue
+                            to_close.append(i)
+            else:
+                to_close.append(closest)
+
+            for i in to_close:
+                o = tracking[i]
+                o["_total"] += (now - last_end).total_seconds() * o["_size"]
+                o["end_time"] = now
+                span = (o["end_time"] - o["start_time"]).total_seconds()
+                o["duration"] = o["end_time"] - o["start_time"]
+                o["customer_affected_mean"] = o["_total"] / span if span else o["_size"]
+                results.append(
+                    {k: v for k, v in o.items() if not k.startswith("_")}
+                )
+            tracking = [o for i, o in enumerate(tracking) if i not in to_close]
+            tracking.sort(key=lambda o: o["start_time"])
+
+        prev = row
+
+    # close whatever is still open at the end of the series
+    final = pd.to_datetime(prev["RecordDateTime"])
+    for o in tracking:
+        o["_total"] += (final - o["end_time"]).total_seconds() * o["_size"]
+        o["end_time"] = final
+        o["duration"] = o["end_time"] - o["start_time"]
+        span = (o["end_time"] - o["start_time"]).total_seconds()
+        if span == 0:
+            continue
+        o["customer_affected_mean"] = o["_total"] / span
+        results.append({k: v for k, v in o.items() if not k.startswith("_")})
+
+    return results
+
+
+# ---------------------------------------------------------------------------
+# ganz merger: level-crossing windows
+
+def merge_ganz_sessions(
+    rows: list[dict[str, Any]], threshold: float
+) -> list[dict[str, Any]]:
+    """Level-crossing sessionization (step1_ganz.py:28-90): an event spans
+    from the first row with CustomersOut >= t*CustomersTracked to the first
+    row back under the level; customer_affected_mean is the time-weighted
+    mean of CustomersOut across the window."""
+    results = []
+    start_i = None
+    windows = []
+    for i, row in enumerate(rows):
+        over = row["CustomersOut"] >= threshold * row["CustomersTracked"]
+        if start_i is None and over:
+            start_i = i
+        elif start_i is not None and not over:
+            windows.append((start_i, i))
+            start_i = None
+    for s, e in windows:
+        win = rows[s : e + 1]
+        times = [pd.to_datetime(r["RecordDateTime"]) for r in win]
+        start, end = min(times), max(times)
+        dur = (end - start).total_seconds()
+        if dur == 0:
+            continue
+        weighted = sum(
+            (times[i + 1] - times[i]).total_seconds() * win[i]["CustomersOut"]
+            for i in range(len(win) - 1)
+        )
+        results.append(
+            {
+                "UtilityName": win[0]["UtilityName"],
+                "StateName": win[0]["StateName"],
+                "CountyName": win[0]["CountyName"],
+                "CityName": win[0]["CityName"],
+                "CountyFIPS": win[0]["CountyFIPS"],
+                "CustomersTracked": win[0]["CustomersTracked"],
+                "start_time": start,
+                "end_time": end,
+                "duration": end - start,
+                "customer_affected_mean": weighted / dur,
+            }
+        )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level wrappers
+
+_EVENT_COLS = [
+    "UtilityName", "StateName", "CountyName", "CityName", "CountyFIPS",
+    "CustomersTracked", "start_time", "end_time", "duration",
+    "customer_affected_mean",
+]
+
+
+def _empty_events() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            c: pd.Series(
+                dtype="datetime64[ns]" if c in ("start_time", "end_time")
+                else "timedelta64[ns]" if c == "duration"
+                else "int64" if c == "CustomersTracked"
+                else "object" if c != "customer_affected_mean" else "float64"
+            )
+            for c in _EVENT_COLS
+        }
+    )
+
+
+def sessionize(
+    ds: rd.Dataset,
+    *,
+    method: str = "threshold",
+    threshold: float = 0.1,
+    abs_diff: float = 0.0,
+    dedup: bool = True,
+) -> rd.Dataset:
+    """Full bluefire step1: optional idxmin dedup, then per-group
+    sessionization; events with duration == 0 are dropped
+    (step1_threshold.py:420)."""
+    if dedup:
+        ds = dedup_min_customers_out(ds)
+
+    def _per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("RecordDateTime", kind="mergesort")
+        events: list[dict[str, Any]] = []
+        for run in _split_runs(g):
+            rows = run.to_dict("records")
+            if method == "threshold":
+                events.extend(merge_threshold_sessions(rows, threshold, abs_diff))
+            else:
+                events.extend(merge_ganz_sessions(rows, threshold))
+        if not events:
+            return _empty_events()
+        out = pd.DataFrame(events)[_EVENT_COLS]
+        return out[out["duration"] > pd.Timedelta(seconds=0)]
+
+    return ds.groupby(GROUP_KEYS).map_groups(_per_group, batch_format="pandas")
+
+
+def event_properties(events: rd.Dataset) -> dict[str, float]:
+    """step2_property.py:62-94 global scalars, computed as a tiny aggregate
+    over the (small) event set."""
+    df = events.to_pandas()
+    if not len(df):
+        return {"frequency": 0}
+    dur_s = pd.to_timedelta(df["duration"]).dt.total_seconds()
+    freq = len(df)
+    cam = pd.to_numeric(df["customer_affected_mean"])
+    cam_dur = (cam * dur_s).sum()
+    return {
+        "frequency": freq,
+        "avg_duration_sec": float(dur_s.sum() / freq),
+        "avg_customer_affected_mean": float(cam.sum() / freq),
+        "total_customer_affected_mean_duration": float(cam_dur / (freq * 60)),
+        "total_customer_affected_x_duration": float(cam_dur / 60),
+    }

@@ -435,6 +435,55 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
     raise ValueError(f"unknown layout family: {layout}")
 
 
+def synth_pous(n_groups: int = 12, n_rows: int = 40, seed: int = 42):
+    """Deterministic POUS-style CustomersOut series (FIXTURES.md F5):
+    plateaus, ramps crossing / not crossing thresholds, zero-returns (group
+    breaks, step1_threshold.py:23-24) and duplicate (keys, RecordDateTime)
+    rows with differing CustomersOut to exercise the idxmin dedup
+    (step1_threshold.py:385-388). Returns a pandas DataFrame."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    utilities = ["GVEC", "NGEMC", "SCE"]
+    counties = ["GONZALES", "WILSON", "KERN", "FRESNO"]
+    rows = []
+    base = 1_690_000_000
+    for gi in range(n_groups):
+        util = utilities[gi % len(utilities)]
+        county = counties[(gi // len(utilities)) % len(counties)]
+        city = f"CITY{gi % 5}"
+        tracked = int(rng.integers(5_000, 60_000))
+        fips = str(48000 + gi)
+        t = base + gi * 100_000
+        out = 0
+        for _ in range(n_rows):
+            t += int(rng.integers(1, 4)) * 900  # 15-min-ish cadence
+            move = rng.random()
+            if move < 0.15:
+                out = 0  # zero return -> session break
+            elif move < 0.45:
+                out += int(rng.integers(0, max(2, out // 10 + 2)))  # small drift
+            elif move < 0.7:
+                out += int(rng.integers(50, 400))  # big jump (case B)
+            else:
+                out = max(0, out - int(rng.integers(40, 300)))  # big drop (case D)
+            rows.append(
+                {
+                    "UtilityName": util,
+                    "StateName": "Texas",
+                    "CountyName": county,
+                    "CityName": city,
+                    "CountyFIPS": fips,
+                    "CustomersTracked": tracked,
+                    "CustomersOut": int(out),
+                    "RecordDateTime": pd.Timestamp(t, unit="s"),
+                }
+            )
+            if rng.random() < 0.07:  # duplicate timestamp, different value
+                rows.append({**rows[-1], "CustomersOut": int(out) + int(rng.integers(1, 30))})
+    return pd.DataFrame(rows)
+
+
 class SyntheticWeb:
     """The fixture 'internet': deterministic fetches, no network, no state."""
 
