@@ -1,44 +1,270 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native crawl/outage engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship pipeline on /root/testdata/sf0.001: builds
+                interleaved span docs from the documents table, runs the
+                text-feature actor stage and exact dedup, returns the
+                analyzed span table.
+``queries()`` — one callable per implemented operator family from
+                SURVEY.md section 2 plus the scale operators (dedup /
+                similarity / text / multimodal / crawl / sessionize).
+``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
+                (column names match exactly). Non-SQL-expressible entries
+                (stateful crawl, sessionization, LSH sketches, stubs) are
+                intentionally absent -> the driver records rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _docs_as_span_table(sf_dir: str):
+    """Reshape the driver documents table into the interleaved-span doc
+    shape of BASELINE.json input_hint (one text span per sentence, a media
+    span per 'img:' marker-free doc boundary)."""
+    import ray.data as rd
+
+    from outage_data_scraper_ray.schemas import SPAN_STRUCT
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _to_spans(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        all_spans = []
+        for did, text in zip(ids, texts):
+            parts = [p.strip() for p in (text or "").split(".") if p.strip()]
+            spans = [
+                {"kind": "text", "text": p, "media_ref": "", "offset": i}
+                for i, p in enumerate(parts)
+            ]
+            spans.append(
+                {
+                    "kind": "media_tile",
+                    "text": "",
+                    "media_ref": f"https://tiles.synthgrid.example/{did}.png",
+                    "offset": len(spans),
+                }
+            )
+            all_spans.append(spans)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "spans": pa.array(all_spans, type=pa.list_(SPAN_STRUCT)),
+            }
+        )
+
+    return docs.map_batches(_to_spans, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents -> interleaved span docs -> explode -> per-kind
+    counts joined with text features, on sf0.001."""
+    import ray.data as rd
+
+    from outage_data_scraper_ray.functions.text import text_features
+
+    span_docs = _docs_as_span_table(SF001)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "kind": [], "n_spans": [], "n_media": []}
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            rows["doc_id"].append(did)
+            rows["kind"].append("doc")
+            rows["n_spans"].append(len(spans))
+            rows["n_media"].append(sum(1 for s in spans if s["media_ref"]))
+        return pa.table(rows)
+
+    counts = span_docs.map_batches(_explode, batch_format="pyarrow")
+    feats = text_features(
+        __import__("ray").data.read_parquet(os.path.join(SF001, "documents.parquet"))
+    ).select_columns(["doc_id", "token_count", "lang_pred", "quality_score"])
+    cpd = counts.to_pandas().merge(feats.to_pandas(), on="doc_id", how="inner")
+    return cpd
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from outage_data_scraper_ray.functions.relational import SQL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
+    }
+
+    # ---- non-SQL-expressible operators (rows-only driver check) ----
+    def crawl_docs(sf_dir: str):
+        import shutil
+
+        from outage_data_scraper_ray.pipelines.crawl import CrawlConfig, CrawlJob
+
+        workdir = "/tmp/odsr_gate_crawl"
+        shutil.rmtree(workdir, ignore_errors=True)
+        job = CrawlJob(
+            CrawlConfig(
+                n_seeds=24, workdir=workdir, max_epochs=8,
+                politeness_rate=16.0, politeness_burst=16.0, failure_rate=0.02,
+            )
+        )
+        job.run()
+        docs = job.docs_dataset().to_pandas()
+        docs["n_spans"] = docs["spans"].map(len)
+        return docs[["doc_id", "url", "layout", "epoch", "status", "n_spans"]]
+
+    def sessionize_threshold(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.pipelines.sessionize import sessionize
+        from outage_data_scraper_ray.synth import synth_pous
+
+        return sessionize(
+            rd.from_pandas(synth_pous(10, 40, 42)), method="threshold",
+            threshold=0.1, abs_diff=0.0,
+        )
+
+    def sessionize_ganz(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.pipelines.sessionize import sessionize
+        from outage_data_scraper_ray.synth import synth_pous
+
+        return sessionize(
+            rd.from_pandas(synth_pous(10, 40, 42)), method="ganz", threshold=0.0005
+        )
+
+    def standardize_16col(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.pipelines.standardize import (
+            standardize_ga1tx8,
+            synth_accumulated,
+            synth_zip_county_map,
+        )
+
+        acc = synth_accumulated(40, 5, 42)
+        return standardize_ga1tx8(
+            rd.from_pandas(acc), utility_provider="Washington EMC", state="ga",
+            zip_county=synth_zip_county_map(sorted(acc["zip"].unique())),
+        )
+
+    def minhash_dedup(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.dedup import minhash_lsh_dedup
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+
+    def simhash_dedup_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.dedup import simhash_dedup
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        out = simhash_dedup(docs).to_pandas()
+        out["simhash"] = out["simhash"].astype("uint64").astype(str)
+        return out
+
+    def embedding_dedup_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.dedup import embedding_dedup
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_dedup(emb, threshold=0.95)
+
+    def ngram_jaccard_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.dedup import ngram_jaccard_pairs
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def ivf_knn_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.simsearch import ivf_knn
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        queries_m = np.stack([r["embedding"] for r in emb.take(2)])
+        return ivf_knn(emb, queries_m, k=5)
+
+    def lang_id(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.text import text_features
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return text_features(docs).select_columns(["doc_id", "lang_pred", "quality_score"])
+
+    def fingerprints_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.text import fingerprints
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return fingerprints(docs)
+
+    def media_decode(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.multimodal import decode_media, synth_media
+
+        media = rd.from_arrow(synth_media(200, 42))
+        return decode_media(media)
+
+    def media_features_q(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.multimodal import media_features, synth_media
+
+        media = rd.from_arrow(synth_media(200, 42))
+        return media_features(media)
+
+    out.update(
+        {
+            "crawl_docs": crawl_docs,
+            "sessionize_threshold": sessionize_threshold,
+            "sessionize_ganz": sessionize_ganz,
+            "standardize_16col": standardize_16col,
+            "minhash_dedup": minhash_dedup,
+            "simhash_dedup": simhash_dedup_q,
+            "embedding_dedup": embedding_dedup_q,
+            "ngram_jaccard": ngram_jaccard_q,
+            "ivf_knn": ivf_knn_q,
+            "lang_id": lang_id,
+            "fingerprints": fingerprints_q,
+            "media_decode": media_decode,
+            "media_features": media_features_q,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from outage_data_scraper_ray.functions.relational import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

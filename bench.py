@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+Headline: the crawl pipeline (seed registry -> politeness gate -> cuckoo
+seen-filter -> actor-pool fetch+parse -> interleaved-span docs), reported as
+wall seconds plus URLs/sec and spans/sec — the authoritative metric from
+BASELINE.json. Plus per-query timings of the relational battery over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "crawl": {"urls": ..., "spans": ..., "urls_per_sec": ..., "spans_per_sec": ...}}
+
+--scaling: runs this script twice in fresh processes at num_cpus=8 and 32 on
+the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the N vs 4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_seeds = int(os.environ.get("GRAFT_BENCH_SEEDS", "8000"))
+    max_rows = int(os.environ.get("GRAFT_BENCH_MAX_ROWS", "120"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from outage_data_scraper_ray.pipelines.crawl import CrawlConfig, CrawlJob
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            pq.read_table(p)
+
+    # ---- headline: crawl throughput ------------------------------------
+    workdir = f"/tmp/odsr_bench_{num_cpus}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    cfg = CrawlConfig(
+        n_seeds=n_seeds,
+        workdir=workdir,
+        max_epochs=10,
+        # politeness wide-open: measure fetch+parse throughput, not throttling
+        politeness_rate=1e9,
+        politeness_burst=1e9,
+        failure_rate=0.01,
+        max_rows=max_rows,
+        batch_size=256,
+        fetch_concurrency=max(2, num_cpus - 4),
+        n_seen_shards=8,
+        n_sched_shards=2,
+    )
+    t0 = time.perf_counter()
+    job = CrawlJob(cfg)
+    stats = job.run()
+    crawl_sec = time.perf_counter() - t0
+    fetched = stats["counters"].get("fetched", 0)
+    spans = stats["counters"].get("spans", 0)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # ---- relational battery over sf_dir --------------------------------
+    from outage_data_scraper_ray.functions.relational import SQL_QUERIES
+
+    qtimes: dict[str, float] = {}
+    for name, (fn, _sql) in SQL_QUERIES.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume lazily-built datasets so we time real execution
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+
+    return {
+        "metric": "crawl fetch+parse wall time (headline) + relational battery",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl": {
+            "seeds": n_seeds,
+            "urls": int(fetched),
+            "spans": int(spans),
+            "epochs": stats["epochs"],
+            "urls_per_sec": round(fetched / crawl_sec, 1),
+            "spans_per_sec": round(spans / crawl_sec, 1),
+        },
+    }
+
+
+def run_scaling() -> None:
+    # The two-parallelism-level evidence for the N-vs-4N-node criterion.
+    # This container advertises 32 logical CPUs but its cgroup quota yields
+    # ~6 effective cores (measured: 8-way mp.Pool speedup 6.5x, 32-way 4.8x)
+    # so an 8-vs-32 pair is physically unable to show scaling; the honest
+    # in-hardware pair is N=1 vs 4N=4. Override with GRAFT_SCALE_LEVELS.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "1,4").split(",")
+    )
+    os.environ.setdefault("GRAFT_BENCH_SEEDS", "40000")
+    os.environ.setdefault("GRAFT_BENCH_MAX_ROWS", "160")
+    out = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo = out[lo]["value"]
+    t_hi = out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"urls_per_sec_{lo}": out[lo]["crawl"]["urls_per_sec"],
+                f"urls_per_sec_{hi}": out[hi]["crawl"]["urls_per_sec"],
+                f"spans_per_sec_{lo}": out[lo]["crawl"]["spans_per_sec"],
+                f"spans_per_sec_{hi}": out[hi]["crawl"]["spans_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

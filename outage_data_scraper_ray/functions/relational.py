@@ -1,0 +1,519 @@
+"""Relational operator battery over the driver testdata, with DuckDB oracles.
+
+Each entry re-expresses one reference operator family (SURVEY.md section 2)
+as an idiomatic Ray Data pipeline over /root/testdata parquet, paired with
+the ANSI-SQL equivalent the driver runs in DuckDB. Column names match the
+SQL exactly (the driver hash-compares after sorting columns by name).
+
+Float determinism: monetary/quantity sums use the integer-cents trick
+(CAST(ROUND(x*100) AS BIGINT) before SUM) so distributed partial sums equal
+DuckDB's sequential sums bit-for-bit; averages divide those exact integers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: per-batch partial aggregation (combine before the
+# shuffle, ray_guide "Aggregation at scale") then a tiny groupby of partials.
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-01")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] <= cutoff]
+        if not len(b):
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "qty_c", "price_c",
+                         "disc_price_c", "n"]
+            )
+        b = b.assign(
+            qty_c=np.rint(b["l_quantity"] * 100).astype("int64"),
+            price_c=np.rint(b["l_extendedprice"] * 100).astype("int64"),
+            disc_price_c=np.rint(
+                b["l_extendedprice"] * (1 - b["l_discount"]) * 100
+            ).astype("int64"),
+        )
+        g = (
+            b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                qty_c=("qty_c", "sum"),
+                price_c=("price_c", "sum"),
+                disc_price_c=("disc_price_c", "sum"),
+                n=("qty_c", "size"),
+            )
+        )
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_c", alias_name="disc_price_c"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": final["l_returnflag"],
+            "l_linestatus": final["l_linestatus"],
+            "sum_qty": final["qty_c"] / 100.0,
+            "sum_base_price": final["price_c"] / 100.0,
+            "sum_disc_price": final["disc_price_c"] / 100.0,
+            "avg_qty": final["qty_c"] / 100.0 / final["count_order"],
+            "avg_price": final["price_c"] / 100.0 / final["count_order"],
+            "count_order": final["count_order"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) / 100.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# M3: nonzero filter (the reference's ubiquitous affected != 0 family)
+
+def nonzero_filter(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events")
+    return ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["value"], 0.0)), batch_format="pyarrow"
+    )
+
+
+NONZERO_SQL = "SELECT * FROM events WHERE value <> 0"
+
+
+# ---------------------------------------------------------------------------
+# A3: grouped sum
+
+def grouped_sum(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
+        lambda t: t.append_column(
+            "qty_c", pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("l_returnflag")
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out.pop("qty_c") / 100.0
+    return out[["l_returnflag", "sum_qty", "n_items"]].sort_values(
+        "l_returnflag"
+    ).reset_index(drop=True)
+
+
+GROUPED_SUM_SQL = """
+SELECT l_returnflag,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2: grouped window max broadcast back to rows (pipeline.py:112)
+
+def window_end_ts(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["end_ts"] = g["ts"].max()
+        return g
+
+    return ds.groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+WINDOW_SQL = """
+SELECT event_id, user_id, ts, MAX(ts) OVER (PARTITION BY user_id) AS end_ts
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: min-idx dedup (step1_threshold.py:385-388)
+
+def minidx_dedup(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events")
+
+    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], kind="mergesort")
+        return g.head(1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        _keep_min, batch_format="pandas"
+    )
+
+
+MINIDX_SQL = """
+SELECT * FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY value, event_id
+) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: the order-sensitive per-group metric block (pipeline.py:79-98), mapped
+# onto the events table: group = user_id, timestamp = ts, affected = value.
+
+def outage_metrics(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _metrics(g: pd.DataFrame) -> pd.DataFrame:
+        # integer-cents + fixed op order => bit-identical doubles vs the
+        # DuckDB oracle (no ROUND: python rounds half-even, duckdb half-up)
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        start, end = g["ts"].iloc[0], g["ts"].max()
+        # duckdb's epoch() rounds each timestamp to double seconds BEFORE the
+        # subtraction; mirror that op order for bit-identical durations
+        duration = ((end.value // 1000) / 1e6 - (start.value // 1000) / 1e6) / 60.0
+        tcot = 15.0 * ((cents.sum() - cents[0]) / 100.0)
+        last_v = cents[-1] / 100.0
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": g["user_id"].iloc[0],
+                    "duration": duration,
+                    "duration_max": duration + 15.0,
+                    "duration_mean": duration + 7.5,
+                    "customer_affected_mean": cents.sum() / 100.0 / len(cents),
+                    "total_customer_outage_time": tcot,
+                    "total_customer_outage_time_max": tcot + 15.0 * last_v,
+                    "total_customer_outage_time_mean": tcot + 7.5 * last_v,
+                }
+            ]
+        )
+
+    return ds.groupby("user_id").map_groups(_metrics, batch_format="pandas")
+
+
+METRICS_SQL = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CAST(ROUND(value*100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS cnt
+    FROM events
+), agg AS (
+    SELECT user_id,
+           (epoch(MAX(ts)) - epoch(MIN(ts))) / 60.0 AS duration,
+           SUM(cents) AS sum_c,
+           COUNT(*) AS cnt,
+           MAX(CASE WHEN rn = 1 THEN cents END) AS first_c,
+           MAX(CASE WHEN rn = cnt THEN cents END) AS last_c
+    FROM ordered GROUP BY user_id
+)
+SELECT user_id,
+       duration,
+       duration + 15.0 AS duration_max,
+       duration + 7.5 AS duration_mean,
+       sum_c / 100.0 / cnt AS customer_affected_mean,
+       15.0 * ((sum_c - first_c) / 100.0) AS total_customer_outage_time,
+       15.0 * ((sum_c - first_c) / 100.0) + 15.0 * (last_c / 100.0) AS total_customer_outage_time_max,
+       15.0 * ((sum_c - first_c) / 100.0) + 7.5 * (last_c / 100.0) AS total_customer_outage_time_mean
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast small-side lookup join (pipeline.py:62 + ga_mapping.json)
+
+def broadcast_lookup(sf_dir: str) -> rd.Dataset:
+    import duckdb  # only to load the tiny dimension table deterministically
+
+    nation = (
+        _read(sf_dir, "nation").to_pandas().set_index("n_nationkey")["n_name"].to_dict()
+    )
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def _lookup(batch: pd.DataFrame, _map=nation) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_name"] = batch["c_nationkey"].map(_map)
+        return batch[["c_custkey", "c_name", "n_name"]]
+
+    return ds.map_batches(_lookup, batch_format="pandas")
+
+
+BROADCAST_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort + top-k
+
+def sort_topk(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# union of filters (pd.concat precedent, il_scraper.py:56)
+
+def union_filter(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events")
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'purchase'")
+    return a.union(b)
+
+
+UNION_SQL = """
+SELECT * FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT * FROM events WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct (ds.unique)
+
+def distinct_flags(sf_dir: str) -> pa.Table:
+    vals = sorted(_read(sf_dir, "lineitem", ["l_returnflag"]).unique("l_returnflag"))
+    return pa.table({"l_returnflag": pa.array(vals)})
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag"
+
+
+# ---------------------------------------------------------------------------
+# M8: epoch-ms -> timestamp cast
+
+def epoch_ms_cast(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def _cast(t: pa.Table) -> pa.Table:
+        ms = pc.add(pc.multiply(pc.cast(t["event_id"], pa.int64()), 1000), 1_600_000_000_000)
+        return pa.table(
+            {"event_id": t["event_id"], "event_ts": pc.cast(ms, pa.timestamp("ms"))}
+        )
+
+    return ds.map_batches(_cast, batch_format="pyarrow")
+
+
+EPOCH_SQL = """
+SELECT event_id, epoch_ms(event_id * 1000 + 1600000000000) AS event_ts
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: global scalar properties (step2_property.py:62-94)
+
+def global_props(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "qty_c": pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = ds.aggregate(
+        Count(alias_name="frequency"),
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "frequency": int(agg["frequency"]),
+                "total_qty": agg["qty_c"] / 100.0,
+                "total_price": agg["price_c"] / 100.0,
+                "avg_qty": agg["qty_c"] / 100.0 / agg["frequency"],
+            }
+        ]
+    )
+
+
+GLOBAL_SQL = """
+SELECT COUNT(*) AS frequency,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS total_qty,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS total_price,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup over documents (md5 + keep min doc_id)
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from .dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(docs).to_pandas()
+    return (
+        out[["doc_id", "text_md5", "n_copies"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, md5(text) AS text_md5,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counts (text analysis with exact SQL mirror)
+
+def token_counts_q(sf_dir: str) -> rd.Dataset:
+    from .text import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+TOKEN_SQL = r"""
+SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS token_count
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality counts (SQL-mirrorable slice of the feature stage)
+
+def quality_counts(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop_re = re.compile(r"\b(?:the|and|of|to|in|is|it|that|for)\b")
+    punct_re = re.compile(r"[.,!?;:]")
+
+    def _q(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "char_count": text.str.len().astype("int64"),
+                "punct_count": text.str.count(punct_re).astype("int64"),
+                "stop_en_count": text.str.lower().str.count(stop_re).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(_q, batch_format="pandas")
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS char_count,
+       length(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
+       length(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|is|it|that|for)\b')) AS stop_en_count
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k with a deterministic query vector
+
+def knn_topk(sf_dir: str) -> pd.DataFrame:
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = (
+        emb.filter(expr="vec_id == 0").take(1)
+    )
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = mn @ qn
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "score": sims})
+
+    scored = emb.map_batches(_partial, batch_format="pandas").to_pandas()
+    top = scored.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+    top = top.assign(score=top["score"].round(6)).reset_index(drop=True)
+    return top
+
+
+KNN_SQL = """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(
+           embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+       ), 6) AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(
+    embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+) DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+SQL_QUERIES: dict[str, tuple[Callable, str]] = {
+    "q1_pricing": (q1_pricing, Q1_SQL),
+    "nonzero_filter": (nonzero_filter, NONZERO_SQL),
+    "grouped_sum": (grouped_sum, GROUPED_SUM_SQL),
+    "window_end_ts": (window_end_ts, WINDOW_SQL),
+    "minidx_dedup": (minidx_dedup, MINIDX_SQL),
+    "outage_metrics": (outage_metrics, METRICS_SQL),
+    "broadcast_lookup": (broadcast_lookup, BROADCAST_SQL),
+    "sort_topk": (sort_topk, TOPK_SQL),
+    "union_filter": (union_filter, UNION_SQL),
+    "distinct_flags": (distinct_flags, DISTINCT_SQL),
+    "epoch_ms_cast": (epoch_ms_cast, EPOCH_SQL),
+    "global_props": (global_props, GLOBAL_SQL),
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "token_counts": (token_counts_q, TOKEN_SQL),
+    "quality_counts": (quality_counts, QUALITY_SQL),
+    "knn_topk": (knn_topk, KNN_SQL),
+}

@@ -1,0 +1,138 @@
+"""Text analysis operators over a documents table.
+
+All operators are vectorized ``map_batches`` bodies (pandas string kernels /
+numpy), stateful ones (compiled regexes, stopword tables) are callable
+classes -> actor pools. Semantics are chosen to be DuckDB-expressible where
+possible so the driver's oracle gate can verify them:
+
+- token_count: number of ``\\S+`` runs (oracle: length(regexp_extract_all)).
+- quality features: char len, punctuation ratio, stopword count, mean token
+  length.
+- lang_id: argmax of per-language stopword hit-rates (n-gram-free heuristic;
+  rows-only check — not SQL-expressible).
+- fingerprint: Rabin-Karp rolling-hash min-sample of each document
+  (rows-only check).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+TOKEN_RE = re.compile(r"\S+")
+PUNCT_RE = re.compile(r"[.,!?;:]")
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "por", "para", "que"},
+}
+
+
+class TextFeatures:
+    """Actor-pool stage: compiled regexes + stopword tables built once per
+    actor (the reference's analog: per-scraper compiled state, ST1/ST2)."""
+
+    def __init__(self):
+        self.token_re = TOKEN_RE
+        self.punct_re = PUNCT_RE
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.stop = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        tokens = text.str.findall(self.token_re)
+        n_tokens = tokens.str.len()
+        batch["token_count"] = n_tokens.astype("int64")
+        batch["char_count"] = text.str.len().astype("int64")
+        batch["punct_count"] = text.str.count(self.punct_re).astype("int64")
+        batch["punct_ratio"] = np.where(
+            batch["char_count"] > 0, batch["punct_count"] / batch["char_count"], 0.0
+        )
+        batch["mean_token_len"] = np.where(
+            n_tokens > 0,
+            tokens.map(lambda ws: sum(map(len, ws))).astype("float64")
+            / n_tokens.clip(lower=1),
+            0.0,
+        )
+        words = text.str.lower().str.findall(self.word_re)
+        for lang, stop in self.stop.items():
+            batch[f"stop_{lang}"] = words.map(
+                lambda ws, s=stop: sum(w in s for w in ws)
+            ).astype("int64")
+        hits = batch[[f"stop_{l}" for l in self.stop]].to_numpy()
+        langs = np.array(list(self.stop))
+        best = hits.argmax(axis=1)
+        batch["lang_pred"] = np.where(hits.max(axis=1) > 0, langs[best], "und")
+        batch["quality_score"] = (
+            (batch["char_count"].clip(0, 2000) / 2000.0) * 0.4
+            + (1.0 - batch["punct_ratio"].clip(0, 0.2) / 0.2) * 0.2
+            + (batch["stop_en"] / n_tokens.clip(lower=1)).clip(0, 0.5) / 0.5 * 0.4
+        )
+        return batch
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """doc_id + whitespace-token count; exact SQL mirror:
+    length(regexp_extract_all(text, '\\S+'))."""
+
+    def _count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "token_count": batch["text"].fillna("").str.findall(TOKEN_RE).str.len().astype("int64"),
+            }
+        )
+
+    return docs.map_batches(_count, batch_format="pandas")
+
+
+def text_features(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    return docs.map_batches(
+        TextFeatures, batch_format="pandas", batch_size=4096, concurrency=concurrency
+    )
+
+
+_FP_WINDOW = 8
+_FP_KEEP = 4
+
+
+def _fingerprint_one(s: str) -> str:
+    """Rabin-Karp rolling hash over byte windows; keep the _FP_KEEP smallest
+    window hashes (winnowing-style document fingerprint)."""
+    b = s.encode("utf8", errors="ignore")
+    if len(b) < _FP_WINDOW:
+        return hex(hash64_bytes(b))[2:]
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(257)
+    # rolling hash via cumulative powers (vectorized)
+    n = len(arr) - _FP_WINDOW + 1
+    h = np.zeros(n, dtype=np.uint64)
+    powers = base ** np.arange(_FP_WINDOW, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, _FP_WINDOW)
+    h = (windows * powers[::-1]).sum(axis=1)
+    keep = np.sort(h)[:_FP_KEEP]
+    return "-".join(format(int(x), "x") for x in keep)
+
+
+def hash64_bytes(b: bytes) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": batch["text"].fillna("").map(_fingerprint_one),
+            }
+        )
+
+    return docs.map_batches(_fp, batch_format="pandas")

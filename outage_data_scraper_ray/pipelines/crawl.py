@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
@@ -78,6 +79,8 @@ class CrawlConfig:
     max_epochs: int = 50
     batch_size: int = 256
     fetch_concurrency: int = 4
+    stateless_fetch: bool = True  # synthetic web needs no session; real
+                                  # fetchers set False -> actor pool
     workdir: str = "/tmp/odsr_crawl"
     seeds_table: pa.Table | None = field(default=None, repr=False)
 
@@ -209,8 +212,13 @@ class CrawlJob:
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
         fetch_conc = max(1, min(cfg.fetch_concurrency, total_cpus - 2))
 
+        import time as _time
+
+        _dbg = os.environ.get("ODSR_CRAWL_TIMING") == "1"
+
         e = start_epoch
         while e < cfg.max_epochs:
+            _t0 = _time.perf_counter()
             frontier_file = (
                 os.path.join(self._epoch_dir(0), "frontier_init.parquet")
                 if e == 0
@@ -219,12 +227,21 @@ class CrawlJob:
             if not os.path.exists(frontier_file):
                 break
             frontier = rd.read_parquet(frontier_file)
-            if frontier.count() == 0:
-                break
             os.makedirs(self._epoch_dir(e), exist_ok=True)
 
-            # 1. politeness budgets (virtual-clock tick + per-host counts)
-            pending = frontier.groupby("host").count().to_pandas()
+            # 1. politeness budgets (virtual-clock tick + per-host counts).
+            # Counting hosts via map_batches partials avoids a full shuffle —
+            # the combine happens on the (tiny) per-batch count frames.
+            partial_counts = frontier.map_batches(
+                lambda t: t.group_by("host").aggregate([("host", "count")]).rename_columns(
+                    ["host", "n"]
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()
+            pending = partial_counts.groupby("host", as_index=False)["n"].sum()
+            if int(pending["n"].sum()) == 0:
+                break
+            _t1 = _time.perf_counter()
             hosts = pending["host"].tolist()
             by_shard: dict[int, list[str]] = {}
             for h in hosts:
@@ -236,7 +253,7 @@ class CrawlJob:
             budgets: dict[str, int] = {}
             for part in budget_parts:
                 budgets.update(part)
-            pending_n = dict(zip(pending["host"], pending["count()"]))
+            pending_n = dict(zip(pending["host"], pending["n"]))
             admitted_n = {h: min(int(pending_n[h]), budgets.get(h, 0)) for h in hosts}
             consume_by_shard: dict[int, dict[str, int]] = {}
             for h, n in admitted_n.items():
@@ -248,23 +265,61 @@ class CrawlJob:
                 [self.sched[i].consume.remote(d) for i, d in consume_by_shard.items()]
             )
 
-            # 2. admission (per-host top-budget by priority) — the politeness
-            # shuffle, partitioned by host.
-            budgets_ref = ray.put(budgets)
-
-            def _admit(g, _ref=budgets_ref):
-                return admit_group(g, budgets=ray.get(_ref))
-
+            # 2. admission (per-host top-budget by priority). Hosts whose
+            # pending fits their budget are admitted wholesale with a plain
+            # map (no shuffle); only over-budget hosts — the skewed/hot ones
+            # — pay the groupby(host) rank. At wide-open politeness the whole
+            # epoch is shuffle-free.
+            over = {h for h in hosts if pending_n[h] > budgets.get(h, 0)}
             gated_path = os.path.join(self._epoch_dir(e), "gated")
-            frontier.groupby("host").map_groups(
-                _admit, batch_format="pandas"
-            ).write_parquet(gated_path)
+            if not over:
+                frontier.map_batches(
+                    lambda t: t.append_column(
+                        "admitted", pa.array(np.ones(t.num_rows, dtype=bool))
+                    ),
+                    batch_format="pyarrow",
+                ).write_parquet(gated_path)
+            else:
+                budgets_ref = ray.put(budgets)
+                over_ref = ray.put(over)
 
-            # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e)
+                def _admit(g, _ref=budgets_ref):
+                    return admit_group(g, budgets=ray.get(_ref))
+
+                def _mark_under(t, _over=over_ref):
+                    ov = ray.get(_over)
+                    mask = pa.array([h not in ov for h in t.column("host").to_pylist()])
+                    ft = t.filter(mask)
+                    return ft.append_column(
+                        "admitted", pa.array(np.ones(ft.num_rows, dtype=bool))
+                    )
+
+                def _keep_over(t, _over=over_ref):
+                    ov = ray.get(_over)
+                    mask = pa.array([h in ov for h in t.column("host").to_pylist()])
+                    return t.filter(mask)
+
+                under_ds = frontier.map_batches(_mark_under, batch_format="pyarrow")
+                over_ds = (
+                    frontier.map_batches(_keep_over, batch_format="pyarrow")
+                    .groupby("host")
+                    .map_groups(_admit, batch_format="pandas")
+                )
+                under_ds.union(over_ds).write_parquet(gated_path)
+            _t2 = _time.perf_counter()
+
+            # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e).
+            # The gated frontier is tiny in bytes, so a 128 MiB-block read
+            # yields ONE block and the whole fused fetch chain would run as a
+            # single task; repartition splits it so the fetch stage actually
+            # fans out. (At 10^10-frontier scale the epoch already arrives as
+            # many blocks and this becomes a cheap no-op coalesce bound.)
+            n_fetch_blocks = max(total_cpus * 4, 8)
             admitted = (
                 rd.read_parquet(gated_path)
                 .filter(expr="admitted")
                 .drop_columns(["admitted"])
+                .repartition(n_fetch_blocks)
                 .map_batches(add_hash_columns, batch_format="pyarrow")
                 # seen filter runs as stateless tasks (construction is just
                 # actor handles — no per-task cost), so it never reserves
@@ -276,16 +331,31 @@ class CrawlJob:
                     batch_size=cfg.batch_size,
                 )
                 .map_batches(
-                    FetchParseStage,
-                    fn_constructor_kwargs={
-                        "seed": cfg.seed,
-                        "max_rows": cfg.max_rows,
-                        "failure_rate": cfg.failure_rate,
-                        "counters": self.counters,
-                    },
+                    # The synthetic web has no per-session state, so stateless
+                    # tasks avoid re-spawning an actor pool every epoch; a
+                    # real fetcher (webdriver/session reuse, ST1) sets
+                    # stateless_fetch=False and pays the pool once per epoch.
+                    **(
+                        dict(
+                            fn=lambda t, _kw=dict(
+                                seed=cfg.seed, max_rows=cfg.max_rows,
+                                failure_rate=cfg.failure_rate, counters=self.counters,
+                            ): FetchParseStage(**_kw)(t)
+                        )
+                        if cfg.stateless_fetch
+                        else dict(
+                            fn=FetchParseStage,
+                            fn_constructor_kwargs={
+                                "seed": cfg.seed,
+                                "max_rows": cfg.max_rows,
+                                "failure_rate": cfg.failure_rate,
+                                "counters": self.counters,
+                            },
+                            concurrency=fetch_conc,
+                        )
+                    ),
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
-                    concurrency=fetch_conc,
                 )
                 .map_batches(
                     lambda t, _e=e: t.append_column(
@@ -295,9 +365,18 @@ class CrawlJob:
                 )
             )
             admitted.write_parquet(self._docs_path(e))
+            _t3 = _time.perf_counter()
 
-            # 4. next frontier = deferred ∪ discovered children
-            nxt = rd.read_parquet(gated_path).filter(expr="admitted == False").drop_columns(["admitted"])
+            # 4. next frontier = deferred ∪ discovered children.
+            # With every host under budget there are no deferred rows at all
+            # — skip the gated re-read entirely.
+            nxt = None
+            if over:
+                nxt = (
+                    rd.read_parquet(gated_path)
+                    .filter(expr="admitted == False")
+                    .drop_columns(["admitted"])
+                )
             if os.path.exists(self._docs_path(e)):
                 # an epoch that admitted nothing writes no docs dir at all
                 children = rd.read_parquet(
@@ -309,13 +388,21 @@ class CrawlJob:
                 ).map_batches(
                     partial(children_to_frontier, depth=1), batch_format="pyarrow"
                 )
-                nxt = nxt.union(
-                    children.map_batches(add_hash_columns, batch_format="pyarrow")
-                )
-            nxt.write_parquet(self._frontier_next_path(e))
+                children = children.map_batches(add_hash_columns, batch_format="pyarrow")
+                nxt = children if nxt is None else nxt.union(children)
+            if nxt is not None:
+                nxt.write_parquet(self._frontier_next_path(e))
+            _t4 = _time.perf_counter()
 
             # 5. finalize epoch
             self._checkpoint(e, {"budgets": {k: int(v) for k, v in admitted_n.items()}})
+            if _dbg:
+                print(
+                    f"[epoch {e}] budgets={_t1-_t0:.1f}s admit={_t2-_t1:.1f}s "
+                    f"fetch+parse+write={_t3-_t2:.1f}s frontier={_t4-_t3:.1f}s "
+                    f"ckpt={_time.perf_counter()-_t4:.1f}s",
+                    file=sys.stderr,
+                )
             e += 1
 
         seen_sizes = ray.get([s.size.remote() for s in self.seen])

@@ -78,25 +78,32 @@ def make_seed_registry(n_seeds: int = 285, seed: int = 42) -> pa.Table:
     refresh_deadline are the scheduler priority keys from the north_star.
     """
     rng = np.random.default_rng(seed)
-    rows: list[dict[str, Any]] = []
-    for i in range(n_seeds):
-        state, family = _CELLS[i % len(_CELLS)]
-        emc = f"{state.upper()} EMC {i:05d}"
-        slug = f"emc{i:05d}"
-        url = f"https://outage.{slug}.{state}.synthgrid.example"
-        rows.append(
-            {
-                "url": url,
-                "host": host_of(url),
-                "emc": emc,
-                "state": state,
-                "layout": family,
-                "seed_index": i,
-                "utility_tier": int(rng.integers(0, 3)),
-                "refresh_deadline": 1_700_000_000_000 + int(rng.integers(0, 3600)) * 1000,
-            }
-        )
-    t = pa.Table.from_pylist(rows)
+    idx = np.arange(n_seeds)
+    cell = idx % len(_CELLS)
+    states = np.array([c[0] for c in _CELLS])[cell]
+    families = np.array([c[1] for c in _CELLS])[cell]
+    slugs = np.char.zfill(idx.astype(str), 5)
+    urls = np.char.add(
+        np.char.add("https://outage.emc", slugs),
+        np.char.add(np.char.add(".", states), ".synthgrid.example"),
+    )
+    hosts = np.char.replace(urls.astype(str), "https://", "")
+    emcs = np.char.add(np.char.add(np.char.upper(states), " EMC "), slugs)
+    t = pa.table(
+        {
+            "url": pa.array(urls.tolist(), pa.string()),
+            "host": pa.array(hosts.tolist(), pa.string()),
+            "emc": pa.array(emcs.tolist(), pa.string()),
+            "state": pa.array(states.tolist(), pa.string()),
+            "layout": pa.array(families.tolist(), pa.string()),
+            "seed_index": pa.array(idx.astype(np.int32)),
+            "utility_tier": pa.array(rng.integers(0, 3, size=n_seeds).astype(np.int32)),
+            "refresh_deadline": pa.array(
+                1_700_000_000_000 + rng.integers(0, 3600, size=n_seeds) * 1000,
+                pa.timestamp("ms"),
+            ),
+        }
+    )
     return t.cast(SEEDS)
 
 

@@ -1,0 +1,92 @@
+"""Mirror of the driver's conformance gate: run every queries() entry at
+sf0.001, and for each oracle_sql() entry compare the Ray result with DuckDB
+(row count + sorted-column value equality), the same way the driver does at
+sf0.01."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_smoke(entrymod):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) >= 0
+    assert len(res.columns) > 0
+
+
+def test_every_query_runs(entrymod):
+    qs = entrymod.queries()
+    assert len(qs) >= 25
+    for name, fn in qs.items():
+        res = _to_pandas(fn(SF))
+        assert res is not None, name
+        assert len(res.columns) > 0, name
+
+
+def test_oracle_equality(entrymod, con):
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    failures = []
+    for name, sql in sqls.items():
+        got = _canon(_to_pandas(qs[name](SF)))
+        want = _canon(con.sql(sql).df())
+        try:
+            assert list(got.columns) == list(want.columns), (
+                f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+            )
+            assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    assert not failures, "\n".join(failures)

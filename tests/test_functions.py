@@ -1,0 +1,146 @@
+"""Scale operators: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from outage_data_scraper_ray.functions.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from outage_data_scraper_ray.functions.multimodal import (
+    DecodeStage,
+    decode_media,
+    media_features,
+    synth_media,
+)
+from outage_data_scraper_ray.functions.simsearch import brute_force_knn, ivf_knn
+from outage_data_scraper_ray.functions.text import text_features, token_counts
+
+
+BASE = (
+    "The power outage affected the county and the crews worked to restore "
+    "service to the affected customers in the region for hours. "
+) * 3
+
+
+def _docs_with_dupes():
+    rng = np.random.default_rng(42)
+    words = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(20):
+        text = " ".join(rng.choice(words, size=60, replace=True))
+        rows.append({"doc_id": i, "text": f"doc {i}: " + text})
+    # exact duplicate pair
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE})
+    # near-duplicate (small edit)
+    rows.append({"doc_id": 102, "text": BASE + " extra tail."})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup(rd.from_pandas(_docs_with_dupes())).to_pandas()
+    assert 100 in set(out["doc_id"]) and 101 not in set(out["doc_id"])
+    assert out.loc[out["doc_id"] == 100, "n_copies"].iloc[0] == 2
+
+
+def test_minhash_lsh_finds_near_dupes(ray_session):
+    out = minhash_lsh_dedup(
+        rd.from_pandas(_docs_with_dupes()), jaccard_threshold=0.7
+    ).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert lab[100] == lab[101] == lab[102] == 100
+    # distinct docs stay singletons
+    assert lab[0] == 0 and lab[1] == 1
+
+
+def test_simhash_dedup(ray_session):
+    out = simhash_dedup(rd.from_pandas(_docs_with_dupes()), max_hamming=3).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert lab[100] == lab[101]
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    pairs = ngram_jaccard_pairs(rd.from_pandas(_docs_with_dupes()), threshold=0.7)
+    keyset = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (100, 101) in keyset
+
+
+def test_embedding_dedup(ray_session):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[21] = vecs[20] + 1e-4  # planted near-dup
+    df = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
+    out = embedding_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
+    lab = dict(zip(out["vec_id"], out["dup_group"]))
+    assert lab[21] == lab[20] == 20
+
+
+def test_knn_brute_force_and_ivf(ray_session):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    emb = rd.from_pandas(df)
+    q = vecs[:3]
+    bf = brute_force_knn(emb, q, k=5)
+    # a vector is its own nearest neighbour
+    for qi in range(3):
+        top = bf[bf["query_idx"] == qi].iloc[0]
+        assert top["vec_id"] == qi and top["score"] == pytest.approx(1.0)
+    approx = ivf_knn(emb, q, k=5, n_centroids=8, nprobe=4)
+    # recall@5 of the probed IVF against brute force should be high
+    rec = 0
+    for qi in range(3):
+        b = set(bf[bf["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        rec += len(a & b) / 5
+    assert rec / 3 >= 0.6
+
+
+def test_text_features_langid(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox and the lazy dog in the yard for a while",
+                "der hund und die katze ist nicht in das haus zu sehen",
+                "le chat est dans la maison et les chiens pour une heure",
+            ],
+        }
+    )
+    out = text_features(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+    assert (out["token_count"] > 5).all()
+
+
+def test_token_counts(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b  c", ""]})
+    out = token_counts(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["token_count"].tolist() == [3, 0]
+
+
+def test_media_decode_roundtrip(ray_session):
+    media = rd.from_arrow(synth_media(50, 7))
+    out = decode_media(media).to_pandas()
+    assert (out["width"] == out["width_meta"]).all()
+    assert (out["height"] == out["height_meta"]).all()
+    assert out["decoded_ok"].all()
+
+
+def test_media_decode_real_codec_stubbed():
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)
+
+
+def test_media_features_shape(ray_session):
+    out = media_features(rd.from_arrow(synth_media(20, 3))).to_pandas()
+    assert len(out) == 20
+    assert all(len(f) == 8 for f in out["features"])
+    sums = np.array([np.sum(f) for f in out["features"]])
+    assert np.allclose(sums, 1.0, atol=1e-3)
