@@ -244,8 +244,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synth_media(200, 42))
         return media_features(media)
 
+    def span_explode(sf_dir: str):
+        from outage_data_scraper_ray.pipelines.accumulate import explode_spans
+
+        return explode_spans(_docs_as_span_table(sf_dir)).select_columns(
+            ["doc_id", "kind", "text", "media_ref", "offset"]
+        )
+
+    def crawl_level_table(sf_dir: str):
+        import shutil
+
+        from outage_data_scraper_ray.pipelines.accumulate import (
+            explode_spans,
+            level_table,
+        )
+        from outage_data_scraper_ray.pipelines.crawl import CrawlConfig, CrawlJob
+
+        workdir = "/tmp/odsr_gate_level"
+        shutil.rmtree(workdir, ignore_errors=True)
+        job = CrawlJob(
+            CrawlConfig(n_seeds=24, workdir=workdir, max_epochs=6,
+                        politeness_rate=16.0, politeness_burst=16.0, failure_rate=0.0)
+        )
+        job.run()
+        return level_table(explode_spans(job.docs_dataset()), "nisc", "per_outage")
+
     out.update(
         {
+            "span_explode": span_explode,
+            "crawl_level_table": crawl_level_table,
             "crawl_docs": crawl_docs,
             "sessionize_threshold": sessionize_threshold,
             "sessionize_ganz": sessionize_ganz,

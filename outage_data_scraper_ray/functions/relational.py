@@ -497,6 +497,47 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# J2-style large-side hash join (Dataset.join, hash-partitioned on the key)
+
+def hash_join(sf_dir: str) -> rd.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
+HASH_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# M9: tz conversion (UTC -> US/Eastern wall time, pipeline.py:108-111)
+
+def tz_convert(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _conv(batch: pd.DataFrame) -> pd.DataFrame:
+        east = (
+            batch["ts"].dt.tz_localize("UTC").dt.tz_convert("US/Eastern").dt.tz_localize(None)
+        )
+        return pd.DataFrame({"event_id": batch["event_id"], "ts_east": east})
+
+    return ds.map_batches(_conv, batch_format="pandas")
+
+
+TZ_SQL = """
+SELECT event_id,
+       CAST(timezone('US/Eastern', ts::TIMESTAMPTZ) AS TIMESTAMP) AS ts_east
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -516,4 +557,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "token_counts": (token_counts_q, TOKEN_SQL),
     "quality_counts": (quality_counts, QUALITY_SQL),
     "knn_topk": (knn_topk, KNN_SQL),
+    "hash_join": (hash_join, HASH_JOIN_SQL),
+    "tz_convert": (tz_convert, TZ_SQL),
 }

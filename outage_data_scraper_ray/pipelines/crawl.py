@@ -60,7 +60,7 @@ from ..stages.fetch import (
 from ..state.counters import CrawlCounters
 from ..state.cuckoo import SeenShard
 from ..state.politeness import HostScheduler, scheduler_shard_of
-from ..synth import make_seed_registry
+from ..synth import make_seed_registry, robots_allows, robots_rules
 
 
 @dataclass
@@ -98,7 +98,7 @@ class CrawlJob:
         ]
         self.sched = [
             ray.remote(num_cpus=0)(HostScheduler).remote(
-                cfg.politeness_rate, cfg.politeness_burst, cfg.politeness_dt
+                cfg.politeness_rate, cfg.politeness_burst, cfg.politeness_dt, cfg.seed
             )
             for _ in range(cfg.n_sched_shards)
         ]
@@ -232,13 +232,34 @@ class CrawlJob:
             # 1. politeness budgets (virtual-clock tick + per-host counts).
             # Counting hosts via map_batches partials avoids a full shuffle —
             # the combine happens on the (tiny) per-batch count frames.
+            # Robots rules are evaluated inline (they are a pure function of
+            # (host, seed) in this engine — the shard actors' robots cache is
+            # the checkpointed system of record; a live crawler would instead
+            # broadcast the cache dict gathered below).
+            _seed = cfg.seed
+
+            def _host_counts(t, _s=_seed):
+                import pandas as _pd
+
+                hs = t.column("host").to_pylist()
+                allowed = [
+                    robots_allows(u, robots_rules(h, _s))
+                    for h, u in zip(hs, t.column("url").to_pylist())
+                ]
+                df = _pd.DataFrame({"host": hs, "allowed": allowed})
+                return (
+                    df.groupby("host", as_index=False)
+                    .agg(n=("allowed", "sum"), n_total=("allowed", "size"))
+                )
+
             partial_counts = frontier.map_batches(
-                lambda t: t.group_by("host").aggregate([("host", "count")]).rename_columns(
-                    ["host", "n"]
-                ),
-                batch_format="pyarrow",
+                _host_counts, batch_format="pyarrow"
             ).to_pandas()
-            pending = partial_counts.groupby("host", as_index=False)["n"].sum()
+            pending = partial_counts.groupby("host", as_index=False)[["n", "n_total"]].sum()
+            robots_skipped = int(pending["n_total"].sum() - pending["n"].sum())
+            if robots_skipped:
+                ray.get(self.counters.add_many.remote({"robots_skipped": robots_skipped}))
+            pending = pending[pending["n"] > 0]
             if int(pending["n"].sum()) == 0:
                 break
             _t1 = _time.perf_counter()
@@ -250,6 +271,8 @@ class CrawlJob:
             budget_parts = ray.get(
                 [self.sched[i].budgets.remote(hs) for i, hs in by_shard.items()]
             )
+            # populate + checkpoint the robots caches for this epoch's hosts
+            ray.get([self.sched[i].robots.remote(hs) for i, hs in by_shard.items()])
             budgets: dict[str, int] = {}
             for part in budget_parts:
                 budgets.update(part)
@@ -272,8 +295,19 @@ class CrawlJob:
             # epoch is shuffle-free.
             over = {h for h in hosts if pending_n[h] > budgets.get(h, 0)}
             gated_path = os.path.join(self._epoch_dir(e), "gated")
+            def _robots_filter(t, _s=_seed):
+                mask = pa.array(
+                    [
+                        robots_allows(u, robots_rules(h, _s))
+                        for h, u in zip(
+                            t.column("host").to_pylist(), t.column("url").to_pylist()
+                        )
+                    ]
+                )
+                return t.filter(mask)
+
             if not over:
-                frontier.map_batches(
+                frontier.map_batches(_robots_filter, batch_format="pyarrow").map_batches(
                     lambda t: t.append_column(
                         "admitted", pa.array(np.ones(t.num_rows, dtype=bool))
                     ),
@@ -299,9 +333,10 @@ class CrawlJob:
                     mask = pa.array([h in ov for h in t.column("host").to_pylist()])
                     return t.filter(mask)
 
-                under_ds = frontier.map_batches(_mark_under, batch_format="pyarrow")
+                live = frontier.map_batches(_robots_filter, batch_format="pyarrow")
+                under_ds = live.map_batches(_mark_under, batch_format="pyarrow")
                 over_ds = (
-                    frontier.map_batches(_keep_over, batch_format="pyarrow")
+                    live.map_batches(_keep_over, batch_format="pyarrow")
                     .groupby("host")
                     .map_groups(_admit, batch_format="pandas")
                 )

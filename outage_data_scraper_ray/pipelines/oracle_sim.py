@@ -350,8 +350,17 @@ def simulate_crawl(
     the distributed job. Crawl order within an epoch = sort by
     (utility_tier, refresh_deadline, crawl_key) — the engine's deterministic
     generalization of the reference's seed-dict order (app/main.py:21)."""
+    from ..synth import robots_allows, robots_rules
+
     web = SyntheticWeb(seed=seed, max_rows=max_rows, failure_rate=failure_rate)
     vb = VirtualBudgets(politeness_rate, politeness_burst, politeness_dt)
+    robots: dict[str, tuple[str, ...]] = {}
+
+    def _allowed(p: dict) -> bool:
+        rules = robots.get(p["host"])
+        if rules is None:
+            rules = robots[p["host"]] = robots_rules(p["host"], seed)
+        return robots_allows(p["url"], rules)
 
     pending: list[dict] = []
     for _, r in seeds.iterrows():
@@ -365,6 +374,7 @@ def simulate_crawl(
     admitted_log: list[list[str]] = []
 
     for epoch in range(max_epochs):
+        pending = [p for p in pending if _allowed(p)]  # robots gate
         if not pending:
             break
         hosts = [p["host"] for p in pending]

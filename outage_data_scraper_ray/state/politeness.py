@@ -43,13 +43,20 @@ class TokenBucket:
 
 
 class HostScheduler:
-    """Actor body for one scheduler shard: token buckets for its hosts."""
+    """Actor body for one scheduler shard: token buckets + a robots-rule
+    cache for its hosts. The robots 'fetch' happens once per host (cached,
+    checkpointed with the buckets); in this engine it is the deterministic
+    synthetic robots_rules()."""
 
-    def __init__(self, rate: float = 2.0, burst: float = 4.0, dt: float = 1.0):
+    def __init__(
+        self, rate: float = 2.0, burst: float = 4.0, dt: float = 1.0, seed: int = 42
+    ):
         self.rate = rate
         self.burst = burst
         self.dt = dt
+        self.seed = seed
         self.buckets: dict[str, TokenBucket] = {}
+        self.robots_cache: dict[str, tuple[str, ...]] = {}
 
     def _bucket(self, host: str) -> TokenBucket:
         b = self.buckets.get(host)
@@ -68,14 +75,32 @@ class HostScheduler:
         for h, n in admitted.items():
             self._bucket(h).consume(n)
 
+    def robots(self, hosts: list[str]) -> dict[str, tuple[str, ...]]:
+        from ..synth import robots_rules
+
+        out = {}
+        for h in hosts:
+            rules = self.robots_cache.get(h)
+            if rules is None:
+                rules = self.robots_cache[h] = robots_rules(h, self.seed)
+            out[h] = rules
+        return out
+
     def dump(self) -> dict:
-        return {h: b.tokens for h, b in self.buckets.items()}
+        return {
+            "tokens": {h: b.tokens for h, b in self.buckets.items()},
+            "robots": {h: list(r) for h, r in self.robots_cache.items()},
+        }
 
     def load(self, state: dict) -> None:
         self.buckets = {}
-        for h, tokens in state.items():
+        tokens = state.get("tokens", state)  # tolerate pre-robots dumps
+        for h, t in tokens.items():
             b = self._bucket(h)
-            b.tokens = tokens
+            b.tokens = t
+        self.robots_cache = {
+            h: tuple(r) for h, r in state.get("robots", {}).items()
+        }
 
 
 def scheduler_shard_of(host: str, n_shards: int) -> int:

@@ -164,6 +164,24 @@ _CITIES = ["Milledgeville", "Sandersville", "Tennille", "Deepstep", "Irwinton", 
 _CAUSES = ["Tree on line", "Equipment failure", "Weather", "Planned", "Animal", "Unknown"]
 
 
+def robots_rules(host: str, seed: int) -> tuple[str, ...]:
+    """Deterministic synthetic robots.txt for a host: () = allow all,
+    ('/reports/',) = no report scraping, ('/',) = disallow everything.
+    Pure function of (host, seed) so the 'robots fetch' any shard performs
+    yields identical rules everywhere."""
+    r = _rng_for("robots:" + host, seed).random()
+    if r < 0.02:
+        return ("/",)
+    if r < 0.08:
+        return ("/reports/",)
+    return ()
+
+
+def robots_allows(url: str, rules: tuple[str, ...]) -> bool:
+    path = "/" + url.split("://", 1)[-1].partition("/")[2]
+    return not any(path.startswith(p) for p in rules)
+
+
 def failure_for(url: str, seed: int, rate: float = 0.02) -> str | None:
     """Deterministic transient-failure injection (reference logs failures and
     continues, app/main.py:32-41). Returns a reason string or None."""

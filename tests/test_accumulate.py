@@ -1,0 +1,97 @@
+"""Span explode, per-level tables, partitioned sink, TableIO, robots."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from outage_data_scraper_ray.io import TableIO
+from outage_data_scraper_ray.pipelines.accumulate import (
+    explode_spans,
+    level_table,
+    write_accumulated,
+)
+from outage_data_scraper_ray.pipelines.crawl import CrawlConfig, CrawlJob
+from outage_data_scraper_ray.synth import robots_allows, robots_rules
+
+
+@pytest.fixture(scope="module")
+def crawl_docs(ray_session):
+    workdir = "/tmp/odsr_test_acc"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(
+        CrawlConfig(
+            n_seeds=64, workdir=workdir, max_epochs=10,
+            politeness_rate=16.0, politeness_burst=16.0, failure_rate=0.0,
+        )
+    )
+    stats = job.run()
+    return job.docs_dataset(), stats
+
+
+def test_explode_counts(crawl_docs):
+    docs, _ = crawl_docs
+    pdf = docs.to_pandas()
+    want = pdf["spans"].map(len).sum()
+    got = explode_spans(docs).count()
+    assert got == want > 0
+
+
+def test_explode_preserves_offsets(crawl_docs):
+    docs, _ = crawl_docs
+    rows = explode_spans(docs).to_pandas()
+    for _, g in rows.groupby("doc_id"):
+        assert sorted(g["offset"]) == list(range(len(g)))
+
+
+def test_level_table_columns(crawl_docs):
+    docs, _ = crawl_docs
+    rows = explode_spans(docs)
+    lt = level_table(rows, "nisc", "per_outage").to_pandas()
+    assert len(lt) > 0
+    for col in ("outageRecID", "zip", "timestamp", "EMC"):
+        assert col in lt.columns
+
+
+def test_partitioned_sink(crawl_docs, tmp_path):
+    docs, _ = crawl_docs
+    out = str(tmp_path / "acc")
+    write_accumulated(explode_spans(docs), out, run_id="r1")
+    parts = glob.glob(os.path.join(out, "state=*", "layout=*", "kind=*"))
+    assert len(parts) > 3
+    back = rd.read_parquet(out)
+    assert back.count() == explode_spans(docs).count()
+
+
+def test_tableio_idempotent_append(crawl_docs, tmp_path):
+    docs, _ = crawl_docs
+    rows = explode_spans(docs)
+    path = str(tmp_path / "tio")
+    TableIO.write(rows, path, partition_cols=["state"], run_id="r1")
+    n1 = TableIO.read(path).count()
+    # same run_id again: no duplicate data
+    TableIO.write(rows, path, partition_cols=["state"], run_id="r1")
+    assert TableIO.read(path).count() == n1
+    assert TableIO.manifest(path)["runs"] == ["r1"]
+
+
+def test_robots_rules_applied(ray_session):
+    """Hosts spread over rule classes; the crawl must skip disallowed URLs
+    and count them."""
+    workdir = "/tmp/odsr_test_robots"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(
+        CrawlConfig(
+            n_seeds=400, workdir=workdir, max_epochs=6,
+            politeness_rate=64.0, politeness_burst=64.0, failure_rate=0.0,
+        )
+    )
+    stats = job.run()
+    assert stats["counters"].get("robots_skipped", 0) > 0
+    docs = job.docs_dataset().to_pandas()
+    for url in docs["url"]:
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        assert robots_allows(url, robots_rules(host, 42))
