@@ -203,9 +203,13 @@ def parse_arcgis(bodies, emc, ts, url):
 
 def parse_prejson(bodies, emc, ts, url):
     """pre-tag JSON (fl_scraper.py:39-53): 'Customers Out' != '0' string
-    filter (M3 string variant)."""
+    filter (M3 string variant) + summary totals extraction (M18,
+    fl_scraper.py:63-84: one per_emc row from summaryFileData.totals[0])."""
     val = json.loads(bodies["per_outage"].decode("utf8"))
     spans, off = [], 0
+    totals = val["summaryFileData"]["totals"][0]
+    spans.append(span("per_emc", finish(dict(totals), ts, emc), off))
+    off += 1
     for o in val["outages"]:
         if o["Customers Out"] != "0":
             spans.append(span("per_outage", finish(dict(o), ts, emc), off))

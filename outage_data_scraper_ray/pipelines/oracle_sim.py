@@ -227,6 +227,10 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
 
     if layout == "prejson":
         val = json.loads(bodies["per_outage"].decode())
+        tdf = pd.DataFrame(val["summaryFileData"]["totals"])
+        tdf["timestamp"] = ts
+        tdf["EMC"] = emc
+        _df_spans(tdf, "per_emc", spans)
         df = pd.DataFrame(val["outages"])
         if len(df):
             df = df[df["Customers Out"] != "0"]

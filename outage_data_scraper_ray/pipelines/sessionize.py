@@ -105,9 +105,6 @@ def merge_threshold_sessions(
 
         delta = out - prev["CustomersOut"]
         last = tracking[-1]
-        small = (
-            abs(delta) < threshold * last["_size"] or abs(delta) < abs_diff
-        )
 
         if delta >= 0 and (delta < threshold * last["_size"] or abs(delta) < abs_diff):
             # case A: absorb the increase into the last open outage
@@ -319,3 +316,26 @@ def event_properties(events: rd.Dataset) -> dict[str, float]:
         "total_customer_affected_mean_duration": float(cam_dur / (freq * 60)),
         "total_customer_affected_x_duration": float(cam_dur / 60),
     }
+
+
+def write_events(
+    events: rd.Dataset, out_dir: str, *, method: str, threshold: float,
+    abs_diff: float = 0.0,
+) -> str:
+    """K4: parameter-keyed event sink (the reference writes one csv per
+    (file, threshold, abs_diff) sweep point, step1_threshold.py:424-434);
+    here one parquet directory per parameter combination."""
+    import os
+
+    name = (
+        f"t{threshold}_a{abs_diff}" if method == "threshold" else f"t{threshold}"
+    )
+    path = os.path.join(out_dir, method, name)
+
+    def _to_cols(g):
+        g = g.copy()
+        g["duration_sec"] = g["duration"].dt.total_seconds()
+        return g.drop(columns=["duration"])
+
+    events.map_batches(_to_cols, batch_format="pandas").write_parquet(path)
+    return path

@@ -381,7 +381,14 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
             }
             for _ in range(n)
         ]
-        return json.dumps({"outages": outs}).encode()
+        totals = {
+            "customersOut": sum(int(o["Customers Out"]) for o in outs),
+            "customersServed": int(rng.integers(10_000, 90_000)),
+            "outageCount": len(outs),
+        }
+        return json.dumps(
+            {"summaryFileData": {"totals": [totals]}, "outages": outs}
+        ).encode()
 
     if layout == "eshits":
         hits = [
