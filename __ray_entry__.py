@@ -269,8 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         job.run()
         return level_table(explode_spans(job.docs_dataset()), "nisc", "per_outage")
 
+    def flagship_outage_e2e(sf_dir: str):
+        from outage_data_scraper_ray.pipelines.poll import flagship_outage_pipeline
+
+        return flagship_outage_pipeline("/tmp/odsr_gate_flagship", n_seeds=24, rounds=3)
+
     out.update(
         {
+            "flagship_outage_e2e": flagship_outage_e2e,
             "span_explode": span_explode,
             "crawl_level_table": crawl_level_table,
             "crawl_docs": crawl_docs,

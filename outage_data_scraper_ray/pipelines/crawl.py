@@ -81,7 +81,12 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     stateless_fetch: bool = True  # synthetic web needs no session; real
                                   # fetchers set False -> actor pool
+    epoch_capacity: int | None = None  # global fetches/epoch cap: hosts are
+                                       # served highest-priority-first (the
+                                       # north_star priority heap)
     workdir: str = "/tmp/odsr_crawl"
+    scrape_ts: str = "10-05-2023 08:00:00"  # virtual scrape timestamp (M1)
+    hash_salt: str = ""  # poll-round salt: each refresh round re-fetches
     seeds_table: pa.Table | None = field(default=None, repr=False)
 
 
@@ -246,15 +251,40 @@ class CrawlJob:
                     robots_allows(u, robots_rules(h, _s))
                     for h, u in zip(hs, t.column("url").to_pylist())
                 ]
-                df = _pd.DataFrame({"host": hs, "allowed": allowed})
+                df = _pd.DataFrame(
+                    {
+                        "host": hs,
+                        "allowed": allowed,
+                        "utility_tier": t.column("utility_tier").to_pylist(),
+                        "refresh_deadline": t.column("refresh_deadline").to_pylist(),
+                        "crawl_key": t.column("crawl_key").to_pylist(),
+                    }
+                )
                 return (
-                    df.groupby("host", as_index=False)
-                    .agg(n=("allowed", "sum"), n_total=("allowed", "size"))
+                    df.sort_values(
+                        ["utility_tier", "refresh_deadline", "crawl_key"],
+                        kind="mergesort",
+                    )
+                    .groupby("host", as_index=False)
+                    .agg(
+                        n=("allowed", "sum"),
+                        n_total=("allowed", "size"),
+                        utility_tier=("utility_tier", "first"),
+                        refresh_deadline=("refresh_deadline", "first"),
+                        crawl_key=("crawl_key", "first"),
+                    )
                 )
 
             partial_counts = frontier.map_batches(
                 _host_counts, batch_format="pyarrow"
             ).to_pandas()
+            prio = (
+                partial_counts.sort_values(
+                    ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
+                )
+                .groupby("host", as_index=False)
+                .first()[["host", "utility_tier", "refresh_deadline", "crawl_key"]]
+            )
             pending = partial_counts.groupby("host", as_index=False)[["n", "n_total"]].sum()
             robots_skipped = int(pending["n_total"].sum() - pending["n"].sum())
             if robots_skipped:
@@ -278,6 +308,20 @@ class CrawlJob:
                 budgets.update(part)
             pending_n = dict(zip(pending["host"], pending["n"]))
             admitted_n = {h: min(int(pending_n[h]), budgets.get(h, 0)) for h in hosts}
+            if cfg.epoch_capacity is not None:
+                # the priority heap: serve hosts in (tier, deadline, key)
+                # order until the global epoch fetch budget is spent
+                order = prio[prio["host"].isin(set(hosts))].sort_values(
+                    ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
+                )["host"].tolist()
+                remaining = cfg.epoch_capacity
+                capped = {}
+                for h in order:
+                    take = min(admitted_n.get(h, 0), remaining)
+                    capped[h] = take
+                    remaining -= take
+                admitted_n = capped
+                budgets = admitted_n  # effective per-host budget this epoch
             consume_by_shard: dict[int, dict[str, int]] = {}
             for h, n in admitted_n.items():
                 if n:
@@ -355,7 +399,10 @@ class CrawlJob:
                 .filter(expr="admitted")
                 .drop_columns(["admitted"])
                 .repartition(n_fetch_blocks)
-                .map_batches(add_hash_columns, batch_format="pyarrow")
+                .map_batches(
+                    partial(add_hash_columns, salt=cfg.hash_salt),
+                    batch_format="pyarrow",
+                )
                 # seen filter runs as stateless tasks (construction is just
                 # actor handles — no per-task cost), so it never reserves
                 # CPUs the way an actor pool would and cannot starve the
@@ -375,6 +422,7 @@ class CrawlJob:
                             fn=lambda t, _kw=dict(
                                 seed=cfg.seed, max_rows=cfg.max_rows,
                                 failure_rate=cfg.failure_rate, counters=self.counters,
+                                scrape_ts=cfg.scrape_ts,
                             ): FetchParseStage(**_kw)(t)
                         )
                         if cfg.stateless_fetch
@@ -385,6 +433,7 @@ class CrawlJob:
                                 "max_rows": cfg.max_rows,
                                 "failure_rate": cfg.failure_rate,
                                 "counters": self.counters,
+                                "scrape_ts": cfg.scrape_ts,
                             },
                             concurrency=fetch_conc,
                         )
@@ -423,7 +472,10 @@ class CrawlJob:
                 ).map_batches(
                     partial(children_to_frontier, depth=1), batch_format="pyarrow"
                 )
-                children = children.map_batches(add_hash_columns, batch_format="pyarrow")
+                children = children.map_batches(
+                    partial(add_hash_columns, salt=cfg.hash_salt),
+                    batch_format="pyarrow",
+                )
                 nxt = children if nxt is None else nxt.union(children)
             if nxt is not None:
                 nxt.write_parquet(self._frontier_next_path(e))

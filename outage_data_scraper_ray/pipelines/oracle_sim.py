@@ -349,6 +349,7 @@ def simulate_crawl(
     politeness_dt: float = 1.0,
     max_epochs: int = 50,
     ts: str = "10-05-2023 08:00:00",
+    epoch_capacity: int | None = None,
 ) -> SimResult:
     """Sequential crawl under the same politeness budgets + priority order as
     the distributed job. Crawl order within an epoch = sort by
@@ -386,12 +387,29 @@ def simulate_crawl(
         by_host: dict[str, list[dict]] = {}
         for p in pending:
             by_host.setdefault(p["host"], []).append(p)
+        for rows in by_host.values():
+            rows.sort(key=lambda p: (p["utility_tier"], p["refresh_deadline"], p["crawl_key"]))
+        eff_budgets = {h: min(len(r), budgets.get(h, 0)) for h, r in by_host.items()}
+        if epoch_capacity is not None:
+            # priority heap: hosts served by their best pending priority
+            order = sorted(
+                by_host,
+                key=lambda h: (
+                    by_host[h][0]["utility_tier"],
+                    by_host[h][0]["refresh_deadline"],
+                    by_host[h][0]["crawl_key"],
+                ),
+            )
+            remaining = epoch_capacity
+            for h in order:
+                take = min(eff_budgets[h], remaining)
+                eff_budgets[h] = take
+                remaining -= take
         admitted: list[dict] = []
         deferred: list[dict] = []
         consumed: dict[str, int] = {}
         for h, rows in by_host.items():
-            rows.sort(key=lambda p: (p["utility_tier"], p["refresh_deadline"], p["crawl_key"]))
-            b = budgets.get(h, 0)
+            b = eff_budgets.get(h, 0)
             admitted.extend(rows[:b])
             deferred.extend(rows[b:])
             if rows[:b]:

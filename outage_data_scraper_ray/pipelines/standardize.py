@@ -79,7 +79,9 @@ def _transform_ga1tx8(batch: pd.DataFrame) -> pd.DataFrame:
     batch["outageStartTime"] = (
         pd.to_datetime(batch["outageStartTime"], utc=True).dt.tz_convert(eastern)
     )
-    pts = batch["outagePoint"].map(lambda x: json.loads(x.replace("'", '"')))
+    pts = batch["outagePoint"].map(
+        lambda x: x if isinstance(x, dict) else json.loads(x.replace("'", '"'))
+    )
     batch["lat"] = pts.map(lambda p: p["lat"])
     batch["lng"] = pts.map(lambda p: p["lng"])
     return batch.rename(

@@ -29,11 +29,12 @@ from ..synth import SyntheticWeb, canonical_url, host_of
 VIRTUAL_SCRAPE_TS = "10-05-2023 08:00:00"
 
 
-def add_hash_columns(batch: pa.Table) -> pa.Table:
-    """canonical_hash = 64-bit siphash of the canonicalized URL.
+def add_hash_columns(batch: pa.Table, salt: str = "") -> pa.Table:
+    """canonical_hash = 64-bit siphash of the canonicalized URL (+ optional
+    poll-round salt so each refresh round has its own seen-space).
     Vectorized via pandas' C hash (deterministic across processes)."""
     urls = batch.column("url").to_pylist()
-    canon = np.array([canonical_url(u) for u in urls], dtype=object)
+    canon = np.array([canonical_url(u) + salt for u in urls], dtype=object)
     hashes = pd.util.hash_array(canon, categorize=False)
     out = batch
     if "canonical_hash" in batch.column_names:
@@ -96,11 +97,12 @@ class FetchParseStage:
         max_rows: int = 8,
         failure_rate: float = 0.02,
         counters: Any = None,
+        scrape_ts: str = VIRTUAL_SCRAPE_TS,
     ):
         self.web = SyntheticWeb(seed=seed, max_rows=max_rows, failure_rate=failure_rate)
         self.kernels = KERNELS
         self.counters = counters
-        self.ts = VIRTUAL_SCRAPE_TS
+        self.ts = scrape_ts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()

@@ -95,3 +95,17 @@ def test_robots_rules_applied(ray_session):
     for url in docs["url"]:
         host = url.split("://", 1)[-1].split("/", 1)[0]
         assert robots_allows(url, robots_rules(host, 42))
+
+
+def test_flagship_poll_pipeline(ray_session):
+    """Poll rounds -> spans -> per_outage level table -> standardize:
+    the reference's full data path end to end."""
+    from outage_data_scraper_ray.pipelines.poll import flagship_outage_pipeline
+    from outage_data_scraper_ray.schemas import STANDARDIZED_COLUMNS
+
+    out = flagship_outage_pipeline("/tmp/odsr_flagship", n_seeds=30, rounds=3).to_pandas()
+    assert list(out.columns) == STANDARDIZED_COLUMNS
+    assert len(out) > 0
+    # multiple poll rounds -> durations reflect the 15-min cadence
+    assert (out["duration"] >= 0).all()
+    assert out["outage_id"].notna().all()

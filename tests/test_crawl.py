@@ -145,3 +145,31 @@ def test_resume_matches_uninterrupted(ray_session):
         lambda ss: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ss]
     )
     assert got_spans.tolist() == want_spans.tolist()
+
+
+def test_epoch_capacity_priority_heap(ray_session):
+    """With a global per-epoch fetch cap, hosts are served in
+    (utility_tier, refresh_deadline, crawl_key) order — distributed run and
+    sequential oracle must agree on which URLs land in which epoch."""
+    workdir = "/tmp/odsr_crawl_cap"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, politeness_rate=8.0, politeness_burst=8.0,
+                        epoch_capacity=10))
+    job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(
+        make_seed_registry(N_SEEDS, 42).to_pandas(),
+        failure_rate=0.05, politeness_rate=8.0, politeness_burst=8.0,
+        politeness_dt=1.0, epoch_capacity=10,
+    )
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want = {}
+    seen = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+    # no epoch exceeds the cap
+    assert docs.groupby("epoch").size().max() <= 10
