@@ -125,20 +125,28 @@ NONZERO_SQL = "SELECT * FROM events WHERE value <> 0"
 # A3: grouped sum
 
 def grouped_sum(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum, Count
+    # pre-aggregate inside each batch (pure-arrow group_by) so only one tiny
+    # partial row per (flag, batch) reaches the final groupby — a bare
+    # groupby here would shuffle every lineitem row (4.3s vs 0.9s at sf0.1)
+    from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
-        lambda t: t.append_column(
-            "qty_c", pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
-        ),
-        batch_format="pyarrow",
+    def _partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        tt = pa.table({"l_returnflag": t["l_returnflag"], "qty_c": qty_c})
+        return tt.group_by("l_returnflag").aggregate(
+            [("qty_c", "sum"), ("qty_c", "count")]
+        ).rename_columns(["l_returnflag", "qty_c", "n"])
+
+    partials = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
+        _partial, batch_format="pyarrow"
     )
     out = (
-        ds.groupby("l_returnflag")
-        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n_items"))
+        partials.groupby("l_returnflag")
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Sum("n", alias_name="n_items"))
         .to_pandas()
     )
     out["sum_qty"] = out.pop("qty_c") / 100.0
+    out["n_items"] = out["n_items"].astype("int64")
     return out[["l_returnflag", "sum_qty", "n_items"]].sort_values(
         "l_returnflag"
     ).reset_index(drop=True)
