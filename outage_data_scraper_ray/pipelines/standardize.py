@@ -42,13 +42,22 @@ def synth_zip_county_map(zips: list[str]) -> dict[str, str]:
 def synth_accumulated(n_outages: int = 40, snapshots: int = 5, seed: int = 42) -> pd.DataFrame:
     """Deterministic accumulated per_outage scrape series shaped like the
     CSV the reference's save() builds up (util.py:21-60, FIXTURES.md F4)."""
+    from ..kernels.common import ZIP_SENTINEL
+
     rng = np.random.default_rng(seed)
     rows = []
     base = pd.Timestamp("2023-10-01 06:00:00")
     for i in range(n_outages):
         rec_id = f"O{100000 + i}"
         start = base + pd.Timedelta(minutes=int(rng.integers(0, 600)))
-        zipc = str(30000 + int(rng.integers(0, 50)))
+        # ~10% sentinel zips (the reference's >=10-row geocode guard,
+        # ga_scraper.py:241-249) — they also keep the CSV zip column string-
+        # typed, which is what makes the reference's county map land at all
+        zipc = (
+            ZIP_SENTINEL
+            if rng.random() < 0.1
+            else str(30000 + int(rng.integers(0, 50)))
+        )
         lat = round(32.0 + float(rng.random()), 6)
         lng = round(-83.5 + float(rng.random()), 6)
         n_snap = int(rng.integers(2, snapshots + 1))

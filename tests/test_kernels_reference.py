@@ -1,0 +1,172 @@
+"""TRUE reference-equality test for parse kernels (JSON families).
+
+The reference scrapers import selenium / seleniumwire / geopy / boto3 /
+xmltodict / bs4 at module scope but several parse() bodies are pure
+pandas-over-JSON. We inject stub modules for the unavailable dependencies,
+import the REAL app/scrapers/ga_scraper.py from the read-only checkout,
+monkeypatch the I/O edges (fetch -> our synthetic payloads, timenow -> the
+fixed virtual timestamp, extract_zipcode -> the deterministic synth
+geocoder used on both sides), and require our kernels' span records to
+equal the reference parse() DataFrames row for row.
+
+Covered: Scraper1 (nisc dual-JSON), Scraper2 (weboutageviewer),
+Scraper4 (kubra area report processing). Skipped if the checkout is absent.
+"""
+
+import json
+import os
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+from outage_data_scraper_ray.kernels import KERNELS
+from outage_data_scraper_ray.kernels.common import synth_zipcode
+from outage_data_scraper_ray.stages.fetch import VIRTUAL_SCRAPE_TS
+from outage_data_scraper_ray.synth import (
+    SyntheticWeb,
+    child_urls_for,
+    fetch_plan,
+    make_seed_registry,
+)
+
+REF_APP = "/root/reference/app"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_APP), reason="reference checkout not available"
+)
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ga_scraper():
+    # stub the unavailable heavy deps the module imports but the JSON parse
+    # paths never touch
+    _stub("geopy", Nominatim=lambda **kw: object())
+    _stub("xmltodict", parse=lambda *a, **k: {})
+    _stub("bs4", BeautifulSoup=object)
+    _stub("boto3", client=lambda *a, **k: None, resource=lambda *a, **k: None)
+    selenium = _stub("selenium")
+    webdriver_pkg = _stub("selenium.webdriver")
+    common = _stub("selenium.webdriver.common")
+    _stub("selenium.webdriver.common.desired_capabilities", DesiredCapabilities=object)
+    _stub("selenium.webdriver.common.by", By=object)
+    support = _stub("selenium.webdriver.support")
+    _stub(
+        "selenium.webdriver.support.ui",
+        Select=object,
+        WebDriverWait=lambda *a, **k: None,
+    )
+    _stub("selenium.webdriver.support.expected_conditions")
+    _stub(
+        "selenium.common.exceptions",
+        TimeoutException=type("TimeoutException", (Exception,), {}),
+        NoSuchElementException=type("NoSuchElementException", (Exception,), {}),
+        WebDriverException=type("WebDriverException", (Exception,), {}),
+        StaleElementReferenceException=type("StaleElementReferenceException", (Exception,), {}),
+        ElementClickInterceptedException=type("ElementClickInterceptedException", (Exception,), {}),
+    )
+    _stub("selenium.common")
+    sys.modules["selenium.webdriver.support"].expected_conditions = sys.modules[
+        "selenium.webdriver.support.expected_conditions"
+    ]
+    _stub(
+        "seleniumwire",
+        webdriver=types.SimpleNamespace(ChromeOptions=object, Chrome=object),
+    )
+    _stub("seleniumwire.utils", decode=lambda body, enc: body)
+
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.ga_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+
+    # deterministic I/O edges, identical to what the kernels use
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    mod.BaseScraper.init_webdriver = lambda self: None
+    mod.BaseScraper.extract_zipcode = lambda self, lat, lon: synth_zipcode(lat, lon)
+    return mod
+
+
+def _df_to_records(df: pd.DataFrame) -> list[str]:
+    import math
+
+    out = []
+    for _, row in df.iterrows():
+        rec = {}
+        for k, v in row.items():
+            if hasattr(v, "item"):
+                v = v.item()
+            if isinstance(v, float) and math.isnan(v):
+                v = None
+            rec[k] = v
+        out.append(json.dumps(rec, separators=(",", ":"), default=str))
+    return out
+
+
+def _seed_for(family: str):
+    seeds = make_seed_registry(600, 42).to_pylist()
+    return next(s for s in seeds if s["layout"] == family)
+
+
+def test_scraper1_nisc_matches_reference(ga_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("nisc")
+    bodies = web.fetch(row["url"], "nisc")
+    payload = {
+        "per_county": json.loads(bodies["per_county"]),
+        "per_outage": json.loads(bodies["per_outage"]),
+    }
+    sc = ga_scraper.Scraper1.__new__(ga_scraper.Scraper1)
+    ga_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.fetch = lambda: {k: json.loads(v) for k, v in bodies.items()}
+    ref = sc.parse()
+
+    want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["nisc"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_scraper2_wov_matches_reference(ga_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("wov")
+    bodies = web.fetch(row["url"], "wov")
+    sc = ga_scraper.Scraper2(row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["wov"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_scraper4_kubra_area_matches_reference(ga_scraper):
+    """Scraper4.parse processes {level: {areas: [...]}} dicts — feed it one
+    synthetic kubra report's areas and compare with our kubra_report kernel
+    on the same report."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("kubra")
+    child = next(
+        cu for cu in child_urls_for(row["url"], "kubra", 42) if "/county/" in cu
+    )
+    bodies = web.fetch(child, "kubra_report")
+    report = json.loads(bodies["report"])
+
+    sc = ga_scraper.Scraper4.__new__(ga_scraper.Scraper4)
+    ga_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    sc.fetch = lambda: {"per_county": report["file_data"]}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["kubra_report"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, child)
+    assert [s["text"] for s in got] == want
