@@ -546,6 +546,96 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# as-of join: every event matched to the latest order (by a bucketed key)
+# at or before its timestamp — broadcast small side + pd.merge_asof per
+# batch (the ray_guide as-of pattern; no shuffle at all)
+
+def asof_join(sf_dir: str) -> rd.Dataset:
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    right["jk"] = (right["o_custkey"] % 100).astype("int64")
+    # make the as-of unambiguous: one row per (jk, date), keep max orderkey
+    right = (
+        right.sort_values(["jk", "o_orderdate", "o_orderkey"])
+        .groupby(["jk", "o_orderdate"], as_index=False)
+        .last()
+    )
+    right = right.sort_values("o_orderdate", kind="mergesort").reset_index(drop=True)
+
+    import ray
+
+    right_ref = ray.put(right)
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _asof(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        b = batch.copy()
+        b["jk"] = (b["user_id"] % 100).astype("int64")
+        b = b.sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(
+            b, r[["jk", "o_orderdate", "o_orderkey"]],
+            left_on="ts", right_on="o_orderdate", by="jk", direction="backward",
+        )
+        return out[["event_id", "jk", "o_orderkey", "o_orderdate"]]
+
+    return left.map_batches(_asof, batch_format="pandas")
+
+
+ASOF_SQL = """
+WITH r AS (
+    SELECT o_custkey % 100 AS jk, o_orderdate, o_orderkey FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey % 100, o_orderdate ORDER BY o_orderkey DESC
+    ) = 1
+), l AS (SELECT event_id, ts, user_id % 100 AS jk FROM events)
+SELECT l.event_id, l.jk, r.o_orderkey, r.o_orderdate
+FROM l ASOF LEFT JOIN r ON l.jk = r.jk AND r.o_orderdate <= l.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregate over the events stream (5-minute windows):
+# per-batch partial window sums -> tiny final groupby (stream-shaped
+# workload per ray_guide "Streaming-shaped workloads")
+
+def tumbling_window(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(epoch_s, 300)), 300)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        tt = pa.table({"window_start_s": pc.cast(win, pa.int64()), "cents": cents})
+        return (
+            tt.group_by("window_start_s")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["window_start_s", "cents", "n"])
+        )
+
+    partials = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    out = (
+        partials.groupby("window_start_s")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["window_start"] = pd.to_datetime(out.pop("window_start_s"), unit="s")
+    out["sum_value"] = out.pop("cents") / 100.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["window_start", "sum_value", "n_events"]].sort_values(
+        "window_start"
+    ).reset_index(drop=True)
+
+
+TUMBLING_SQL = """
+SELECT to_timestamp(FLOOR(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -567,4 +657,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "knn_topk": (knn_topk, KNN_SQL),
     "hash_join": (hash_join, HASH_JOIN_SQL),
     "tz_convert": (tz_convert, TZ_SQL),
+    "asof_join": (asof_join, ASOF_SQL),
+    "tumbling_window": (tumbling_window, TUMBLING_SQL),
 }

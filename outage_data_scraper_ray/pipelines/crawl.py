@@ -187,6 +187,16 @@ class CrawlJob:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(e))  # atomic finalize
 
+    @staticmethod
+    def _parquet_num_rows(path: str) -> int:
+        """Row count from parquet footers only — no Dataset execution."""
+        import glob as _glob
+
+        files = [path] if os.path.isfile(path) else _glob.glob(
+            os.path.join(path, "*.parquet")
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
     # ---- the loop --------------------------------------------------------
     def run(self, resume: bool = False) -> dict[str, Any]:
         cfg = self.cfg
@@ -231,115 +241,16 @@ class CrawlJob:
             )
             if not os.path.exists(frontier_file):
                 break
+            # row count from parquet footers only — no Dataset execution
+            total_pending = self._parquet_num_rows(frontier_file)
+            if total_pending == 0:
+                break
             frontier = rd.read_parquet(frontier_file)
             os.makedirs(self._epoch_dir(e), exist_ok=True)
 
-            # 1. politeness budgets (virtual-clock tick + per-host counts).
-            # Counting hosts via map_batches partials avoids a full shuffle —
-            # the combine happens on the (tiny) per-batch count frames.
-            # Robots rules are evaluated inline (they are a pure function of
-            # (host, seed) in this engine — the shard actors' robots cache is
-            # the checkpointed system of record; a live crawler would instead
-            # broadcast the cache dict gathered below).
             _seed = cfg.seed
 
-            def _host_counts(t, _s=_seed):
-                import pandas as _pd
-
-                hs = t.column("host").to_pylist()
-                allowed = [
-                    robots_allows(u, robots_rules(h, _s))
-                    for h, u in zip(hs, t.column("url").to_pylist())
-                ]
-                df = _pd.DataFrame(
-                    {
-                        "host": hs,
-                        "allowed": allowed,
-                        "utility_tier": t.column("utility_tier").to_pylist(),
-                        "refresh_deadline": t.column("refresh_deadline").to_pylist(),
-                        "crawl_key": t.column("crawl_key").to_pylist(),
-                    }
-                )
-                return (
-                    df.sort_values(
-                        ["utility_tier", "refresh_deadline", "crawl_key"],
-                        kind="mergesort",
-                    )
-                    .groupby("host", as_index=False)
-                    .agg(
-                        n=("allowed", "sum"),
-                        n_total=("allowed", "size"),
-                        utility_tier=("utility_tier", "first"),
-                        refresh_deadline=("refresh_deadline", "first"),
-                        crawl_key=("crawl_key", "first"),
-                    )
-                )
-
-            partial_counts = frontier.map_batches(
-                _host_counts, batch_format="pyarrow"
-            ).to_pandas()
-            prio = (
-                partial_counts.sort_values(
-                    ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
-                )
-                .groupby("host", as_index=False)
-                .first()[["host", "utility_tier", "refresh_deadline", "crawl_key"]]
-            )
-            pending = partial_counts.groupby("host", as_index=False)[["n", "n_total"]].sum()
-            robots_skipped = int(pending["n_total"].sum() - pending["n"].sum())
-            if robots_skipped:
-                ray.get(self.counters.add_many.remote({"robots_skipped": robots_skipped}))
-            pending = pending[pending["n"] > 0]
-            if int(pending["n"].sum()) == 0:
-                break
-            _t1 = _time.perf_counter()
-            hosts = pending["host"].tolist()
-            by_shard: dict[int, list[str]] = {}
-            for h in hosts:
-                by_shard.setdefault(scheduler_shard_of(h, cfg.n_sched_shards), []).append(h)
-            ray.get([s.tick.remote() for s in self.sched])
-            budget_parts = ray.get(
-                [self.sched[i].budgets.remote(hs) for i, hs in by_shard.items()]
-            )
-            # populate + checkpoint the robots caches for this epoch's hosts
-            ray.get([self.sched[i].robots.remote(hs) for i, hs in by_shard.items()])
-            budgets: dict[str, int] = {}
-            for part in budget_parts:
-                budgets.update(part)
-            pending_n = dict(zip(pending["host"], pending["n"]))
-            admitted_n = {h: min(int(pending_n[h]), budgets.get(h, 0)) for h in hosts}
-            if cfg.epoch_capacity is not None:
-                # the priority heap: serve hosts in (tier, deadline, key)
-                # order until the global epoch fetch budget is spent
-                order = prio[prio["host"].isin(set(hosts))].sort_values(
-                    ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
-                )["host"].tolist()
-                remaining = cfg.epoch_capacity
-                capped = {}
-                for h in order:
-                    take = min(admitted_n.get(h, 0), remaining)
-                    capped[h] = take
-                    remaining -= take
-                admitted_n = capped
-                budgets = admitted_n  # effective per-host budget this epoch
-            consume_by_shard: dict[int, dict[str, int]] = {}
-            for h, n in admitted_n.items():
-                if n:
-                    consume_by_shard.setdefault(
-                        scheduler_shard_of(h, cfg.n_sched_shards), {}
-                    )[h] = n
-            ray.get(
-                [self.sched[i].consume.remote(d) for i, d in consume_by_shard.items()]
-            )
-
-            # 2. admission (per-host top-budget by priority). Hosts whose
-            # pending fits their budget are admitted wholesale with a plain
-            # map (no shuffle); only over-budget hosts — the skewed/hot ones
-            # — pay the groupby(host) rank. At wide-open politeness the whole
-            # epoch is shuffle-free.
-            over = {h for h in hosts if pending_n[h] > budgets.get(h, 0)}
-            gated_path = os.path.join(self._epoch_dir(e), "gated")
-            def _robots_filter(t, _s=_seed):
+            def _robots_filter(t, _s=_seed, _count=False, _ctr=self.counters):
                 mask = pa.array(
                     [
                         robots_allows(u, robots_rules(h, _s))
@@ -348,57 +259,196 @@ class CrawlJob:
                         )
                     ]
                 )
-                return t.filter(mask)
+                ft = t.filter(mask)
+                if _count and ft.num_rows < t.num_rows:
+                    _ctr.add_many.remote({"robots_skipped": t.num_rows - ft.num_rows})
+                return ft
 
-            if not over:
-                frontier.map_batches(_robots_filter, batch_format="pyarrow").map_batches(
-                    lambda t: t.append_column(
-                        "admitted", pa.array(np.ones(t.num_rows, dtype=bool))
-                    ),
-                    batch_format="pyarrow",
-                ).write_parquet(gated_path)
+            # Fast path: when the per-host burst provably covers the whole
+            # epoch (burst >= total pending rows) and there is no global cap,
+            # admission is the identity for every host — skip the
+            # count/budget executions and the gated parquet round-trip.
+            # Outcome-identical to the slow path, so the sequential
+            # conformance oracle still agrees.
+            fast_path = (
+                cfg.politeness_burst >= total_pending and cfg.epoch_capacity is None
+            )
+            if fast_path:
+                ray.get([sh.tick.remote() for sh in self.sched])
+                admitted_n: dict[str, int] = {}
+                over: set[str] = set()
+                admitted_source = frontier.map_batches(
+                    partial(_robots_filter, _count=True), batch_format="pyarrow"
+                )
+                gated_path = None
+                _t1 = _t2 = _time.perf_counter()
             else:
-                budgets_ref = ray.put(budgets)
-                over_ref = ray.put(over)
+                # 1. politeness budgets (virtual-clock tick + per-host
+                # counts). Counting hosts via map_batches partials avoids a
+                # full shuffle — the combine happens on the tiny per-batch
+                # count frames. Robots rules are evaluated inline (pure
+                # function of (host, seed)); the shard actors' robots cache
+                # is the checkpointed system of record.
+                def _host_counts(t, _s=_seed):
+                    import pandas as _pd
 
-                def _admit(g, _ref=budgets_ref):
-                    return admit_group(g, budgets=ray.get(_ref))
-
-                def _mark_under(t, _over=over_ref):
-                    ov = ray.get(_over)
-                    mask = pa.array([h not in ov for h in t.column("host").to_pylist()])
-                    ft = t.filter(mask)
-                    return ft.append_column(
-                        "admitted", pa.array(np.ones(ft.num_rows, dtype=bool))
+                    hs = t.column("host").to_pylist()
+                    allowed = [
+                        robots_allows(u, robots_rules(h, _s))
+                        for h, u in zip(hs, t.column("url").to_pylist())
+                    ]
+                    df = _pd.DataFrame(
+                        {
+                            "host": hs,
+                            "allowed": allowed,
+                            "utility_tier": t.column("utility_tier").to_pylist(),
+                            "refresh_deadline": t.column("refresh_deadline").to_pylist(),
+                            "crawl_key": t.column("crawl_key").to_pylist(),
+                        }
+                    )
+                    return (
+                        df.sort_values(
+                            ["utility_tier", "refresh_deadline", "crawl_key"],
+                            kind="mergesort",
+                        )
+                        .groupby("host", as_index=False)
+                        .agg(
+                            n=("allowed", "sum"),
+                            n_total=("allowed", "size"),
+                            utility_tier=("utility_tier", "first"),
+                            refresh_deadline=("refresh_deadline", "first"),
+                            crawl_key=("crawl_key", "first"),
+                        )
                     )
 
-                def _keep_over(t, _over=over_ref):
-                    ov = ray.get(_over)
-                    mask = pa.array([h in ov for h in t.column("host").to_pylist()])
-                    return t.filter(mask)
-
-                live = frontier.map_batches(_robots_filter, batch_format="pyarrow")
-                under_ds = live.map_batches(_mark_under, batch_format="pyarrow")
-                over_ds = (
-                    live.map_batches(_keep_over, batch_format="pyarrow")
-                    .groupby("host")
-                    .map_groups(_admit, batch_format="pandas")
+                partial_counts = frontier.map_batches(
+                    _host_counts, batch_format="pyarrow"
+                ).to_pandas()
+                prio = (
+                    partial_counts.sort_values(
+                        ["utility_tier", "refresh_deadline", "crawl_key"],
+                        kind="mergesort",
+                    )
+                    .groupby("host", as_index=False)
+                    .first()[["host", "utility_tier", "refresh_deadline", "crawl_key"]]
                 )
-                under_ds.union(over_ds).write_parquet(gated_path)
-            _t2 = _time.perf_counter()
+                pending = partial_counts.groupby("host", as_index=False)[
+                    ["n", "n_total"]
+                ].sum()
+                robots_skipped = int(pending["n_total"].sum() - pending["n"].sum())
+                if robots_skipped:
+                    ray.get(
+                        self.counters.add_many.remote({"robots_skipped": robots_skipped})
+                    )
+                pending = pending[pending["n"] > 0]
+                if int(pending["n"].sum()) == 0:
+                    break
+                _t1 = _time.perf_counter()
+                hosts = pending["host"].tolist()
+                by_shard: dict[int, list[str]] = {}
+                for h in hosts:
+                    by_shard.setdefault(
+                        scheduler_shard_of(h, cfg.n_sched_shards), []
+                    ).append(h)
+                ray.get([sh.tick.remote() for sh in self.sched])
+                budget_parts = ray.get(
+                    [self.sched[i].budgets.remote(hs) for i, hs in by_shard.items()]
+                )
+                # populate + checkpoint the robots caches for this epoch's hosts
+                ray.get([self.sched[i].robots.remote(hs) for i, hs in by_shard.items()])
+                budgets: dict[str, int] = {}
+                for part in budget_parts:
+                    budgets.update(part)
+                pending_n = dict(zip(pending["host"], pending["n"]))
+                admitted_n = {
+                    h: min(int(pending_n[h]), budgets.get(h, 0)) for h in hosts
+                }
+                if cfg.epoch_capacity is not None:
+                    # the priority heap: serve hosts in (tier, deadline, key)
+                    # order until the global epoch fetch budget is spent
+                    order = prio[prio["host"].isin(set(hosts))].sort_values(
+                        ["utility_tier", "refresh_deadline", "crawl_key"],
+                        kind="mergesort",
+                    )["host"].tolist()
+                    remaining = cfg.epoch_capacity
+                    capped = {}
+                    for h in order:
+                        take = min(admitted_n.get(h, 0), remaining)
+                        capped[h] = take
+                        remaining -= take
+                    admitted_n = capped
+                    budgets = admitted_n  # effective per-host budget this epoch
+                consume_by_shard: dict[int, dict[str, int]] = {}
+                for h, n in admitted_n.items():
+                    if n:
+                        consume_by_shard.setdefault(
+                            scheduler_shard_of(h, cfg.n_sched_shards), {}
+                        )[h] = n
+                ray.get(
+                    [self.sched[i].consume.remote(d) for i, d in consume_by_shard.items()]
+                )
+
+                # 2. admission (per-host top-budget by priority). Hosts whose
+                # pending fits their budget are admitted wholesale with a
+                # plain map (no shuffle); only over-budget hosts — the
+                # skewed/hot ones — pay the groupby(host) rank.
+                over = {h for h in hosts if pending_n[h] > budgets.get(h, 0)}
+                gated_path = os.path.join(self._epoch_dir(e), "gated")
+                if not over:
+                    frontier.map_batches(
+                        _robots_filter, batch_format="pyarrow"
+                    ).map_batches(
+                        lambda t: t.append_column(
+                            "admitted", pa.array(np.ones(t.num_rows, dtype=bool))
+                        ),
+                        batch_format="pyarrow",
+                    ).write_parquet(gated_path)
+                else:
+                    budgets_ref = ray.put(budgets)
+                    over_ref = ray.put(over)
+
+                    def _admit(g, _ref=budgets_ref):
+                        return admit_group(g, budgets=ray.get(_ref))
+
+                    def _mark_under(t, _over=over_ref):
+                        ov = ray.get(_over)
+                        mask = pa.array(
+                            [h not in ov for h in t.column("host").to_pylist()]
+                        )
+                        ft = t.filter(mask)
+                        return ft.append_column(
+                            "admitted", pa.array(np.ones(ft.num_rows, dtype=bool))
+                        )
+
+                    def _keep_over(t, _over=over_ref):
+                        ov = ray.get(_over)
+                        mask = pa.array([h in ov for h in t.column("host").to_pylist()])
+                        return t.filter(mask)
+
+                    live = frontier.map_batches(_robots_filter, batch_format="pyarrow")
+                    under_ds = live.map_batches(_mark_under, batch_format="pyarrow")
+                    over_ds = (
+                        live.map_batches(_keep_over, batch_format="pyarrow")
+                        .groupby("host")
+                        .map_groups(_admit, batch_format="pandas")
+                    )
+                    under_ds.union(over_ds).write_parquet(gated_path)
+                admitted_source = (
+                    rd.read_parquet(gated_path)
+                    .filter(expr="admitted")
+                    .drop_columns(["admitted"])
+                )
+                _t2 = _time.perf_counter()
 
             # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e).
-            # The gated frontier is tiny in bytes, so a 128 MiB-block read
-            # yields ONE block and the whole fused fetch chain would run as a
-            # single task; repartition splits it so the fetch stage actually
-            # fans out. (At 10^10-frontier scale the epoch already arrives as
-            # many blocks and this becomes a cheap no-op coalesce bound.)
+            # The frontier is tiny in bytes, so a 128 MiB-block read yields
+            # ONE block and the whole fused fetch chain would run as a single
+            # task; repartition splits it so the fetch stage actually fans
+            # out. (At 10^10-frontier scale the epoch already arrives as many
+            # blocks and this becomes a cheap no-op coalesce bound.)
             n_fetch_blocks = max(total_cpus * 4, 8)
             admitted = (
-                rd.read_parquet(gated_path)
-                .filter(expr="admitted")
-                .drop_columns(["admitted"])
-                .repartition(n_fetch_blocks)
+                admitted_source.repartition(n_fetch_blocks)
                 .map_batches(
                     partial(add_hash_columns, salt=cfg.hash_salt),
                     batch_format="pyarrow",
@@ -485,9 +535,9 @@ class CrawlJob:
             self._checkpoint(e, {"budgets": {k: int(v) for k, v in admitted_n.items()}})
             if _dbg:
                 print(
-                    f"[epoch {e}] budgets={_t1-_t0:.1f}s admit={_t2-_t1:.1f}s "
+                    f"[epoch {e}] gate={_t2-_t0:.1f}s "
                     f"fetch+parse+write={_t3-_t2:.1f}s frontier={_t4-_t3:.1f}s "
-                    f"ckpt={_time.perf_counter()-_t4:.1f}s",
+                    f"ckpt={_time.perf_counter()-_t4:.1f}s fast={fast_path}",
                     file=sys.stderr,
                 )
             e += 1

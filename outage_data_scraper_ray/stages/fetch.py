@@ -138,6 +138,33 @@ class FetchParseStage:
             )
 
         doc_ids = [f"d{h:016x}" for h in hashes]
+        # columnar span construction: flat field arrays + offsets ->
+        # ListArray.from_arrays is several times faster than letting Arrow
+        # introspect a list-of-list-of-dicts
+        flat_kind: list[str] = []
+        flat_text: list[str] = []
+        flat_media: list[str] = []
+        flat_off: list[int] = []
+        lengths = np.empty(len(all_spans) + 1, dtype=np.int32)
+        lengths[0] = 0
+        for i, spans in enumerate(all_spans):
+            lengths[i + 1] = lengths[i] + len(spans)
+            for sp in spans:
+                flat_kind.append(sp["kind"])
+                flat_text.append(sp["text"])
+                flat_media.append(sp["media_ref"])
+                flat_off.append(sp["offset"])
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_kind, pa.string()),
+                pa.array(flat_text, pa.string()),
+                pa.array(flat_media, pa.string()),
+                pa.array(flat_off, pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        span_col = pa.ListArray.from_arrays(pa.array(lengths, pa.int32()), span_struct)
+
         cols: dict[str, Any] = {
             "doc_id": pa.array(doc_ids, type=pa.string()),
             "url": batch.column("url"),
@@ -149,7 +176,7 @@ class FetchParseStage:
             "refresh_deadline": batch.column("refresh_deadline"),
             "status": pa.array(statuses, type=pa.int32()),
             "reason": pa.array(reasons, type=pa.string()),
-            "spans": pa.array(all_spans, type=pa.list_(SPAN_STRUCT)),
+            "spans": span_col,
             "child_urls": pa.array(all_children, type=pa.list_(pa.string())),
         }
         return pa.table(cols)
