@@ -263,7 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         workdir = "/tmp/odsr_gate_level"
         shutil.rmtree(workdir, ignore_errors=True)
         job = CrawlJob(
-            CrawlConfig(n_seeds=24, workdir=workdir, max_epochs=6,
+            CrawlConfig(n_seeds=90, workdir=workdir, max_epochs=6,
                         politeness_rate=16.0, politeness_burst=16.0, failure_rate=0.0)
         )
         job.run()
@@ -272,7 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def flagship_outage_e2e(sf_dir: str):
         from outage_data_scraper_ray.pipelines.poll import flagship_outage_pipeline
 
-        return flagship_outage_pipeline("/tmp/odsr_gate_flagship", n_seeds=24, rounds=3)
+        return flagship_outage_pipeline("/tmp/odsr_gate_flagship", n_seeds=90, rounds=3)
 
     out.update(
         {

@@ -271,8 +271,6 @@ FROM agg
 # J1: broadcast small-side lookup join (pipeline.py:62 + ga_mapping.json)
 
 def broadcast_lookup(sf_dir: str) -> rd.Dataset:
-    import duckdb  # only to load the tiny dimension table deterministically
-
     nation = (
         _read(sf_dir, "nation").to_pandas().set_index("n_nationkey")["n_name"].to_dict()
     )
