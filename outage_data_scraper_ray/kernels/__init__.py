@@ -167,6 +167,48 @@ def parse_shellout(bodies, emc, ts, url):
     return spans, []
 
 
+def parse_shellout11(bodies, emc, ts, url):
+    """Full ShellOut triple (Scraper11, ga_scraper.py:742-804):
+    per_substation rows.subs with the two-column nonzero filter,
+    per_county rows with out != 0, per_outage markers of the LAST area dict
+    that has any (the reference overwrites per_outage_df per loop
+    iteration), guarded zip extraction, isHighTraffic/updateTime carried
+    onto every marker row."""
+    spans, off = [], 0
+    subs = json.loads(bodies["per_substation"].decode("utf8"))["rows"]["subs"]
+    for rec in subs:
+        if (
+            rec["SubTotalConsumersOut"] != 0
+            or rec["SubTotalMetersAffectedByDeviceOutages"] != 0
+        ):
+            spans.append(span("per_substation", finish(dict(rec), ts, emc), off))
+            off += 1
+    rows_ = json.loads(bodies["per_county"].decode("utf8"))["rows"]
+    for rec in rows_:
+        if rec["out"] != 0:
+            spans.append(span("per_county", finish(dict(rec), ts, emc), off))
+            off += 1
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    last = None
+    for k, v in val.items():
+        if isinstance(v, dict) and v["markers"]:
+            last = v
+    if last is not None:
+        pts = [(m["lat"], m["lon"]) for m in last["markers"]]
+        zips = zips_for_points(pts)
+        for m, z in zip(last["markers"], zips):
+            rec = dict(m)
+            rec["service_index_name"] = last["service_index_name"]
+            rec["outages"] = last["outages"]
+            rec["NumConsumers"] = last["stats"]["NumConsumers"]
+            rec["zip_code"] = z
+            rec["isHighTraffic"] = val["isHighTraffic"]
+            rec["updateTime"] = val["timestamp"]
+            spans.append(span("per_outage", finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
 def parse_domtable(bodies, emc, ts, url):
     """DOM HTML table (M11/M16, ga_scraper.py:614-645): blank-header columns
     dropped, rows with empty cells dropped, '# Out' != '0' string filter."""
@@ -308,6 +350,7 @@ KERNELS: dict[str, Kernel] = {
     "epochms": parse_epochms,
     "polygons": parse_polygons,
     "shellout": parse_shellout,
+    "shellout11": parse_shellout11,
     "domtable": parse_domtable,
     "arcgis": parse_arcgis,
     "prejson": parse_prejson,

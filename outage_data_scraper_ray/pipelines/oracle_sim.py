@@ -188,6 +188,45 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         _df_spans(sdf, "per_emc", spans)
         return spans, []
 
+    if layout == "shellout11":
+        subs = json.loads(bodies["per_substation"].decode())["rows"]["subs"]
+        df = pd.DataFrame(subs)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        df = df[
+            (df["SubTotalConsumersOut"] != 0)
+            | (df["SubTotalMetersAffectedByDeviceOutages"] != 0)
+        ]
+        _df_spans(df, "per_substation", spans)
+        rows_ = json.loads(bodies["per_county"].decode())["rows"]
+        df = pd.DataFrame(rows_)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        df = df[df["out"] != 0]
+        _df_spans(df, "per_county", spans)
+        val = json.loads(bodies["per_outage"].decode())
+        per_outage = pd.DataFrame()
+        for _k, v in val.items():
+            if isinstance(v, dict) and v["markers"]:
+                df = pd.DataFrame(v["markers"])
+                df["service_index_name"] = v["service_index_name"]
+                df["outages"] = v["outages"]
+                df["NumConsumers"] = v["stats"]["NumConsumers"]
+                if len(df["lat"]) < 10:
+                    df["zip_code"] = df.apply(
+                        lambda r: synth_zipcode(r["lat"], r["lon"]), axis=1
+                    )
+                else:
+                    df["zip_code"] = ZIP_SENTINEL
+                per_outage = df
+        if len(per_outage):
+            per_outage["isHighTraffic"] = val["isHighTraffic"]
+            per_outage["updateTime"] = val["timestamp"]
+            per_outage["timestamp"] = ts
+            per_outage["EMC"] = emc
+        _df_spans(per_outage, "per_outage", spans)
+        return spans, []
+
     if layout == "domtable":
         html = bodies["per_county"].decode()
         root = ET.fromstring(html)

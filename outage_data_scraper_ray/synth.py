@@ -67,6 +67,7 @@ _CELLS: list[tuple[str, str]] = [
     ("tn", "domtable"), ("tn", "incidents"),
     ("nc", "domtable"), ("sc", "nisc"), ("al", "asmx"),
     ("la", "alloutages"), ("ms", "polygons"), ("ms", "singlevalue"),
+    ("ga", "shellout11"), ("tx", "shellout11"),
 ]
 
 
@@ -123,6 +124,11 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     "epochms": [("per_outage", "outages")],
     "polygons": [("per_outage", "report.json")],
     "shellout": [("shellout", "ShellOut.aspx")],
+    "shellout11": [
+        ("per_substation", "ajax/ajaxShellOut.php?target=cfa_substation_data"),
+        ("per_county", "ajax/ajaxShellOut.php?target=cfa_county_data"),
+        ("per_outage", "ajax/ajaxShellOut.php?target=cfa_device_markers"),
+    ],
     "domtable": [("per_county", "outages/table")],
     "arcgis": [("per_outage", "FeatureServer/0/query")],
     "prejson": [("per_outage", "outages.json")],
@@ -340,6 +346,51 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
                 },
             }
         ).encode()
+
+    if layout == "shellout11":
+        if key == "per_substation":
+            subs = [
+                {
+                    "SubName": f"SUB-{int(rng.integers(1, 99))}",
+                    "SubTotalConsumersOut": int(rng.integers(0, 3) * rng.integers(0, 60)),
+                    "SubTotalMetersAffectedByDeviceOutages": int(
+                        rng.integers(0, 2) * rng.integers(0, 20)
+                    ),
+                }
+                for _ in range(max(1, n // 2))
+            ]
+            return json.dumps({"rows": {"subs": subs}}).encode()
+        if key == "per_county":
+            rows_ = [
+                {
+                    "name": county(0),
+                    "out": int(rng.integers(0, 3) * rng.integers(0, 40)),
+                    "served": int(rng.integers(200, 9000)),
+                }
+                for _ in range(max(1, n // 2))
+            ]
+            return json.dumps({"rows": rows_}).encode()
+        # per_outage: dict areas; the reference keeps the LAST area with
+        # markers (ga_scraper.py:792 overwrites per_outage_df per loop)
+        payload: dict[str, Any] = {
+            "isHighTraffic": bool(rng.random() < 0.1),
+            "timestamp": "2023-10-05T07:55:00",
+        }
+        for j in range(int(rng.integers(1, 3))):
+            markers = [
+                {
+                    "lat": round(30 + 5 * rng.random(), 6),
+                    "lon": round(-85 + 4 * rng.random(), 6),
+                }
+                for _ in range(int(rng.integers(0, max(2, n))))
+            ]
+            payload[f"area{j}"] = {
+                "markers": markers,
+                "service_index_name": f"district_{j}",
+                "outages": len(markers),
+                "stats": {"NumConsumers": int(rng.integers(1000, 90000))},
+            }
+        return json.dumps(payload).encode()
 
     if layout == "domtable":
         hdr = "<tr><th>County</th><th># Out</th><th>Served</th><th></th></tr>"

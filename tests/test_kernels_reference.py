@@ -170,3 +170,26 @@ def test_scraper4_kubra_area_matches_reference(ga_scraper):
     want = _df_to_records(ref["per_county"])
     got, _ = KERNELS["kubra_report"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, child)
     assert [s["text"] for s in got] == want
+
+
+def test_scraper11_shellout_matches_reference(ga_scraper):
+    """Scraper11 (full ShellOut triple incl. the last-area-wins quirk and
+    the two-column substation filter) vs our shellout11 kernel."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("shellout11")
+    bodies = web.fetch(row["url"], "shellout11")
+    payload = {k: json.loads(v) for k, v in bodies.items()}
+
+    sc = ga_scraper.Scraper11.__new__(ga_scraper.Scraper11)
+    ga_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    sc.fetch = lambda: dict(payload)
+    ref = sc.parse()
+
+    want = (
+        _df_to_records(ref["per_substation"])
+        + _df_to_records(ref["per_county"])
+        + _df_to_records(ref["per_outage"])
+    )
+    got, _ = KERNELS["shellout11"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
