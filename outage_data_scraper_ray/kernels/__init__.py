@@ -119,32 +119,46 @@ def parse_kubra_report(bodies, emc, ts, url):
 
 
 def parse_epochms(bodies, emc, ts, url):
-    """Epoch-ms outage list (ga_scraper.py:443-479): ms -> datetime strings
-    (M8), guarded zip extraction (M15)."""
+    """Epoch-ms outage list (Scraper5, ga_scraper.py:443-479): ms -> datetime
+    strings (M8), guarded zip extraction (M15). Column order follows the
+    reference exactly: [...original, timestamp, EMC, zip_code]."""
     out = json.loads(bodies["per_outage"].decode("utf8"))
     pts = [(o["latitude"], o["longitude"]) for o in out]
     zips = zips_for_points(pts)
     spans = []
     for i, (o, z) in enumerate(zip(out, zips)):
         rec = dict(o)
+        rec["timestamp"] = ts
         rec["startTime"] = epoch_ms_to_str(rec["startTime"])
         rec["lastUpdatedTime"] = epoch_ms_to_str(rec["lastUpdatedTime"])
-        rec["zip"] = z
-        spans.append(span("per_outage", finish(rec, ts, emc), i))
+        rec["EMC"] = emc
+        rec["zip_code"] = z
+        spans.append(span("per_outage", rec, i))
     return spans, []
 
 
 def parse_polygons(bodies, emc, ts, url):
-    """reportData polygons (ga_scraper.py:486-510, ms_scraper.py:65-74):
-    affected > 0 filter, report id -> level classification."""
+    """reportData polygons + outageData outages (Scraper6,
+    ga_scraper.py:486-510; ms_scraper.py:65-74): affected > 0 filter, report
+    id -> level classification. The reference appends EMC BEFORE timestamp
+    here (ga_scraper.py:494-495) — preserved exactly."""
     val = json.loads(bodies["per_outage"].decode("utf8"))
     spans, off = [], 0
+
+    def _emc_first(rec):
+        rec["EMC"] = emc
+        rec["timestamp"] = ts
+        return rec
+
     for report in val["reportData"]["reports"]:
         kind = "per_county" if report["id"] == "County" else "per_zipcode"
         for p in report["polygons"]:
             if p["affected"] > 0:
-                spans.append(span(kind, finish(dict(p), ts, emc), off))
+                spans.append(span(kind, _emc_first(dict(p)), off))
                 off += 1
+    for o in val["outageData"]["outages"]:
+        spans.append(span("per_outage", _emc_first(dict(o)), off))
+        off += 1
     return spans, []
 
 

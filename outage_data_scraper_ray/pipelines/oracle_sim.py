@@ -146,12 +146,13 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         out = json.loads(bodies["per_outage"].decode())
         df = pd.DataFrame(out)
         if len(df):
-            df["startTime"] = pd.to_datetime(df["startTime"], unit="ms").astype(str)
-            df["lastUpdatedTime"] = pd.to_datetime(df["lastUpdatedTime"], unit="ms").astype(str)
-            pts = list(zip(df["latitude"], df["longitude"]))
-            df["zip"] = _guarded_zips(pts)
             df["timestamp"] = ts
+            df[["startTime", "lastUpdatedTime"]] = df[
+                ["startTime", "lastUpdatedTime"]
+            ].apply(pd.to_datetime, unit="ms").astype(str)
             df["EMC"] = emc
+            pts = list(zip(df["latitude"], df["longitude"]))
+            df["zip_code"] = _guarded_zips(pts)
         _df_spans(df, "per_outage", spans)
         return spans, []
 
@@ -161,10 +162,15 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
             kind = "per_county" if report["id"] == "County" else "per_zipcode"
             df = pd.DataFrame(report["polygons"])
             if len(df):
-                df = df[df["affected"] > 0]
-                df["timestamp"] = ts
                 df["EMC"] = emc
+                df["timestamp"] = ts
+                df = df[df["affected"] > 0]
             _df_spans(df, kind, spans)
+        odf = pd.DataFrame(val["outageData"]["outages"])
+        if len(odf):
+            odf["EMC"] = emc
+            odf["timestamp"] = ts
+        _df_spans(odf, "per_outage", spans)
         return spans, []
 
     if layout == "shellout":

@@ -324,7 +324,18 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
                 for _ in range(max(1, n // 2))
             ]
             reports.append({"id": rid, "polygons": polys})
-        return json.dumps({"reportData": {"reports": reports}}).encode()
+        outages = [
+            {
+                "id": f"G{int(rng.integers(10**5, 10**6))}",
+                "numPeople": int(rng.integers(1, 80)),
+                "latitude": round(30 + 5 * rng.random(), 6),
+                "longitude": round(-85 + 4 * rng.random(), 6),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(
+            {"reportData": {"reports": reports}, "outageData": {"outages": outages}}
+        ).encode()
 
     if layout == "shellout":
         markers = [

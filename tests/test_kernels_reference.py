@@ -193,3 +193,98 @@ def test_scraper11_shellout_matches_reference(ga_scraper):
     )
     got, _ = KERNELS["shellout11"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+def test_scraper5_epochms_matches_reference(ga_scraper):
+    """Scraper5 (epoch-ms list): column order [..., timestamp, EMC, zip_code]
+    and in-place ms->datetime conversion."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("epochms")
+    bodies = web.fetch(row["url"], "epochms")
+    sc = ga_scraper.Scraper5(row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["epochms"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_scraper6_polygons_matches_reference(ga_scraper):
+    """Scraper6 (reportData polygons + outageData outages): EMC added BEFORE
+    timestamp, affected>0 filter, per_outage tail."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("polygons")
+    bodies = web.fetch(row["url"], "polygons")
+    sc = ga_scraper.Scraper6(row["url"], row["emc"])
+    sc.fetch = lambda: {"payload": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = (
+        _df_to_records(ref["per_county"])
+        + _df_to_records(ref["per_zipcode"])
+        + _df_to_records(ref["per_outage"])
+    )
+    got, _ = KERNELS["polygons"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def _mini_xmltodict(body):
+    """Functional xmltodict.parse stand-in (repeated tags -> list, single ->
+    dict, leaves -> text), sufficient for the asmx payload shapes."""
+    import xml.etree.ElementTree as ET
+
+    def conv(el):
+        kids = list(el)
+        if not kids:
+            return el.text
+        d = {}
+        for k in kids:
+            v = conv(k)
+            if k.tag in d:
+                if not isinstance(d[k.tag], list):
+                    d[k.tag] = [d[k.tag]]
+                d[k.tag].append(v)
+            else:
+                d[k.tag] = v
+        return d
+
+    if isinstance(body, bytes):
+        body = body.decode("utf8")
+    root = ET.fromstring(body)
+    return {root.tag: conv(root)}
+
+
+def test_scraper3_asmx_matches_reference(ga_scraper):
+    """Scraper3 (asmx XML services) with a functional xmltodict stub: the
+    CustomersAffected != '0' string filter and Shape drop."""
+    ga_scraper.xmltodict.parse = _mini_xmltodict
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    # pick a seed whose payloads have >= 2 counties and >= 2 outages (a
+    # single repeated tag degrades to a dict, which crashes the reference
+    # DataFrame call — out of scope)
+    seeds = [s for s in make_seed_registry(600, 42).to_pylist() if s["layout"] == "asmx"]
+    for row in seeds:
+        bodies = web.fetch(row["url"], "asmx")
+        outages = _mini_xmltodict(bodies["per_outage"])["MobileOutageInfo"]["Outages"]
+        counties = _mini_xmltodict(bodies["per_county"])["ArrayOfMobileCounty"]["MobileCounty"]
+        if (
+            isinstance(outages, dict)
+            and isinstance(outages.get("MobileOutage"), list)
+            and isinstance(counties, list)
+        ):
+            break
+    else:
+        pytest.skip("no asmx seed with multi-row payloads")
+
+    sc = ga_scraper.Scraper3(row["url"], row["emc"])
+
+    def _fetch():
+        raw = {}
+        raw["per_county"] = counties
+        raw["per_outage"] = outages
+        return raw
+
+    sc.fetch = _fetch
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["asmx"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
