@@ -258,30 +258,74 @@ def parse_arcgis(bodies, emc, ts, url):
 
 
 def parse_prejson(bodies, emc, ts, url):
-    """pre-tag JSON (fl_scraper.py:39-53): 'Customers Out' != '0' string
-    filter (M3 string variant) + summary totals extraction (M18,
-    fl_scraper.py:63-84: one per_emc row from summaryFileData.totals[0])."""
-    val = json.loads(bodies["per_outage"].decode("utf8"))
+    """pre-tag JSON (fl Scraper1, fl_scraper.py:29-53): per_county rows with
+    the 'Customers Out' != '0' string filter (M3 string variant)."""
+    val = json.loads(bodies["per_county"].decode("utf8"))
     spans, off = [], 0
-    totals = val["summaryFileData"]["totals"][0]
-    spans.append(span("per_emc", finish(dict(totals), ts, emc), off))
-    off += 1
     for o in val["outages"]:
         if o["Customers Out"] != "0":
-            spans.append(span("per_outage", finish(dict(o), ts, emc), off))
+            spans.append(span("per_county", finish(dict(o), ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_summarytotals(bodies, emc, ts, url):
+    """Summary totals (M18, fl Scraper2, fl_scraper.py:56-102): one per_city
+    row projected+renamed from summaryFileData.totals[0] with the
+    total_cust_a {val:...} unwrap."""
+    val = json.loads(bodies["per_city"].decode("utf8"))
+    sfd = val["summaryFileData"]
+    t = sfd["totals"][0]
+    rec = {
+        "total_customers_served": t["total_cust_s"],
+        "total_outages": t["total_outages"],
+        "total_customers_affected": t["total_cust_a"]["val"],
+        "data_generated": sfd["date_generated"],
+    }
+    return [span("per_city", finish(rec, ts, emc), 0)], []
+
+
+def parse_prejson_list(bodies, emc, ts, url):
+    """pre-tag JSON list (fl Scraper3, fl_scraper.py:104-158): explicit
+    column projection with numPeople -> peopleAffected rename and the
+    peopleAffected != 0 int filter."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans, off = [], 0
+    for o in val:
+        rec = {
+            "id": o["id"],
+            "createdDate": o["createdDate"],
+            "lastUpdated": o["lastUpdated"],
+            "startDate": o["startDate"],
+            "peopleAffected": o["numPeople"],
+            "latitude": o["latitude"],
+            "longitude": o["longitude"],
+        }
+        if rec["peopleAffected"] != 0:
+            spans.append(span("per_outage", finish(rec, ts, emc), off))
             off += 1
     return spans, []
 
 
 def parse_eshits(bodies, emc, ts, url):
-    """Elasticsearch hits (fl_scraper.py:208-259): hits.hits[*]._source
-    flatten with _id carried along (M5)."""
+    """Elasticsearch hits (fl Scraper5, fl_scraper.py:208-259): every
+    sniffed response object contributes hits.hits[*], projected to the
+    reference's fixed field subset."""
     val = json.loads(bodies["per_outage"].decode("utf8"))
     spans, off = [], 0
-    for h in val[0]["hits"]["hits"]:
-        rec = {"id": h["_id"], **h["_source"]}
-        spans.append(span("per_outage", finish(rec, ts, emc), off))
-        off += 1
+    for obj in val:
+        for h in obj["hits"]["hits"]:
+            src = h["_source"]
+            rec = {
+                "id": h["_id"],
+                "customerCount": src["customerCount"],
+                "estimatedTimeOfRestoration": src["estimatedTimeOfRestoration"],
+                "reason": src["reason"],
+                "status": src["status"],
+                "updateTime": src["updateTime"],
+            }
+            spans.append(span("per_outage", finish(rec, ts, emc), off))
+            off += 1
     return spans, []
 
 
@@ -368,6 +412,8 @@ KERNELS: dict[str, Kernel] = {
     "domtable": parse_domtable,
     "arcgis": parse_arcgis,
     "prejson": parse_prejson,
+    "summarytotals": parse_summarytotals,
+    "prejson_list": parse_prejson_list,
     "eshits": parse_eshits,
     "regionsets": parse_regionsets,
     "incidents": parse_incidents,

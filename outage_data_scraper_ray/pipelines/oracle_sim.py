@@ -271,14 +271,51 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         return spans, []
 
     if layout == "prejson":
-        val = json.loads(bodies["per_outage"].decode())
-        tdf = pd.DataFrame(val["summaryFileData"]["totals"])
-        tdf["timestamp"] = ts
-        tdf["EMC"] = emc
-        _df_spans(tdf, "per_emc", spans)
+        val = json.loads(bodies["per_county"].decode())
         df = pd.DataFrame(val["outages"])
         if len(df):
             df = df[df["Customers Out"] != "0"]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_county", spans)
+        return spans, []
+
+    if layout == "summarytotals":
+        val = json.loads(bodies["per_city"].decode())
+        sfd = val["summaryFileData"]
+        df = pd.DataFrame(
+            [
+                [
+                    sfd["totals"][0]["total_cust_s"],
+                    sfd["totals"][0]["total_outages"],
+                    sfd["totals"][0]["total_cust_a"]["val"],
+                    sfd["date_generated"],
+                ]
+            ],
+            columns=[
+                "total_customers_served", "total_outages",
+                "total_customers_affected", "data_generated",
+            ],
+        )
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_city", spans)
+        return spans, []
+
+    if layout == "prejson_list":
+        val = json.loads(bodies["per_outage"].decode())
+        rows_ = [
+            [o["id"], o["createdDate"], o["lastUpdated"], o["startDate"],
+             o["numPeople"], o["latitude"], o["longitude"]]
+            for o in val
+        ]
+        df = pd.DataFrame(
+            rows_,
+            columns=["id", "createdDate", "lastUpdated", "startDate",
+                     "peopleAffected", "latitude", "longitude"],
+        )
+        if len(df):
+            df = df[df["peopleAffected"] != 0]
             df["timestamp"] = ts
             df["EMC"] = emc
         _df_spans(df, "per_outage", spans)
@@ -286,9 +323,20 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
 
     if layout == "eshits":
         val = json.loads(bodies["per_outage"].decode())
-        hits = val[0]["hits"]["hits"]
-        recs = [{"id": h["_id"], **h["_source"]} for h in hits]
-        df = pd.DataFrame(recs)
+        recs = []
+        for obj in val:
+            for h in obj["hits"]["hits"]:
+                recs.append(
+                    {
+                        "id": h["_id"],
+                        "customerCount": h["_source"]["customerCount"],
+                        "estimatedTimeOfRestoration": h["_source"]["estimatedTimeOfRestoration"],
+                        "reason": h["_source"]["reason"],
+                        "status": h["_source"]["status"],
+                        "updateTime": h["_source"]["updateTime"],
+                    }
+                )
+        df = pd.DataFrame.from_records(recs)
         df["timestamp"] = ts
         df["EMC"] = emc
         _df_spans(df, "per_outage", spans)

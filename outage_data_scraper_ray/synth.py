@@ -68,6 +68,7 @@ _CELLS: list[tuple[str, str]] = [
     ("nc", "domtable"), ("sc", "nisc"), ("al", "asmx"),
     ("la", "alloutages"), ("ms", "polygons"), ("ms", "singlevalue"),
     ("ga", "shellout11"), ("tx", "shellout11"),
+    ("fl", "summarytotals"), ("fl", "prejson_list"),
 ]
 
 
@@ -131,7 +132,9 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     ],
     "domtable": [("per_county", "outages/table")],
     "arcgis": [("per_outage", "FeatureServer/0/query")],
-    "prejson": [("per_outage", "outages.json")],
+    "prejson": [("per_county", "outages.json")],
+    "summarytotals": [("per_city", "summary.json")],
+    "prejson_list": [("per_outage", "outages_list.json")],
     "eshits": [("per_outage", "es/_search")],
     "regionsets": [("per_region", "regions.json")],
     "incidents": [("per_district", "incidents"), ("per_outage", "outage-details")],
@@ -443,30 +446,56 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
             }
             for _ in range(n)
         ]
+        return json.dumps({"outages": outs}).encode()
+
+    if layout == "summarytotals":
         totals = {
-            "customersOut": sum(int(o["Customers Out"]) for o in outs),
-            "customersServed": int(rng.integers(10_000, 90_000)),
-            "outageCount": len(outs),
+            "total_cust_s": int(rng.integers(10_000, 90_000)),
+            "total_outages": int(rng.integers(0, 40)),
+            "total_cust_a": {"val": int(rng.integers(0, 900))},
         }
         return json.dumps(
-            {"summaryFileData": {"totals": [totals]}, "outages": outs}
+            {
+                "summaryFileData": {
+                    "totals": [totals],
+                    "date_generated": "2023-10-05T07:59:00",
+                }
+            }
         ).encode()
 
-    if layout == "eshits":
-        hits = [
+    if layout == "prejson_list":
+        outs = [
             {
-                "_id": f"E{int(rng.integers(10**5, 10**6))}",
-                "_source": {
-                    "customerCount": int(rng.integers(1, 80)),
-                    "estimatedTimeOfRestoration": "2023-10-05T10:00:00",
-                    "reason": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
-                    "status": "Crew dispatched",
-                    "updateTime": "2023-10-05T08:00:00",
-                },
+                "id": f"L{int(rng.integers(10**5, 10**6))}",
+                "createdDate": "2023-10-05T06:00:00",
+                "lastUpdated": "2023-10-05T07:30:00",
+                "startDate": "2023-10-05T05:45:00",
+                "numPeople": int(rng.integers(0, 3) * rng.integers(0, 40)),
+                "latitude": round(27 + 3 * rng.random(), 6),
+                "longitude": round(-82 + 2 * rng.random(), 6),
             }
             for _ in range(n)
         ]
-        return json.dumps([{"hits": {"hits": hits}}]).encode()
+        return json.dumps(outs).encode()
+
+    if layout == "eshits":
+        objs = []
+        for _ in range(int(rng.integers(1, 4))):  # several sniffed XHRs
+            hits = [
+                {
+                    "_id": f"E{int(rng.integers(10**5, 10**6))}",
+                    "_source": {
+                        "customerCount": int(rng.integers(1, 80)),
+                        "estimatedTimeOfRestoration": "2023-10-05T10:00:00",
+                        "reason": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                        "status": "Crew dispatched",
+                        "updateTime": "2023-10-05T08:00:00",
+                    },
+                }
+                for _ in range(int(rng.integers(0, max(2, n // 2))))
+            ]
+            objs.append({"hits": {"hits": hits}})
+        return json.dumps(objs).encode()
 
     if layout == "regionsets":
         sets = [

@@ -288,3 +288,75 @@ def test_scraper3_asmx_matches_reference(ga_scraper):
     want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_outage"])
     got, _ = KERNELS["asmx"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+@pytest.fixture(scope="module")
+def fl_scraper(ga_scraper):
+    """fl_scraper shares ga_scraper's stubbed import environment."""
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.fl_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def _fl_instance(fl_scraper, cls_name, row):
+    import types as _types
+
+    cls = getattr(fl_scraper, cls_name)
+    sc = cls.__new__(cls)
+    fl_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    return sc
+
+
+def test_fl_scraper1_prejson_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("prejson")
+    bodies = web.fetch(row["url"], "prejson")
+    sc = _fl_instance(fl_scraper, "Scraper1", row)
+    sc.fetch = lambda: {"per_county": json.loads(bodies["per_county"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["prejson"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_fl_scraper2_summarytotals_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("summarytotals")
+    bodies = web.fetch(row["url"], "summarytotals")
+    sc = _fl_instance(fl_scraper, "Scraper2", row)
+    sc.fetch = lambda: {"per_city": json.loads(bodies["per_city"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_city"])
+    got, _ = KERNELS["summarytotals"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_fl_scraper3_prejson_list_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("prejson_list")
+    bodies = web.fetch(row["url"], "prejson_list")
+    sc = _fl_instance(fl_scraper, "Scraper3", row)
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["prejson_list"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_fl_scraper5_eshits_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("eshits")
+    bodies = web.fetch(row["url"], "eshits")
+    sc = _fl_instance(fl_scraper, "Scraper5", row)
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["eshits"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
