@@ -345,20 +345,33 @@ def parse_regionsets(bodies, emc, ts, url):
 
 
 def parse_incidents(bodies, emc, ts, url):
-    """TN incidents (tn_scraper.py:113-227): district reshape (M17) +
-    outage details + derived per_county / per_zipcode rollups of
-    customerCount (A3, tn_scraper.py:190-200)."""
+    """TN incidents (tn Scraper5, tn_scraper.py:113-172): district reshape
+    (M17) skipping districts without outage_reported, plus raw
+    outage_points rows."""
+    val = json.loads(bodies["incidents"].decode("utf8"))
     spans, off = [], 0
-    dm = json.loads(bodies["per_district"].decode("utf8"))
-    for d in dm["district_metrics"]:
+    for d in val["district_metrics"]:
+        if "outage_reported" not in d:
+            continue
         rec = {
             "district": d["district"],
-            "custom_qty": d["outage_reported"]["customer_qty"],
-            "incident_qty": d["outage_reported"]["incident_qty"],
+            "custom_qty": d["outage_reported"].get("customer_qty", 0),
+            "incident_qty": d["outage_reported"].get("incident_qty", 0),
         }
         spans.append(span("per_district", finish(rec, ts, emc), off))
         off += 1
+    for o in val["outage_points"]:
+        spans.append(span("per_outage", finish(dict(o), ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_outagedetails(bodies, emc, ts, url):
+    """TN electric-outage-details (tn Scraper7, tn_scraper.py:175-227):
+    detail rows + derived per_county / per_zipcode customerCount rollups
+    (A3; pandas groupby default sort -> sorted keys)."""
     det = json.loads(bodies["per_outage"].decode("utf8"))["electricOutageDetails"]
+    spans, off = [], 0
     for o in det:
         spans.append(span("per_outage", finish(dict(o), ts, emc), off))
         off += 1
@@ -367,7 +380,6 @@ def parse_incidents(bodies, emc, ts, url):
     for o in det:
         county_sum[o["county"]] = county_sum.get(o["county"], 0) + o["customerCount"]
         zip_sum[o["zipcode"]] = zip_sum.get(o["zipcode"], 0) + o["customerCount"]
-    # sorted keys = pandas groupby default sort=True (tn_scraper.py:190-200)
     for c in sorted(county_sum):
         spans.append(span("per_county", finish({"county": c, "customerCount": county_sum[c]}, ts, emc), off))
         off += 1
@@ -388,15 +400,16 @@ def parse_alloutages(bodies, emc, ts, url):
 
 
 def parse_singlevalue(bodies, emc, ts, url):
-    """Single-value DOM scrape (ms_scraper.py:77-103): two text nodes ->
-    one-row table."""
+    """Single-value DOM scrape (ms Scraper10, ms_scraper.py:85-103): two
+    text nodes -> one-row table. NOTE the reference uses lowercase "emc"
+    here (the M2 lowercase variant, SURVEY.md M2)."""
     import re
 
     html = bodies["per_emc"].decode("utf8")
     cur = re.search(r'id="currentOutages">([^<]*)<', html).group(1)
     upd = re.search(r'id="lastUpdated">([^<]*)<', html).group(1)
-    rec = {"currentOutages": cur, "lastUpdated": upd}
-    return [span("per_emc", finish(rec, ts, emc), 0)], []
+    rec = {"currentOutages": cur, "lastUpdated": upd, "timestamp": ts, "emc": emc}
+    return [span("per_emc", rec, 0)], []
 
 
 KERNELS: dict[str, Kernel] = {
@@ -417,6 +430,7 @@ KERNELS: dict[str, Kernel] = {
     "eshits": parse_eshits,
     "regionsets": parse_regionsets,
     "incidents": parse_incidents,
+    "outagedetails": parse_outagedetails,
     "alloutages": parse_alloutages,
     "singlevalue": parse_singlevalue,
 }

@@ -358,31 +358,41 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         return spans, []
 
     if layout == "incidents":
-        dm = json.loads(bodies["per_district"].decode())["district_metrics"]
-        recs = [
-            {
-                "district": d["district"],
-                "custom_qty": d["outage_reported"]["customer_qty"],
-                "incident_qty": d["outage_reported"]["incident_qty"],
-            }
-            for d in dm
-        ]
-        df = pd.DataFrame(recs)
+        val = json.loads(bodies["incidents"].decode())
+        new_val = []
+        for item in val["district_metrics"]:
+            if "outage_reported" not in item:
+                continue
+            new_val.append(
+                {
+                    "district": item["district"],
+                    "custom_qty": item.get("outage_reported", {}).get("customer_qty", 0),
+                    "incident_qty": item.get("outage_reported", {}).get("incident_qty", 0),
+                }
+            )
+        df = pd.DataFrame(new_val)
         df["timestamp"] = ts
         df["EMC"] = emc
         _df_spans(df, "per_district", spans)
+        pdf = pd.DataFrame(val["outage_points"])
+        pdf["timestamp"] = ts
+        pdf["EMC"] = emc
+        _df_spans(pdf, "per_outage", spans)
+        return spans, []
+
+    if layout == "outagedetails":
         det = json.loads(bodies["per_outage"].decode())["electricOutageDetails"]
-        ddf = pd.DataFrame(det)
-        ddf["timestamp"] = ts
-        ddf["EMC"] = emc
-        _df_spans(ddf, "per_outage", spans)
+        df = pd.DataFrame(det)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
         base = pd.DataFrame(det)
         if len(base):
-            cs = base.groupby("county")["customerCount"].sum().reset_index()
+            cs = base.groupby("county", as_index=False)["customerCount"].sum()
             cs["timestamp"] = ts
             cs["EMC"] = emc
             _df_spans(cs, "per_county", spans)
-            zs = base.groupby("zipcode")["customerCount"].sum().reset_index()
+            zs = base.groupby("zipcode", as_index=False)["customerCount"].sum()
             zs["timestamp"] = ts
             zs["EMC"] = emc
             _df_spans(zs, "per_zipcode", spans)
@@ -404,7 +414,7 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         upd = re.search(r'id="lastUpdated">([^<]*)<', html).group(1)
         df = pd.DataFrame([{"currentOutages": cur, "lastUpdated": upd}])
         df["timestamp"] = ts
-        df["EMC"] = emc
+        df["emc"] = emc
         _df_spans(df, "per_emc", spans)
         return spans, []
 

@@ -68,7 +68,7 @@ _CELLS: list[tuple[str, str]] = [
     ("nc", "domtable"), ("sc", "nisc"), ("al", "asmx"),
     ("la", "alloutages"), ("ms", "polygons"), ("ms", "singlevalue"),
     ("ga", "shellout11"), ("tx", "shellout11"),
-    ("fl", "summarytotals"), ("fl", "prejson_list"),
+    ("fl", "summarytotals"), ("fl", "prejson_list"), ("tn", "outagedetails"),
 ]
 
 
@@ -137,7 +137,8 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     "prejson_list": [("per_outage", "outages_list.json")],
     "eshits": [("per_outage", "es/_search")],
     "regionsets": [("per_region", "regions.json")],
-    "incidents": [("per_district", "incidents"), ("per_outage", "outage-details")],
+    "incidents": [("incidents", "incidents")],
+    "outagedetails": [("per_outage", "electric-outage-details")],
     "alloutages": [("per_outage", "alloutages")],
     "singlevalue": [("per_emc", "")],
 }
@@ -513,18 +514,27 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
         return json.dumps({"regionDataSets": sets}).encode()
 
     if layout == "incidents":
-        if key == "per_district":
-            dm = [
-                {
-                    "district": f"D{j}",
-                    "outage_reported": {
-                        "customer_qty": int(rng.integers(0, 200)),
-                        "incident_qty": int(rng.integers(0, 9)),
-                    },
+        dm = []
+        for j in range(max(1, n // 2)):
+            item = {"district": f"D{j}"}
+            if rng.random() > 0.2:  # some districts report nothing
+                item["outage_reported"] = {
+                    "customer_qty": int(rng.integers(0, 200)),
+                    "incident_qty": int(rng.integers(0, 9)),
                 }
-                for j in range(max(1, n // 2))
-            ]
-            return json.dumps({"district_metrics": dm}).encode()
+            dm.append(item)
+        pts = [
+            {
+                "incident_id": f"P{int(rng.integers(10**5, 10**6))}",
+                "lat": round(35 + 2 * rng.random(), 6),
+                "lng": round(-86 + 2 * rng.random(), 6),
+                "customer_qty": int(rng.integers(1, 60)),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"district_metrics": dm, "outage_points": pts}).encode()
+
+    if layout == "outagedetails":
         det = [
             {
                 "id": f"I{int(rng.integers(10**5, 10**6))}",

@@ -360,3 +360,102 @@ def test_fl_scraper5_eshits_matches_reference(fl_scraper):
     want = _df_to_records(ref["per_outage"])
     got, _ = KERNELS["eshits"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+@pytest.fixture(scope="module")
+def tn_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.tn_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def test_tn_scraper5_incidents_matches_reference(tn_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("incidents")
+    bodies = web.fetch(row["url"], "incidents")
+    val = json.loads(bodies["incidents"])
+    sc = tn_scraper.Scraper5.__new__(tn_scraper.Scraper5)
+    tn_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    sc.fetch = lambda: {
+        "per_district": val["district_metrics"],
+        "per_outage": val["outage_points"],
+    }
+    ref = sc.parse()
+    want = _df_to_records(ref["per_district"]) + _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["incidents"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tn_scraper7_outagedetails_matches_reference(tn_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("outagedetails")
+    bodies = web.fetch(row["url"], "outagedetails")
+    det = json.loads(bodies["per_outage"])["electricOutageDetails"]
+    sc = tn_scraper.Scraper7.__new__(tn_scraper.Scraper7)
+    tn_scraper.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    sc.fetch = lambda: {"per_outage": det}
+    ref = sc.parse()
+    want = (
+        _df_to_records(ref["per_outage"])
+        + _df_to_records(ref["per_county"])
+        + _df_to_records(ref["per_zipcode"])
+    )
+    got, _ = KERNELS["outagedetails"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_la_scraper3_alloutages_matches_reference(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        la = importlib.import_module("scrapers.la_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    la.timenow = lambda: VIRTUAL_SCRAPE_TS
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("alloutages")
+    bodies = web.fetch(row["url"], "alloutages")
+    sc = la.Scraper3.__new__(la.Scraper3)
+    la.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["alloutages"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_ms_scraper10_singlevalue_matches_reference(ga_scraper):
+    import re as _re
+
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        ms = importlib.import_module("scrapers.ms_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    ms.timenow = lambda: VIRTUAL_SCRAPE_TS
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("singlevalue")
+    bodies = web.fetch(row["url"], "singlevalue")
+    html = bodies["per_emc"].decode()
+    raw = {
+        "currentOutages": _re.search(r'id="currentOutages">([^<]*)<', html).group(1),
+        "lastUpdated": _re.search(r'id="lastUpdated">([^<]*)<', html).group(1),
+    }
+    sc = ms.Scraper10.__new__(ms.Scraper10)
+    ms.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.fetch = lambda: dict(raw)
+    ref = sc.parse()
+    want = _df_to_records(ref["per_emc"])
+    got, _ = KERNELS["singlevalue"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
