@@ -241,19 +241,23 @@ def parse_domtable(bodies, emc, ts, url):
 
 
 def parse_arcgis(bodies, emc, ts, url):
-    """ArcGIS FeatureServer (ca_scraper.py:14-64): JSONP strip (M13),
-    attributes+geometry flatten (M5), epoch-ms dates (M8)."""
+    """ArcGIS FeatureServer (ca ScraperINV, ca_scraper.py:14-64): JSONP
+    strip (M13, the tx variant, tx_scraper.py:258-261), attributes+geometry
+    flatten (M5), epoch-ms dates (M8). Faithful to the reference: column
+    order [attributes..., x, y, timestamp] and NO EMC column
+    (ScraperINV adds only timestamp)."""
     body = strip_jsonp(bodies["per_outage"].decode("utf8"))
     val = json.loads(body)
     spans = []
     for i, f in enumerate(val["features"]):
         rec = dict(f["attributes"])
+        rec["x"] = f["geometry"]["x"]
+        rec["y"] = f["geometry"]["y"]
+        rec["timestamp"] = ts
         for c in ("StartDate", "EstimatedRestoreDate"):
             if c in rec:
                 rec[c] = epoch_ms_to_str(rec[c])
-        rec["x"] = f["geometry"]["x"]
-        rec["y"] = f["geometry"]["y"]
-        spans.append(span("per_outage", finish(rec, ts, emc), i))
+        spans.append(span("per_outage", rec, i))
     return spans, []
 
 

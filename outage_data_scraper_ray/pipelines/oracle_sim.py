@@ -263,10 +263,10 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
             recs.append(rec)
         df = pd.DataFrame(recs)
         if len(df):
-            for c in ("StartDate", "EstimatedRestoreDate"):
-                df[c] = pd.to_datetime(df[c], unit="ms").astype(str)
             df["timestamp"] = ts
-            df["EMC"] = emc
+            df[["StartDate", "EstimatedRestoreDate"]] = df[
+                ["StartDate", "EstimatedRestoreDate"]
+            ].apply(pd.to_datetime, unit="ms").astype(str)
         _df_spans(df, "per_outage", spans)
         return spans, []
 

@@ -459,3 +459,30 @@ def test_ms_scraper10_singlevalue_matches_reference(ga_scraper):
     want = _df_to_records(ref["per_emc"])
     got, _ = KERNELS["singlevalue"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+def test_ca_scraperinv_arcgis_matches_reference(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        ca = importlib.import_module("scrapers.ca_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    ca.timenow = lambda: VIRTUAL_SCRAPE_TS
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    # pick an arcgis seed whose payload is NOT JSONP-wrapped (the wrapper is
+    # the tx sniffing variant; ScraperINV consumes plain JSON)
+    seeds = [s for s in make_seed_registry(600, 42).to_pylist() if s["layout"] == "arcgis"]
+    for row in seeds:
+        bodies = web.fetch(row["url"], "arcgis")
+        if bodies["per_outage"].lstrip()[:1] == b"{":
+            break
+    else:
+        pytest.skip("no plain-JSON arcgis seed")
+    sc = ca.ScraperINV(row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["arcgis"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
