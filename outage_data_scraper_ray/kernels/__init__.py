@@ -334,16 +334,16 @@ def parse_eshits(bodies, emc, ts, url):
 
 
 def parse_regionsets(bodies, emc, ts, url):
-    """regionDataSets (fl_scraper.py:488-518): numberOut != 0 filter, region
-    set id carried onto each row."""
+    """regionDataSets (fl Scraper13, fl_scraper.py:488-518): each data set
+    becomes its own level key per_<id> (the reference's dynamic key,
+    fl_scraper.py:516-518), rows filtered on numberOut != 0."""
     val = json.loads(bodies["per_region"].decode("utf8"))
     spans, off = [], 0
     for s in val["regionDataSets"]:
+        kind = "per_" + s["id"]
         for r in s["regions"]:
             if r["numberOut"] != 0:
-                rec = dict(r)
-                rec["regionSet"] = s["id"]
-                spans.append(span("per_region", finish(rec, ts, emc), off))
+                spans.append(span(kind, finish(dict(r), ts, emc), off))
                 off += 1
     return spans, []
 

@@ -344,17 +344,12 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
 
     if layout == "regionsets":
         val = json.loads(bodies["per_region"].decode())
-        frames = []
         for s in val["regionDataSets"]:
             df = pd.DataFrame(s["regions"])
             df = df[df["numberOut"] != 0]
-            df["regionSet"] = s["id"]
-            frames.append(df)
-        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-        if len(df):
             df["timestamp"] = ts
             df["EMC"] = emc
-        _df_spans(df, "per_region", spans)
+            _df_spans(df, "per_" + s["id"], spans)
         return spans, []
 
     if layout == "incidents":

@@ -499,17 +499,18 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
         return json.dumps(objs).encode()
 
     if layout == "regionsets":
+        set_ids = ["county", "zone"][: int(rng.integers(1, 3))]
         sets = [
             {
-                "id": f"region-{j}",
+                "id": sid,
                 "regions": [
                     {"name": _CITIES[int(rng.integers(0, len(_CITIES)))],
                      "numberOut": int(rng.integers(0, 3) * rng.integers(0, 40)),
                      "served": int(rng.integers(100, 4000))}
-                    for _ in range(int(rng.integers(1, 4)))
+                    for _ in range(int(rng.integers(1, 5)))
                 ],
             }
-            for j in range(max(1, n // 2))
+            for sid in set_ids
         ]
         return json.dumps({"regionDataSets": sets}).encode()
 

@@ -486,3 +486,19 @@ def test_ca_scraperinv_arcgis_matches_reference(ga_scraper):
     want = _df_to_records(ref["per_outage"])
     got, _ = KERNELS["arcgis"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+def test_fl_scraper13_regionsets_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("regionsets")
+    bodies = web.fetch(row["url"], "regionsets")
+    raw_json = json.loads(bodies["per_region"])
+    raw = {"per_" + s["id"]: s["regions"] for s in raw_json["regionDataSets"]}
+    sc = _fl_instance(fl_scraper, "Scraper13", row)
+    sc.fetch = lambda: dict(raw)
+    ref = sc.parse()
+    want = []
+    for s in raw_json["regionDataSets"]:
+        want += _df_to_records(ref["per_" + s["id"]])
+    got, _ = KERNELS["regionsets"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
