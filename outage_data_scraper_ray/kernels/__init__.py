@@ -118,6 +118,25 @@ def parse_kubra_report(bodies, emc, ts, url):
     return spans, []
 
 
+def parse_kubra_nested(bodies, emc, ts, url):
+    """Nested kubra reports (il Scraper1, il_scraper.py:37-131): the M4
+    in-place variant — ONLY cust_a is unwrapped (percent_cust_a stays a
+    nested {val} struct), no gotoMap drop, filter only cust_a != 0; rows
+    come from concatenating every nested area group."""
+    spans, off = [], 0
+    for key in ("per_county", "per_zipcode"):
+        val = json.loads(bodies[key].decode("utf8"))["file_data"]["areas"][0]["areas"]
+        for group in val:
+            for row in group["areas"]:
+                rec = dict(row)
+                if isinstance(rec.get("cust_a"), dict) and "val" in rec["cust_a"]:
+                    rec["cust_a"] = rec["cust_a"]["val"]
+                if rec["cust_a"] != 0:
+                    spans.append(span(key, finish(rec, ts, emc), off))
+                    off += 1
+    return spans, []
+
+
 def parse_epochms(bodies, emc, ts, url):
     """Epoch-ms outage list (Scraper5, ga_scraper.py:443-479): ms -> datetime
     strings (M8), guarded zip extraction (M15). Column order follows the
@@ -422,6 +441,7 @@ KERNELS: dict[str, Kernel] = {
     "asmx": parse_asmx,
     "kubra": parse_kubra_deck,
     "kubra_report": parse_kubra_report,
+    "kubra_nested": parse_kubra_nested,
     "epochms": parse_epochms,
     "polygons": parse_polygons,
     "shellout": parse_shellout,

@@ -142,6 +142,21 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         _df_spans(df, kind, spans)
         return spans, []
 
+    if layout == "kubra_nested":
+        for key in ("per_county", "per_zipcode"):
+            val = json.loads(bodies[key].decode())["file_data"]["areas"][0]["areas"]
+            df = pd.DataFrame()
+            for v in val:
+                for i in range(len(v["areas"])):
+                    if "cust_a" in v["areas"][i] and "val" in v["areas"][i]["cust_a"]:
+                        v["areas"][i]["cust_a"] = v["areas"][i]["cust_a"]["val"]
+                df = pd.concat([df, pd.DataFrame(v["areas"])], ignore_index=True)
+            df = df[df["cust_a"] != 0]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            _df_spans(df, key, spans)
+        return spans, []
+
     if layout == "epochms":
         out = json.loads(bodies["per_outage"].decode())
         df = pd.DataFrame(out)

@@ -69,6 +69,7 @@ _CELLS: list[tuple[str, str]] = [
     ("la", "alloutages"), ("ms", "polygons"), ("ms", "singlevalue"),
     ("ga", "shellout11"), ("tx", "shellout11"),
     ("fl", "summarytotals"), ("fl", "prejson_list"), ("tn", "outagedetails"),
+    ("il", "kubra_nested"),
 ]
 
 
@@ -122,6 +123,10 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     ],
     "kubra": [("deck", "data/deck.json")],
     "kubra_report": [("report", "")],
+    "kubra_nested": [
+        ("per_county", "resources/reports/report_county.json"),
+        ("per_zipcode", "resources/reports/report_zip.json"),
+    ],
     "epochms": [("per_outage", "outages")],
     "polygons": [("per_outage", "report.json")],
     "shellout": [("shellout", "ShellOut.aspx")],
@@ -300,6 +305,22 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
             for _ in range(n)
         ]
         return json.dumps({"file_title": f"public/{title}-1", "file_data": {"areas": areas}}).encode()
+
+    if layout == "kubra_nested":
+        groups = []
+        for _g in range(int(rng.integers(1, 4))):
+            rows_n = [
+                {
+                    "name": f"{key}-{int(rng.integers(1, 999))}",
+                    "cust_a": {"val": int(rng.integers(0, 3) * rng.integers(0, 70))},
+                    "percent_cust_a": {"val": round(rng.random(), 4)},
+                    "n_out": int(rng.integers(0, 4)),
+                    "cust_s": int(rng.integers(100, 40000)),
+                }
+                for _ in range(int(rng.integers(1, 5)))
+            ]
+            groups.append({"areas": rows_n})
+        return json.dumps({"file_data": {"areas": [{"areas": groups}]}}).encode()
 
     if layout == "epochms":
         base_ms = 1_696_000_000_000

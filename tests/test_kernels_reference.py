@@ -502,3 +502,29 @@ def test_fl_scraper13_regionsets_matches_reference(fl_scraper):
         want += _df_to_records(ref["per_" + s["id"]])
     got, _ = KERNELS["regionsets"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+def test_il_scraper1_kubra_nested_matches_reference(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        il = importlib.import_module("scrapers.il_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    il.timenow = lambda: VIRTUAL_SCRAPE_TS
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("kubra_nested")
+    bodies = web.fetch(row["url"], "kubra_nested")
+    raw = {
+        key: json.loads(bodies[key])["file_data"]["areas"][0]["areas"]
+        for key in ("per_county", "per_zipcode")
+    }
+    sc = il.Scraper1.__new__(il.Scraper1)
+    il.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    sc.fetch = lambda: {k: [dict(v) for v in vs] for k, vs in raw.items()}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_zipcode"])
+    got, _ = KERNELS["kubra_nested"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
