@@ -422,6 +422,58 @@ def parse_alloutages(bodies, emc, ts, url):
     return spans, []
 
 
+def parse_dtable(bodies, emc, ts, url):
+    """Stringified nested payload (tx Scraper7, tx_scraper.py:288-323):
+    json.loads(val["d"])["Table"] -> rows, then pandas-style dropna across
+    the union of keys (M16). The reference stamps pd.Timestamp.now(); this
+    engine injects the virtual scrape timestamp like every other kernel."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    rows_ = json.loads(val["d"])["Table"]
+    all_keys = []
+    for r in rows_:
+        for k in r:
+            if k not in all_keys:
+                all_keys.append(k)
+    # a column that is missing anywhere becomes float64 in the reference's
+    # DataFrame (NaN promotion) — mirror that for surviving int values
+    nan_cols = {k for k in all_keys if any(k not in r for r in rows_)}
+    spans, off = [], 0
+    for r in rows_:
+        if any(k not in r for k in all_keys):  # dropna
+            continue
+        rec = dict(r)
+        for k in nan_cols:
+            if isinstance(rec[k], int) and not isinstance(rec[k], bool):
+                rec[k] = float(rec[k])
+        spans.append(span("per_outage", finish(rec, ts, emc), off))
+        off += 1
+    return spans, []
+
+
+def parse_outagelst(bodies, emc, ts, url):
+    """outageLst (tx Scraper10, tx_scraper.py:326-343): the UNCONDITIONAL
+    per-row geocode variant of M15 (no <10-row guard)."""
+    lst = json.loads(bodies["per_outage"].decode("utf8"))["outageLst"]
+    spans = []
+    for i, o in enumerate(lst):
+        rec = dict(o)
+        rec["zip"] = synth_zipcode(rec["lat"], rec["lon"])
+        spans.append(span("per_outage", finish(rec, ts, emc), i))
+    return spans, []
+
+
+def parse_affectedcount(bodies, emc, ts, url):
+    """Plain list with affectedCount != 0 filter (tx Scraper18,
+    tx_scraper.py:346-361)."""
+    lst = json.loads(bodies["per_outage"].decode("utf8"))
+    spans, off = [], 0
+    for o in lst:
+        if o["affectedCount"] != 0:
+            spans.append(span("per_outage", finish(dict(o), ts, emc), off))
+            off += 1
+    return spans, []
+
+
 def parse_singlevalue(bodies, emc, ts, url):
     """Single-value DOM scrape (ms Scraper10, ms_scraper.py:85-103): two
     text nodes -> one-row table. NOTE the reference uses lowercase "emc"
@@ -456,5 +508,8 @@ KERNELS: dict[str, Kernel] = {
     "incidents": parse_incidents,
     "outagedetails": parse_outagedetails,
     "alloutages": parse_alloutages,
+    "dtable": parse_dtable,
+    "outagelst": parse_outagelst,
+    "affectedcount": parse_affectedcount,
     "singlevalue": parse_singlevalue,
 }

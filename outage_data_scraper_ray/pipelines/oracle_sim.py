@@ -418,6 +418,35 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         _df_spans(df, "per_outage", spans)
         return spans, []
 
+    if layout == "dtable":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(json.loads(val["d"])["Table"])
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        df = df.dropna()
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "outagelst":
+        lst = json.loads(bodies["per_outage"].decode())["outageLst"]
+        df = pd.DataFrame(lst)
+        if len(df):
+            df["zip"] = df.apply(lambda r: synth_zipcode(r["lat"], r["lon"]), axis=1)
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "affectedcount":
+        lst = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame(lst)
+        if len(df):
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            df = df[df["affectedCount"] != 0]
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
     if layout == "singlevalue":
         html = bodies["per_emc"].decode()
         cur = re.search(r'id="currentOutages">([^<]*)<', html).group(1)

@@ -70,6 +70,7 @@ _CELLS: list[tuple[str, str]] = [
     ("ga", "shellout11"), ("tx", "shellout11"),
     ("fl", "summarytotals"), ("fl", "prejson_list"), ("tn", "outagedetails"),
     ("il", "kubra_nested"),
+    ("tx", "dtable"), ("tx", "outagelst"), ("tx", "affectedcount"),
 ]
 
 
@@ -145,6 +146,9 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     "incidents": [("incidents", "incidents")],
     "outagedetails": [("per_outage", "electric-outage-details")],
     "alloutages": [("per_outage", "alloutages")],
+    "dtable": [("per_outage", "Outage.asmx/loadLatLongOuterOutage")],
+    "outagelst": [("per_outage", "api/outagelist")],
+    "affectedcount": [("per_outage", "outages/affected")],
     "singlevalue": [("per_emc", "")],
 }
 
@@ -580,6 +584,45 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
             for _ in range(n)
         ]
         return json.dumps({"data": data}).encode()
+
+    if layout == "dtable":
+        rows_ = []
+        for _ in range(n):
+            r = {
+                "OutageId": int(rng.integers(10**5, 10**6)),
+                "Latitude": round(29 + 4 * rng.random(), 6),
+                "Longitude": round(-99 + 4 * rng.random(), 6),
+                "CustomersOut": int(rng.integers(1, 90)),
+            }
+            if rng.random() < 0.2:  # ragged row -> NaN -> reference dropna
+                del r["CustomersOut"]
+            rows_.append(r)
+        inner = json.dumps({"Table": rows_})
+        return json.dumps({"d": inner}).encode()
+
+    if layout == "outagelst":
+        lst = [
+            {
+                "outageId": f"T{int(rng.integers(10**5, 10**6))}",
+                "lat": round(29 + 4 * rng.random(), 6),
+                "lon": round(-99 + 4 * rng.random(), 6),
+                "numPeople": int(rng.integers(1, 70)),
+                "status": "Active" if rng.random() < 0.8 else "Restored",
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"outageLst": lst}).encode()
+
+    if layout == "affectedcount":
+        lst = [
+            {
+                "outageId": f"A{int(rng.integers(10**5, 10**6))}",
+                "affectedCount": int(rng.integers(0, 3) * rng.integers(0, 50)),
+                "cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(lst).encode()
 
     if layout == "singlevalue":
         return (

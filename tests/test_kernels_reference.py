@@ -528,3 +528,60 @@ def test_il_scraper1_kubra_nested_matches_reference(ga_scraper):
     want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_zipcode"])
     got, _ = KERNELS["kubra_nested"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+@pytest.fixture(scope="module")
+def tx_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.tx_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def test_tx_scraper10_outagelst_matches_reference(tx_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("outagelst")
+    bodies = web.fetch(row["url"], "outagelst")
+    sc = tx_scraper.Scraper10(row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["outagelst"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tx_scraper18_affectedcount_matches_reference(tx_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("affectedcount")
+    bodies = web.fetch(row["url"], "affectedcount")
+    sc = tx_scraper.Scraper18(row["url"], row["emc"])
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["affectedcount"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tx_scraper7_dtable_matches_reference(tx_scraper):
+    """Scraper7.parse is fused with its selenium fetch; replicate its exact
+    post-fetch pandas body (json.loads(d)["Table"] -> DataFrame -> stamp ->
+    dropna) and compare — with the wall-clock Timestamp.now() pinned to the
+    virtual scrape timestamp on both sides."""
+    import pandas as _pd
+
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("dtable")
+    bodies = web.fetch(row["url"], "dtable")
+    val = json.loads(bodies["per_outage"])
+    df = _pd.DataFrame(json.loads(val["d"])["Table"])
+    df["timestamp"] = VIRTUAL_SCRAPE_TS  # in place of pd.Timestamp.now()
+    df["EMC"] = row["emc"]
+    df = df.dropna()
+    want = _df_to_records(df)
+    got, _ = KERNELS["dtable"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
