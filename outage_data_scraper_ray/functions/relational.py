@@ -47,12 +47,16 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
                 columns=["l_returnflag", "l_linestatus", "qty_c", "price_c",
                          "disc_price_c", "n"]
             )
+        # disc_price in integer e4 units: price_cents * (100 - disc_pct).
+        # Rounding price*(1-disc)*100 directly lands on .5-cent boundaries
+        # where numpy (half-even) and DuckDB ROUND (half-away) disagree;
+        # pure-integer arithmetic has no boundary at all.
+        price_c = np.rint(b["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.rint(b["l_discount"] * 100).astype("int64")
         b = b.assign(
             qty_c=np.rint(b["l_quantity"] * 100).astype("int64"),
-            price_c=np.rint(b["l_extendedprice"] * 100).astype("int64"),
-            disc_price_c=np.rint(
-                b["l_extendedprice"] * (1 - b["l_discount"]) * 100
-            ).astype("int64"),
+            price_c=price_c,
+            disc_price_c=price_c * (100 - disc_pct),
         )
         g = (
             b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
@@ -84,7 +88,7 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
             "l_linestatus": final["l_linestatus"],
             "sum_qty": final["qty_c"] / 100.0,
             "sum_base_price": final["price_c"] / 100.0,
-            "sum_disc_price": final["disc_price_c"] / 100.0,
+            "sum_disc_price": final["disc_price_c"] / 10000.0,
             "avg_qty": final["qty_c"] / 100.0 / final["count_order"],
             "avg_price": final["price_c"] / 100.0 / final["count_order"],
             "count_order": final["count_order"].astype("int64"),
@@ -97,7 +101,8 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
        SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) / 100.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
        SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
        SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
