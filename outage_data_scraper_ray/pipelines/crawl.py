@@ -264,14 +264,19 @@ class CrawlJob:
                     _ctr.add_many.remote({"robots_skipped": t.num_rows - ft.num_rows})
                 return ft
 
-            # Fast path: when the per-host burst provably covers the whole
-            # epoch (burst >= total pending rows) and there is no global cap,
-            # admission is the identity for every host — skip the
-            # count/budget executions and the gated parquet round-trip.
-            # Outcome-identical to the slow path, so the sequential
-            # conformance oracle still agrees.
+            # Fast path: when one tick provably refills every bucket to full
+            # (rate*dt >= burst, so skipped consume() calls are irrelevant)
+            # AND the full burst covers the whole epoch (burst >= total
+            # pending rows) AND there is no global cap, admission is the
+            # identity for every host — skip the count/budget executions and
+            # the gated parquet round-trip. All three conditions are needed:
+            # with rate*dt < burst, tokens carry over between epochs and the
+            # sequential oracle's consume() matters, so the slow path must
+            # run. Outcome-identical to the slow path under these gates.
             fast_path = (
-                cfg.politeness_burst >= total_pending and cfg.epoch_capacity is None
+                cfg.politeness_rate * cfg.politeness_dt >= cfg.politeness_burst
+                and cfg.politeness_burst >= total_pending
+                and cfg.epoch_capacity is None
             )
             if fast_path:
                 ray.get([sh.tick.remote() for sh in self.sched])

@@ -173,3 +173,28 @@ def test_epoch_capacity_priority_heap(ray_session):
     assert got == want
     # no epoch exceeds the cap
     assert docs.groupby("epoch").size().max() <= 10
+
+
+def test_slow_refill_no_overadmission(ray_session):
+    """Regression: with rate*dt < burst, tokens carry over between epochs, so
+    the fast path (which never consumes) must NOT trigger even when
+    burst >= pending. Engine must match the consuming sequential oracle."""
+    workdir = "/tmp/odsr_crawl_slowrefill"
+    shutil.rmtree(workdir, ignore_errors=True)
+    pol = dict(politeness_rate=0.5, politeness_burst=4.0, politeness_dt=1.0)
+    job = CrawlJob(_cfg(workdir, n_seeds=8, failure_rate=0.0, **pol))
+    job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(
+        make_seed_registry(8, 42).to_pandas(), failure_rate=0.0, **pol
+    )
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want = {}
+    seen = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+    assert job.seen_hashes() == sim.seen_hashes
