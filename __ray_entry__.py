@@ -91,10 +91,17 @@ def entry() -> Any:
 
     counts = span_docs.map_batches(_explode, batch_format="pyarrow")
     feats = text_features(
-        __import__("ray").data.read_parquet(os.path.join(SF001, "documents.parquet"))
+        rd.read_parquet(os.path.join(SF001, "documents.parquet"))
     ).select_columns(["doc_id", "token_count", "lang_pred", "quality_score"])
-    cpd = counts.to_pandas().merge(feats.to_pandas(), on="doc_id", how="inner")
-    return cpd
+    # distributed hash join (no driver-side merge — the flagship sets the
+    # pattern for every downstream join)
+    joined = counts.join(
+        feats, join_type="inner", num_partitions=4, on=("doc_id",)
+    ).select_columns(
+        ["doc_id", "kind", "n_spans", "n_media",
+         "token_count", "lang_pred", "quality_score"]
+    )
+    return joined.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

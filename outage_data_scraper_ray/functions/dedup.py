@@ -6,12 +6,19 @@ Scale shapes (ray_guide "Aggregation at scale"):
   first (min doc_id) row per hash. One shuffle on the hash key.
 - MinHash-LSH: shingle -> 64 minhashes -> B bands x R rows -> explode to
   (band, band_hash, doc_id) rows -> groupby band bucket -> candidate pairs
-  -> exact-Jaccard verify -> min-label propagation for components. Only
-  bucket rows shuffle; signatures are computed vectorized per batch.
-- SimHash: 64-bit signature; banding on 16-bit chunks gives candidates;
-  verify by Hamming distance.
-- embedding cosine: sign-LSH buckets over normalized vectors; verify by dot
-  product within bucket.
+  -> DISTRIBUTED exact-Jaccard verify (shingle rows for candidate docs only
+  are shuffled by pair key; the corpus text never leaves map_batches) ->
+  union-find over the tiny verified pair set on the driver -> labels
+  broadcast via ray.put for a final vectorized map.
+- SimHash: 64-bit signature; banding on 16-bit chunks; candidate generation
+  AND Hamming verify happen inside groupby(chunk).map_groups (signatures are
+  co-located with the group), so only band rows shuffle.
+- embedding cosine: sign-LSH buckets over normalized vectors (two
+  independent plane tables for recall); verify by dot product within bucket.
+
+Driver-memory contract: every operator here materializes only candidate /
+verified PAIRS and their union-find labels on the driver — sized by the
+duplicate rate, not the corpus — never full texts, signatures, or id lists.
 
 Every operator returns a Dataset keyed by doc_id with a dup_group column
 (= min doc_id of its duplicate cluster) so downstream "keep one per group"
@@ -26,6 +33,7 @@ import re
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 
 # ---------------------------------------------------------------------------
@@ -62,15 +70,23 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
 
 _WORD_RE = re.compile(r"\w+")
 _MERSENNE = (1 << 61) - 1
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hashes (uint64) of a lowercased document."""
-    s = text.lower()
-    if len(s) < k:
-        s = s + " " * (k - len(s))
-    views = [s[i : i + k] for i in range(len(s) - k + 1)]
-    return pd.util.hash_array(np.array(views, dtype=object), categorize=False)
+    """Character k-shingle hashes (uint64) of a lowercased document.
+
+    Rolling polynomial hash over the utf-8 bytes: k vectorized numpy ops per
+    document instead of one Python substring per position."""
+    b = np.frombuffer(text.lower().encode("utf8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    bu = b.astype(np.uint64)
+    for j in range(k):
+        h = h * _FNV_PRIME + bu[j : j + n]  # wraps mod 2^64 by design
+    return h
 
 
 def _minhash_params(n_perm: int, seed: int = 1337):
@@ -112,11 +128,11 @@ def _band_rows(batch: pd.DataFrame, n_bands: int) -> pd.DataFrame:
     r = n_perm // n_bands
     rows = {"doc_id": [], "band": [], "band_hash": []}
     for bnd in range(n_bands):
-        chunk = sigs[:, bnd * r : (bnd + 1) * r]
-        h = pd.util.hash_array(
-            np.array(["_".join(map(str, row)) for row in chunk], dtype=object),
-            categorize=False,
-        )
+        chunk = sigs[:, bnd * r : (bnd + 1) * r].copy()
+        # vectorized row hash: fold the r columns with the FNV-style mix
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(r):
+            h = h * _FNV_PRIME + chunk[:, c]
         rows["doc_id"].extend(batch["doc_id"].tolist())
         rows["band"].extend([bnd] * n)
         rows["band_hash"].extend(h.tolist())
@@ -130,6 +146,121 @@ def _jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+
+
+def _anchor_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """min-id anchor pair generation within one LSH bucket."""
+    ids = sorted(g["doc_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+
+
+def _lsh_candidate_pairs(
+    docs: rd.Dataset,
+    *,
+    n_perm: int,
+    n_bands: int,
+    shingle_k: int,
+    concurrency: int,
+) -> pd.DataFrame:
+    """MinHash banding -> deduped candidate (a, b) pairs (small by design —
+    sized by the collision rate, not the corpus)."""
+    sigs = docs.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
+    cand = (
+        sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(_anchor_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "a" not in cand.columns:  # fully-empty result loses its schema
+        cand = pd.DataFrame(_EMPTY_PAIRS)
+    return cand.drop_duplicates()
+
+
+def _verify_pairs_distributed(
+    docs: rd.Dataset, cand: pd.DataFrame, *, shingle_k: int
+) -> pd.DataFrame:
+    """Exact-Jaccard verify of candidate pairs WITHOUT materializing corpus
+    text on the driver.
+
+    One map_batches pass over docs emits (pair_key, a, b, shingle array) rows
+    for candidate members only; groupby(pair_key) co-locates the two shingle
+    sets and computes exact Jaccard inside the group. Only candidate docs'
+    shingle arrays shuffle. Returns (a, b, jaccard) for ALL candidate pairs."""
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+    # doc_id -> [(pair_key, a, b)] membership map; sized by candidate count.
+    members: dict[int, list[tuple[int, int, int]]] = {}
+    for pk, (a, b) in enumerate(zip(cand["a"].astype(int), cand["b"].astype(int))):
+        members.setdefault(a, []).append((pk, a, b))
+        members.setdefault(b, []).append((pk, a, b))
+    members_ref = ray.put(members)
+
+    def _emit(batch: pd.DataFrame, _ref=members_ref, _k=shingle_k) -> pd.DataFrame:
+        m = ray.get(_ref)
+        rows = {"pair_key": [], "a": [], "b": [], "sh": []}
+        hits = batch[batch["doc_id"].isin(m.keys())]
+        for did, text in zip(hits["doc_id"], hits["text"].fillna("")):
+            sh = np.unique(_shingles(text, _k))
+            for pk, a, b in m[int(did)]:
+                rows["pair_key"].append(pk)
+                rows["a"].append(a)
+                rows["b"].append(b)
+                rows["sh"].append(sh)
+        return pd.DataFrame(rows)
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:  # a candidate doc missing from the corpus slice
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        s0, s1 = g["sh"].iloc[0], g["sh"].iloc[1]
+        inter = np.intersect1d(s0, s1, assume_unique=True).size
+        union = s0.size + s1.size - inter
+        j = 1.0 if union == 0 else inter / union
+        return pd.DataFrame(
+            {"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]], "jaccard": [j]}
+        )
+
+    out = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_emit, batch_format="pandas")
+        .groupby("pair_key")
+        .map_groups(_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+
+
+def _label_dataset(
+    ids_ds: rd.Dataset, id_col: str, verified_pairs: list[tuple[int, int]]
+) -> rd.Dataset:
+    """Union-find over the (tiny) verified pairs; broadcast only the
+    NON-IDENTITY labels (sized by the duplicate count, not the corpus) and
+    label with a vectorized map."""
+    pair_ids = sorted({i for p in verified_pairs for i in p})
+    label = _union_find_labels(pair_ids, verified_pairs)
+    label = {i: r for i, r in label.items() if i != r}
+    label_ref = ray.put(label)
+
+    def _label(batch: pd.DataFrame, _ref=label_ref, _c=id_col) -> pd.DataFrame:
+        lab = ray.get(_ref)
+        ids = batch[_c].astype("int64")
+        return pd.DataFrame({_c: ids, "dup_group": ids.map(lab).fillna(ids).astype("int64")})
+
+    return ids_ds.map_batches(_label, batch_format="pandas")
+
+
 def minhash_lsh_dedup(
     docs: rd.Dataset,
     *,
@@ -141,59 +272,20 @@ def minhash_lsh_dedup(
 ) -> rd.Dataset:
     """Near-dup clustering: returns (doc_id, dup_group).
 
-    Verified candidate pairs come back to the driver (candidate sets are a
-    tiny fraction of the corpus by LSH design — log() any truncation);
-    union-find over pairs labels components; labels broadcast back as a
-    dict for a final vectorized map_batches."""
-    texts_by_id = None  # fetched lazily for verification
-
-    sigs = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        batch_size=2048,
+    Candidate pairs and verified pairs are the ONLY driver-side materials
+    (tiny by LSH design); shingling, banding, and exact-Jaccard verification
+    all run distributed — corpus text never reaches the driver."""
+    cand = _lsh_candidate_pairs(
+        docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
         concurrency=concurrency,
     )
-    buckets = sigs.map_batches(
-        lambda b: _band_rows(b, n_bands), batch_format="pandas"
-    )
-
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        anchor = ids[0]
-        return pd.DataFrame({"a": [anchor] * (len(ids) - 1), "b": ids[1:]})
-
-    cand = (
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if "a" not in cand.columns:  # fully-empty result loses its schema
-        cand = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    cand = cand.drop_duplicates()
-
-    # exact-Jaccard verification of candidates (needs the two texts)
-    docs_pd = docs.select_columns(["doc_id", "text"]).to_pandas()
-    texts_by_id = dict(zip(docs_pd["doc_id"], docs_pd["text"].fillna("")))
+    scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
     verified = [
         (int(a), int(b))
-        for a, b in zip(cand["a"], cand["b"])
-        if _jaccard(texts_by_id[a], texts_by_id[b], shingle_k) >= jaccard_threshold
+        for a, b, j in zip(scored["a"], scored["b"], scored["jaccard"])
+        if j >= jaccard_threshold
     ]
-
-    label = _union_find_labels(docs_pd["doc_id"].tolist(), verified)
-
-    def _label(batch: pd.DataFrame, _lab=label) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "dup_group": batch["doc_id"].map(lambda d: _lab.get(int(d), int(d))),
-            }
-        )
-
-    return docs.select_columns(["doc_id"]).map_batches(_label, batch_format="pandas")
+    return _label_dataset(docs.select_columns(["doc_id"]), "doc_id", verified)
 
 
 def _union_find_labels(ids, pairs) -> dict[int, int]:
@@ -223,15 +315,15 @@ def _simhash64(text: str) -> np.uint64:
     hs = pd.util.hash_array(np.array(words, dtype=object), categorize=False)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in np.flatnonzero(v > 0):
-        out |= np.uint64(1) << np.uint64(i)
-    return out
+    mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[v > 0]
+    return np.bitwise_or.reduce(mask) if mask.size else np.uint64(0)
 
 
 def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
-    """SimHash near-dup: 4x16-bit band buckets -> candidates -> Hamming
-    verify -> components. Returns (doc_id, simhash, dup_group)."""
+    """SimHash near-dup: 4x16-bit band buckets -> candidates + Hamming verify
+    inside groupby(chunk).map_groups (signatures are co-located with the
+    bucket group, so only band rows shuffle and nothing but verified pairs
+    reaches the driver). Returns (doc_id, simhash, dup_group)."""
 
     def _sig(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -242,39 +334,91 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
         )
 
     sigs = docs.map_batches(_sig, batch_format="pandas")
-    sigs_pd = sigs.to_pandas()
-    sh = sigs_pd["simhash"].to_numpy(dtype=np.uint64)
-    ids = sigs_pd["doc_id"].to_numpy()
-    cand: set[tuple[int, int]] = set()
-    for band in range(4):
-        chunk = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"id": ids, "c": chunk})
-        for _, g in df.groupby("c"):
-            gids = sorted(g["id"].tolist())
-            cand.update((gids[0], o) for o in gids[1:])
-    verified = [
-        (a, b)
-        for a, b in cand
-        if bin(int(sh[ids == a][0]) ^ int(sh[ids == b][0])).count("1") <= max_hamming
-    ]
-    label = _union_find_labels(ids.tolist(), verified)
 
-    def _label(batch: pd.DataFrame, _lab=label) -> pd.DataFrame:
+    def _band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy(dtype=np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        frames = []
+        for band in range(4):
+            chunk = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        # chunk value + band in one int64 group key
+                        "chunk_key": (chunk.astype(np.int64) << 3) | band,
+                        "doc_id": ids,
+                        "simhash": sh,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def _pairs_verified(g: pd.DataFrame, _maxh=max_hamming) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        # anchor pairs (min id vs rest), Hamming verified vectorized
+        x = sh[0] ^ sh[1:]
+        dist = np.array([bin(int(v)).count("1") for v in x])
+        keep = dist <= _maxh
+        return pd.DataFrame({"a": np.repeat(ids[0], keep.sum()), "b": ids[1:][keep]})
+
+    verified_pd = (
+        sigs.map_batches(_band_rows, batch_format="pandas")
+        .groupby("chunk_key")
+        .map_groups(_pairs_verified, batch_format="pandas")
+        .to_pandas()
+    )
+    if "a" not in verified_pd.columns:
+        verified_pd = pd.DataFrame(_EMPTY_PAIRS)
+    verified_pd = verified_pd.drop_duplicates()
+    verified = list(zip(verified_pd["a"].astype(int), verified_pd["b"].astype(int)))
+
+    pair_ids = sorted({i for p in verified for i in p})
+    label = _union_find_labels(pair_ids, verified)
+    label = {i: r for i, r in label.items() if i != r}
+    label_ref = ray.put(label)
+
+    def _label(batch: pd.DataFrame, _ref=label_ref) -> pd.DataFrame:
+        lab = ray.get(_ref)
         batch = batch.copy()
-        batch["dup_group"] = batch["doc_id"].map(lambda d: _lab.get(int(d), int(d)))
+        ids = batch["doc_id"].astype("int64")
+        batch["dup_group"] = ids.map(lab).fillna(ids).astype("int64")
         return batch
 
     return sigs.map_batches(_label, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard pairwise (exact verify used standalone)
+# n-gram Jaccard pairs
 
 def ngram_jaccard_pairs(
-    docs: rd.Dataset, *, shingle_k: int = 5, threshold: float = 0.5
+    docs: rd.Dataset,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    mode: str = "lsh",
+    n_perm: int = 64,
+    n_bands: int = 32,
 ) -> pd.DataFrame:
-    """All-pairs n-gram Jaccard above threshold (brute-force verify path;
-    use minhash_lsh_dedup for scale — this is the small-side exact check)."""
+    """n-gram Jaccard similar pairs above threshold.
+
+    mode="lsh" (default, the scale path): candidate pairs from MinHash
+    banding (n_bands=32 -> s-curve cutoff ~0.18, high recall at 0.5+), then
+    exact distributed Jaccard verify — O(candidates), not O(n^2).
+    mode="exact": brute-force all pairs on the driver; ONLY for small
+    fixtures / recall tests."""
+    if mode == "lsh":
+        cand = _lsh_candidate_pairs(
+            docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
+            concurrency=2,
+        )
+        scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
+        out = scored[scored["jaccard"] >= threshold]
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
     pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
     sets = {
         int(i): set(_shingles(t, shingle_k).tolist())
@@ -297,30 +441,49 @@ def ngram_jaccard_pairs(
 # embedding-cosine near-dup
 
 def embedding_dedup(
-    emb: rd.Dataset, *, threshold: float = 0.95, n_planes: int = 16, seed: int = 99
+    emb: rd.Dataset, *, threshold: float = 0.95, n_planes: int = 16, seed: int = 99,
+    n_tables: int = 2,
 ) -> rd.Dataset:
     """Near-dup by cosine similarity over an embedding column: sign-LSH
-    bucket (random hyperplanes) -> within-bucket exact cosine -> components.
-    Returns (vec_id, dup_group)."""
+    buckets (n_tables independent hyperplane sets — a missed collision in
+    one table is caught by another, protecting recall at scale) ->
+    within-bucket exact cosine -> components. Returns (vec_id, dup_group).
+
+    Driver holds only verified pairs + non-identity labels; vec_ids are
+    never materialized wholesale."""
     first = emb.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = [
+        rng.standard_normal((dim, n_planes)).astype(np.float32)
+        for _ in range(n_tables)
+    ]
+    planes_ref = ray.put(planes)
 
-    def _bucket(batch: pd.DataFrame, _p=planes) -> pd.DataFrame:
+    def _bucket(batch: pd.DataFrame, _ref=planes_ref) -> pd.DataFrame:
+        ps = ray.get(_ref)
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        bits = (m @ _p) > 0
-        keys = (bits * (1 << np.arange(_p.shape[1]))).sum(axis=1)
-        out = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "bucket": keys})
-        out["vec"] = list(m)
-        return out
+        frames = []
+        for t, p in enumerate(ps):
+            bits = (m @ p) > 0
+            keys = (bits * (1 << np.arange(p.shape[1]))).sum(axis=1)
+            f = pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    # table id folded into the bucket key
+                    "bucket": keys.astype(np.int64) * len(ps) + t,
+                }
+            )
+            f["vec"] = list(m)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
 
     buckets = emb.map_batches(_bucket, batch_format="pandas")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+            return pd.DataFrame(_EMPTY_PAIRS)
         m = np.stack(g["vec"].to_numpy())
         sims = m @ m.T
         ids = g["vec_id"].to_numpy()
@@ -331,16 +494,10 @@ def embedding_dedup(
         buckets.groupby("bucket").map_groups(_pairs, batch_format="pandas").to_pandas()
     )
     if "a" not in cand.columns:
-        cand = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    all_ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].tolist()
-    label = _union_find_labels(all_ids, list(zip(cand["a"].astype(int), cand["b"].astype(int))))
-
-    def _label(batch: pd.DataFrame, _lab=label) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"],
-                "dup_group": batch["vec_id"].map(lambda d: _lab.get(int(d), int(d))),
-            }
-        )
-
-    return emb.select_columns(["vec_id"]).map_batches(_label, batch_format="pandas")
+        cand = pd.DataFrame(_EMPTY_PAIRS)
+    cand = cand.drop_duplicates()
+    verified = [
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(cand["a"], cand["b"])
+    ]
+    return _label_dataset(emb.select_columns(["vec_id"]), "vec_id", verified)

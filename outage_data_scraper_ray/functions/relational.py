@@ -486,7 +486,10 @@ def knn_topk(sf_dir: str) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         sims = mn @ qn
-        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "score": sims})
+        part = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "score": sims})
+        # per-batch top-k partial (simsearch.brute_force_knn pattern): only
+        # n_batches*k rows ever reach the driver, not all n scores
+        return part.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
 
     scored = emb.map_batches(_partial, batch_format="pandas").to_pandas()
     top = scored.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)

@@ -144,3 +144,58 @@ def test_media_features_shape(ray_session):
     assert all(len(f) == 8 for f in out["features"])
     sums = np.array([np.sum(f) for f in out["features"]])
     assert np.allclose(sums, 1.0, atol=1e-3)
+
+
+def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
+    """Scale contract: the near-dedup family may bring only PAIR-sized frames
+    to the driver — never corpus text, signatures, or embedding vectors."""
+    heavy = {"text", "sig", "sh", "vec", "embedding", "simhash_full"}
+    orig = rd.Dataset.to_pandas
+
+    def guarded(self, *a, **k):
+        df = orig(self, *a, **k)
+        bad = heavy & set(df.columns)
+        assert not bad, f"driver materialized heavy columns: {bad}"
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", guarded)
+    docs = rd.from_pandas(_docs_with_dupes())
+    out = minhash_lsh_dedup(docs, jaccard_threshold=0.7).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert lab[100] == lab[101] == lab[102] == 100
+
+    out = simhash_dedup(docs, max_hamming=3).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert lab[100] == lab[101]
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7)  # default lsh mode
+    assert (100, 101) in {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[21] = vecs[20] + 1e-4
+    df = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
+    out = embedding_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
+    lab = dict(zip(out["vec_id"], out["dup_group"]))
+    assert lab[21] == lab[20] == 20
+
+
+def test_embedding_dedup_recall_vs_bruteforce(ray_session):
+    """Planted near-dup pairs at cosine >= 0.95: multi-table sign-LSH must
+    recover >= 90% of what brute-force all-pairs cosine finds."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    planted = base[:20] + rng.standard_normal((20, 32)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, planted])
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    ai, bi = np.where(np.triu(sims >= 0.95, k=1))
+    want_pairs = {(int(a), int(b)) for a, b in zip(ai, bi)}
+    assert len(want_pairs) >= 20
+
+    out = embedding_dedup(rd.from_pandas(df), threshold=0.95).to_pandas()
+    lab = dict(zip(out["vec_id"], out["dup_group"]))
+    got = sum(1 for a, b in want_pairs if lab[a] == lab[b])
+    assert got / len(want_pairs) >= 0.9
