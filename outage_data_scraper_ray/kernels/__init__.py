@@ -487,6 +487,247 @@ def parse_singlevalue(bodies, emc, ts, url):
     return [span("per_emc", rec, 0)], []
 
 
+def parse_ny_report(bodies, emc, ts, url):
+    """NY report-button family (ny Scraper1, ny_scraper.py:33-153): each
+    sniffed report contributes file_data.areas[0].areas — a list of nested
+    groups whose rows are concatenated; cust_a unwrapped ONLY when it is a
+    {val:...} dict; filter cust_a != 0; no column drops."""
+    spans, off = [], 0
+    for key, body in bodies.items():
+        val = json.loads(body.decode("utf8"))["file_data"]["areas"][0]["areas"]
+        for group in val:
+            for row in group["areas"]:
+                rec = dict(row)
+                if "cust_a" in rec and "val" in rec["cust_a"]:
+                    rec["cust_a"] = rec["cust_a"]["val"]
+                if rec["cust_a"] != 0:
+                    spans.append(span(key, finish(rec, ts, emc), off))
+                    off += 1
+    return spans, []
+
+
+def parse_kubra_val_levels(bodies, emc, ts, url):
+    """Shared kubra {val:...} multi-level parse used verbatim by ny Scraper2
+    (ny_scraper.py:160-226), il Scraper2 (il_scraper.py:133-221) and tx
+    Scraper5 (tx_scraper.py:117-227): per level, unwrap cust_a AND
+    percent_cust_a, filter (cust_a != 0) | (n_out != 0), drop gotoMap.
+    The level keys differ per state and come from the fetch plan."""
+    spans, off = [], 0
+    for key, body in bodies.items():
+        val = json.loads(body.decode("utf8"))["file_data"]
+        for row in val["areas"]:
+            rec = dict(row)
+            rec["cust_a"] = rec["cust_a"]["val"]
+            rec["percent_cust_a"] = rec["percent_cust_a"]["val"]
+            if rec["cust_a"] != 0 or rec["n_out"] != 0:
+                rec.pop("gotoMap", None)
+                spans.append(span(key, finish(rec, ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def _table_rows_trimmed(html: str) -> list[dict[str, str]]:
+    """ny Scraper3._fetch semantics (ny_scraper.py:256-276): columns from
+    row 0 (th or td), data = rows[1:-1] — the LAST row (totals) is dropped."""
+    header, rows = parse_html_table(html)
+    return [
+        {header[i]: r[i] for i in range(len(header))}
+        for r in rows[:-1]
+    ]
+
+
+def parse_ny_iframe(bodies, emc, ts, url):
+    """NY iframe DOM-table family (ny Scraper3, ny_scraper.py:229-313):
+    per_county table + one table per county's town page concatenated into
+    per_town; NO filter; plain timestamp+EMC."""
+    spans, off = [], 0
+    for rec in _table_rows_trimmed(bodies["per_county"].decode("utf8")):
+        spans.append(span("per_county", finish(rec, ts, emc), off))
+        off += 1
+    for key, body in bodies.items():
+        if not key.startswith("town_"):
+            continue
+        for rec in _table_rows_trimmed(body.decode("utf8")):
+            spans.append(span("per_town", finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_duke(bodies, emc, ts, url):
+    """Duke Energy outage-summary click path (fl Scraper9,
+    fl_scraper.py:357-485; nc Scraper6, nc_scraper.py:23-148): the modeled
+    S10 multi-step fetch yields the summary table as column lists. The
+    reference filters `Number of Outages != 0` against the INT zero while
+    the cells are strings — a faithful no-op preserved here."""
+    cols = json.loads(bodies["per_county"].decode("utf8"))
+    spans, off = [], 0
+    names = list(cols.keys())
+    for vals in zip(*cols.values()):
+        rec = dict(zip(names, vals))
+        if rec["Number of Outages"] != 0:  # str != int: always true (ref quirk)
+            spans.append(span("per_county", finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_treegrid(bodies, emc, ts, url):
+    """Duke treegrid summary (nc Scraper7, nc_scraper.py:151-259):
+    area_name/cust_a/cust_s column lists, STRING filter cust_a != "0"."""
+    cols = json.loads(bodies["per_county"].decode("utf8"))
+    spans, off = [], 0
+    names = list(cols.keys())
+    for vals in zip(*cols.values()):
+        rec = dict(zip(names, vals))
+        if rec["cust_a"] != "0":
+            spans.append(span("per_county", finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_tx_report_table(bodies, emc, ts, url):
+    """Oncor-style report-panel tables (tx Scraper1, tx_scraper.py:33-70):
+    two suffixed pages (county/zip), rows[2:], hardcoded 5-column header,
+    VIEW column dropped, string filter CUSTOMER OUTAGES != "0"."""
+    spans, off = [], 0
+    for key, loc in (("per_county", "COUNTY"), ("per_zipcode", "ZIP")):
+        header = ["VIEW", loc, "CUSTOMER OUTAGES", "CUSTOMERS SERVED", "% AFFECTED"]
+        _, rows = parse_html_table(bodies[key].decode("utf8"))
+        for r in rows[1:]:  # reference slices tr[2:]: two header rows
+            rec = dict(zip(header, r))
+            rec.pop("VIEW", None)
+            if rec["CUSTOMER OUTAGES"] != "0":
+                spans.append(span(key, finish(rec, ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_tx_suffixjson(bodies, emc, ts, url):
+    """Suffixed zip/county JSON (tx Scraper4, tx_scraper.py:84-114):
+    customersAffected != 0 int filter, lastUpdatedTime epoch-ms -> datetime
+    in place."""
+    spans, off = [], 0
+    for key, body in bodies.items():
+        for o in json.loads(body.decode("utf8")):
+            if o["customersAffected"] != 0:
+                rec = dict(o)
+                rec["lastUpdatedTime"] = epoch_ms_to_str(rec["lastUpdatedTime"])
+                spans.append(span(key, finish(rec, ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_tx_envelope(bodies, emc, ts, url):
+    """TX ArcGIS envelope sniff (tx Scraper6, tx_scraper.py:230-289): JSONP
+    strip, attributes flatten, BEGINTIME / ESTIMATEDTIMERESTORATION epoch-ms
+    -> datetime, x/y from geometry, no filter / no dropna (commented out in
+    the reference)."""
+    body = strip_jsonp(bodies["per_outage"].decode("utf8"))
+    val = json.loads(body)
+    spans = []
+    for i, f in enumerate(val["features"]):
+        rec = dict(f["attributes"])
+        rec["BEGINTIME"] = epoch_ms_to_str(rec["BEGINTIME"])
+        rec["ESTIMATEDTIMERESTORATION"] = epoch_ms_to_str(rec["ESTIMATEDTIMERESTORATION"])
+        rec["x"] = f["geometry"]["x"]
+        rec["y"] = f["geometry"]["y"]
+        spans.append(span("per_outage", finish(rec, ts, emc), i))
+    return spans, []
+
+
+def parse_il_numoutages(bodies, emc, ts, url):
+    """IL POST endpoints (il Scraper7, il_scraper.py:224-280): per
+    city/county/metro lists with the NumOutages != 0 int filter."""
+    spans, off = [], 0
+    for key, body in bodies.items():
+        for o in json.loads(body.decode("utf8")):
+            if o["NumOutages"] != 0:
+                spans.append(span(key, finish(dict(o), ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_il_areasummary(bodies, emc, ts, url):
+    """IL AreaSummary (il Scraper8, il_scraper.py:283-328): one payload
+    fans out to zip/county/district levels, each included only when
+    non-empty, filter Out != 0."""
+    val = json.loads(bodies["areasummary"].decode("utf8"))
+    levels = [
+        ("zipCodeAreas", "per_zipcode"),
+        ("countyAreas", "per_county"),
+        ("districtAreas", "per_district"),
+    ]
+    spans, off = [], 0
+    for src, kind in levels:
+        if not val.get(src):
+            continue
+        for o in val[src]:
+            if o["Out"] != 0:
+                spans.append(span(kind, finish(dict(o), ts, emc), off))
+                off += 1
+    return spans, []
+
+
+def parse_fl_pretag7(bodies, emc, ts, url):
+    """FL pre-tag returndata (fl Scraper7, fl_scraper.py:321-353): rows from
+    payload["returndata"], no filter."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans = []
+    for i, o in enumerate(val["returndata"]):
+        spans.append(span("per_outage", finish(dict(o), ts, emc), i))
+    return spans, []
+
+
+def parse_fl_pretag8(bodies, emc, ts, url):
+    """FL pre-tag list (fl Scraper8, fl_scraper.py:355-383): the reference
+    calls DataFrame.from_records on the raw_data DICT, producing one row per
+    outage whose single 'per_outage' column holds the raw record dict —
+    preserved faithfully."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    spans = []
+    for i, o in enumerate(val):
+        spans.append(span("per_outage", finish({"per_outage": o}, ts, emc), i))
+    return spans, []
+
+
+def parse_ga_arcgis10(bodies, emc, ts, url):
+    """GA ssemc ArcGIS variant (ga Scraper10, ga_scraper.py:690-742):
+    attributes expand, columns LOWERCASED, cont_sum -> 'Members Affected'
+    rename (M7), STRING filter != "0"."""
+    feats = json.loads(bodies["per_county"].decode("utf8"))["features"]
+    spans, off = [], 0
+    for f in feats:
+        # pandas rename keeps the column POSITION — rebuild in place
+        rec = {
+            ("Members Affected" if k.lower() == "cont_sum" else k.lower()): v
+            for k, v in f["attributes"].items()
+        }
+        if rec["Members Affected"] != "0":
+            spans.append(span("per_county", finish(rec, ts, emc), off))
+            off += 1
+    return spans, []
+
+
+def parse_tn_reportlevels(bodies, emc, ts, url):
+    """TN multi-level reportTable (tn Scraper1, tn_scraper.py:28-113): one
+    DOM table per select-menu level; blank-header columns dropped, short
+    rows dropped (dropna), STRING filter Aff != "0"."""
+    spans, off = [], 0
+    for key, body in bodies.items():
+        header, rows = parse_html_table(body.decode("utf8"))
+        cols = [h for h in header if h]
+        if len(cols) <= 1:
+            continue
+        for r in rows:
+            rec_full = dict(zip(header, r))
+            if any(c not in rec_full for c in cols):
+                continue  # dropna (tn_scraper.py:81)
+            rec = {c: rec_full[c] for c in cols}
+            if rec["Aff"] != "0":
+                spans.append(span(key, finish(rec, ts, emc), off))
+                off += 1
+    return spans, []
+
+
 KERNELS: dict[str, Kernel] = {
     "nisc": parse_nisc,
     "wov": parse_wov,
@@ -512,4 +753,26 @@ KERNELS: dict[str, Kernel] = {
     "outagelst": parse_outagelst,
     "affectedcount": parse_affectedcount,
     "singlevalue": parse_singlevalue,
+    "ny_report": parse_ny_report,
+    "ny_kubra_val": parse_kubra_val_levels,
+    "ny_iframe": parse_ny_iframe,
+    "duke": parse_duke,
+    "treegrid": parse_treegrid,
+    "tx_report_table": parse_tx_report_table,
+    "tx_suffixjson": parse_tx_suffixjson,
+    "tx_kubra_sniff": parse_kubra_val_levels,
+    "tx_envelope": parse_tx_envelope,
+    "il_kubra_val": parse_kubra_val_levels,
+    "il_numoutages": parse_il_numoutages,
+    "il_areasummary": parse_il_areasummary,
+    "fl_pretag7": parse_fl_pretag7,
+    "fl_pretag8": parse_fl_pretag8,
+    "ga_arcgis10": parse_ga_arcgis10,
+    "tn_reportlevels": parse_tn_reportlevels,
 }
+
+# Reference scrapers that are themselves inert or broken — documented, not
+# kernelized: ca ScraperCC (ca_scraper.py:66-77) has pass-bodies for both
+# parse() and fetch(); fl Scraper6 (fl_scraper.py:262-290) calls find_all on
+# a bs4 ResultSet and raises AttributeError before producing data. Tests in
+# tests/test_kernels_reference.py prove both facts against the real code.

@@ -457,6 +457,192 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         _df_spans(df, "per_emc", spans)
         return spans, []
 
+    if layout == "ny_report":
+        for key, body in bodies.items():
+            val = json.loads(body.decode())["file_data"]["areas"][0]["areas"]
+            df = pd.DataFrame()
+            for v in val:
+                for i in range(len(v["areas"])):
+                    if "cust_a" in v["areas"][i] and "val" in v["areas"][i]["cust_a"]:
+                        v["areas"][i]["cust_a"] = v["areas"][i]["cust_a"]["val"]
+                df = pd.concat([df, pd.DataFrame(v["areas"])], ignore_index=True)
+            df = df[df["cust_a"] != 0]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout in ("ny_kubra_val", "tx_kubra_sniff", "il_kubra_val"):
+        for key, body in bodies.items():
+            val = json.loads(body.decode())["file_data"]
+            df = pd.DataFrame(val["areas"])
+            if len(df):
+                df[["cust_a", "percent_cust_a"]] = df[["cust_a", "percent_cust_a"]].map(
+                    lambda x: x["val"]
+                )
+                df = df[(df["cust_a"] != 0) | (df["n_out"] != 0)]
+                df["timestamp"] = ts
+                df["EMC"] = emc
+                df = df.drop(columns=["gotoMap"])
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout == "ny_iframe":
+        from ..kernels import _table_rows_trimmed
+
+        county_rows = _table_rows_trimmed(bodies["per_county"].decode())
+        town_rows: list[dict] = []
+        for key, body in bodies.items():
+            if key.startswith("town_"):
+                town_rows += _table_rows_trimmed(body.decode())
+        for kind, rows_ in (("per_county", county_rows), ("per_town", town_rows)):
+            df = pd.DataFrame(rows_)
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            _df_spans(df, kind, spans)
+        return spans, []
+
+    if layout == "duke":
+        table_data = json.loads(bodies["per_county"].decode())
+        df = pd.DataFrame(table_data)
+        df = df[df["Number of Outages"] != 0]  # str column: faithful no-op
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_county", spans)
+        return spans, []
+
+    if layout == "treegrid":
+        df = pd.DataFrame(json.loads(bodies["per_county"].decode()))
+        df = df[df["cust_a"] != "0"]
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_county", spans)
+        return spans, []
+
+    if layout == "tx_report_table":
+        from ..kernels.common import parse_html_table
+
+        for key, loc in (("per_county", "COUNTY"), ("per_zipcode", "ZIP")):
+            header = ["VIEW", loc, "CUSTOMER OUTAGES", "CUSTOMERS SERVED", "% AFFECTED"]
+            _, rows_ = parse_html_table(bodies[key].decode())
+            table = [dict(zip(header, r)) for r in rows_[1:]]
+            df = pd.DataFrame(table)
+            if len(df):
+                df = df[[loc, "CUSTOMER OUTAGES", "CUSTOMERS SERVED", "% AFFECTED"]]
+                df["timestamp"] = ts
+                df["EMC"] = emc
+                df = df[df["CUSTOMER OUTAGES"] != "0"]
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout == "tx_suffixjson":
+        for key, body in bodies.items():
+            df = pd.DataFrame(json.loads(body.decode()))
+            if len(df):
+                df = df[df["customersAffected"] != 0]
+                df["lastUpdatedTime"] = df["lastUpdatedTime"].apply(
+                    pd.to_datetime, unit="ms"
+                )
+                df["timestamp"] = ts
+                df["EMC"] = emc
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout == "tx_envelope":
+        body = bodies["per_outage"].decode()
+        if body[0] != "{":
+            body = body[body.index("(") + 1 : body.rindex(")")]
+        val = json.loads(body)
+        df = pd.DataFrame([x["attributes"] for x in val["features"]])
+        if len(df):
+            df["BEGINTIME"] = pd.to_datetime(df["BEGINTIME"], unit="ms")
+            df["ESTIMATEDTIMERESTORATION"] = pd.to_datetime(
+                df["ESTIMATEDTIMERESTORATION"], unit="ms"
+            )
+            df["x"] = [x["geometry"]["x"] for x in val["features"]]
+            df["y"] = [x["geometry"]["y"] for x in val["features"]]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "il_numoutages":
+        for key, body in bodies.items():
+            df = pd.DataFrame(json.loads(body.decode()))
+            if len(df):
+                df = df[df["NumOutages"] != 0]
+                df["timestamp"] = ts
+                df["EMC"] = emc
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout == "il_areasummary":
+        tmp = json.loads(bodies["areasummary"].decode())
+        raw = {}
+        if tmp["zipCodeAreas"]:
+            raw["per_zipcode"] = tmp["zipCodeAreas"]
+        if tmp["countyAreas"]:
+            raw["per_county"] = tmp["countyAreas"]
+        if tmp["districtAreas"]:
+            raw["per_district"] = tmp["districtAreas"]
+        for key, val in raw.items():
+            df = pd.DataFrame(val)
+            df = df[df["Out"] != 0]
+            df["timestamp"] = ts
+            df["EMC"] = emc
+            _df_spans(df, key, spans)
+        return spans, []
+
+    if layout == "fl_pretag7":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame.from_records(val["returndata"])
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "fl_pretag8":
+        val = json.loads(bodies["per_outage"].decode())
+        df = pd.DataFrame.from_records({"per_outage": val})
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
+    if layout == "ga_arcgis10":
+        feats = json.loads(bodies["per_county"].decode())["features"]
+        if feats == []:
+            return spans, []
+        df = pd.DataFrame(feats)
+        df.rename(columns={"attributes": "data"}, inplace=True)
+        df = pd.concat([df.drop(["data"], axis=1), df["data"].apply(pd.Series)], axis=1)
+        df.columns = df.columns.str.lower()
+        df.rename(columns={"cont_sum": "Members Affected"}, inplace=True)
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        df = df[df["Members Affected"] != "0"]
+        _df_spans(df, "per_county", spans)
+        return spans, []
+
+    if layout == "tn_reportlevels":
+        from ..kernels.common import parse_html_table
+
+        for key, body in bodies.items():
+            header, rows_ = parse_html_table(body.decode())
+            cols = [h for h in header if h != ""]
+            table = [dict(zip(header, r)) for r in rows_]
+            df = pd.DataFrame(table)
+            if len(df.columns) > 1:
+                df = df[cols]
+                df = df.dropna(axis=0)
+                df["timestamp"] = ts
+                df["EMC"] = emc
+                df = df[df["Aff"] != "0"]
+            else:
+                df = pd.DataFrame()
+            _df_spans(df, key, spans)
+        return spans, []
+
     raise ValueError(layout)
 
 

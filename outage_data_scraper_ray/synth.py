@@ -71,6 +71,13 @@ _CELLS: list[tuple[str, str]] = [
     ("fl", "summarytotals"), ("fl", "prejson_list"), ("tn", "outagedetails"),
     ("il", "kubra_nested"),
     ("tx", "dtable"), ("tx", "outagelst"), ("tx", "affectedcount"),
+    ("ny", "ny_report"), ("ny", "ny_kubra_val"), ("ny", "ny_iframe"),
+    ("fl", "duke"), ("nc", "duke"), ("nc", "treegrid"),
+    ("tx", "tx_report_table"), ("tx", "tx_suffixjson"),
+    ("tx", "tx_kubra_sniff"), ("tx", "tx_envelope"),
+    ("il", "il_kubra_val"), ("il", "il_numoutages"), ("il", "il_areasummary"),
+    ("fl", "fl_pretag7"), ("fl", "fl_pretag8"),
+    ("ga", "ga_arcgis10"), ("tn", "tn_reportlevels"),
 ]
 
 
@@ -150,6 +157,49 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
     "outagelst": [("per_outage", "api/outagelist")],
     "affectedcount": [("per_outage", "outages/affected")],
     "singlevalue": [("per_emc", "")],
+    "ny_report": [
+        ("per_borough_new_york", "resources/reports/report_nyc.json"),
+        ("per_area_westchester", "resources/reports/report_westchester.json"),
+    ],
+    "ny_kubra_val": [
+        ("per_town", "resources/reports/report_town.json"),
+        ("per_county", "resources/reports/report_county.json"),
+    ],
+    "ny_iframe": [("per_county", "iframe/outage_central.html")]
+    + [(f"town_{c}", f"iframe/outage_central_{c}.html") for c in
+       ("APPLING", "BACON", "BAKER", "BALDWIN")],
+    "duke": [("per_county", "outage-maps/summary-table")],
+    "treegrid": [("per_county", "summary/county-muni")],
+    "tx_report_table": [
+        ("per_county", "?report=report-panel-county"),
+        ("per_zipcode", "?report=report-panel-zip"),
+    ],
+    "tx_suffixjson": [("per_zip", "zip"), ("per_county", "county")],
+    "tx_kubra_sniff": [
+        ("per_zipcode", "resources/reports/report_zip.json"),
+        ("per_county", "resources/reports/report_county.json"),
+        ("per_city", "resources/reports/report_city.json"),
+        ("per_region", "resources/reports/report_region.json"),
+    ],
+    "tx_envelope": [("per_outage", "FeatureServer/0/query?geometryType=esriGeometryEnvelope")],
+    "il_kubra_val": [
+        ("per_county", "resources/reports/report_county.json"),
+        ("per_city_town_village", "resources/reports/report_ctv.json"),
+        ("per_chicago_ward", "resources/reports/report_ward.json"),
+    ],
+    "il_numoutages": [
+        ("per_city", "api/CityOutageData"),
+        ("per_county", "api/CountyInfo"),
+        ("per_metro", "api/GetAllMetroOutages"),
+    ],
+    "il_areasummary": [("areasummary", "api/AreaSummary")],
+    "fl_pretag7": [("per_outage", "data/outages.json")],
+    "fl_pretag8": [("per_outage", "data/outages_plain.json")],
+    "ga_arcgis10": [("per_county", "arcgis/rest/services/counties/FeatureServer/0/query")],
+    "tn_reportlevels": [
+        ("per_District", "report?level=District"),
+        ("per_County", "report?level=County"),
+    ],
 }
 
 KUBRA_REPORT_TITLES = ["county", "zip", "MEDIA", "city", "ctv", "ward"]
@@ -628,6 +678,216 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
         return (
             f'<html><span id="currentOutages">{int(rng.integers(0, 500))}</span>'
             f'<span id="lastUpdated">10-05-2023 08:{int(rng.integers(0,60)):02d}:00</span></html>'
+        ).encode()
+
+    if layout == "ny_report":
+        groups = []
+        for _g in range(max(1, n // 3)):
+            rows_n = []
+            for _ in range(int(rng.integers(1, 5))):
+                cust = int(rng.integers(0, 3) * rng.integers(0, 60))
+                # cust_a is always a {val:...} dict when present — the
+                # reference's `"val" in row["cust_a"]` (ny_scraper.py:45-51)
+                # raises on plain ints, so real payloads never carry them
+                row_rec = {
+                    "name": f"{key}-{int(rng.integers(1, 999))}",
+                    "cust_a": {"val": cust},
+                    "cust_s": int(rng.integers(100, 30000)),
+                    "etr": f"2023-10-0{int(rng.integers(1, 9))}T0{int(rng.integers(0, 9))}:00",
+                }
+                rows_n.append(row_rec)
+            groups.append({"areas": rows_n})
+        return json.dumps({"file_data": {"areas": [{"areas": groups}]}}).encode()
+
+    if layout in ("ny_kubra_val", "tx_kubra_sniff", "il_kubra_val"):
+        areas = [
+            {
+                "name": f"{key}-{int(rng.integers(1, 999))}",
+                "cust_a": {"val": int(rng.integers(0, 3) * rng.integers(0, 80))},
+                "percent_cust_a": {"val": round(rng.random(), 4)},
+                "n_out": int(rng.integers(0, 4)),
+                "cust_s": int(rng.integers(100, 50000)),
+                "gotoMap": {"zoom": 9},
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"file_title": f"public/{key}-1", "file_data": {"areas": areas}}).encode()
+
+    if layout == "ny_iframe":
+        if key == "per_county":
+            hdr = "<tr><th>County</th><th>Customers Affected</th><th>Customers Served</th></tr>"
+            body = "".join(
+                f"<tr><td>{c}</td><td>{int(rng.integers(0, 90))}</td>"
+                f"<td>{int(rng.integers(500, 20000))}</td></tr>"
+                for c in ("APPLING", "BACON", "BAKER", "BALDWIN")
+            )
+            body += "<tr><td>Total</td><td>-</td><td>-</td></tr>"  # trimmed by tr[1:-1]
+        else:
+            hdr = "<tr><th>Town</th><th>Customers Affected</th></tr>"
+            body = "".join(
+                f"<tr><td>{key.split('_', 1)[1]}-{i}</td><td>{int(rng.integers(0, 50))}</td></tr>"
+                for i in range(int(rng.integers(1, 5)))
+            )
+            body += "<tr><td>Total</td><td>-</td></tr>"
+        return f"<html><body><table>{hdr}{body}</table></body></html>".encode()
+
+    if layout == "duke":
+        n = max(1, n)
+        return json.dumps(
+            {
+                "Location": [county(0).title() for _ in range(n)],
+                "Number of Outages": [str(int(rng.integers(0, 3) * rng.integers(0, 9))) for _ in range(n)],
+                "Affected Customers": [str(int(rng.integers(0, 400))) for _ in range(n)],
+                "Percentage Affected": [f"{rng.random() * 4:.1f}%" for _ in range(n)],
+                "Last Updated": [f"0{int(rng.integers(1, 9))}/15/2023 10:0{int(rng.integers(0, 9))} PM" for _ in range(n)],
+            }
+        ).encode()
+
+    if layout == "treegrid":
+        n = max(1, n)
+        return json.dumps(
+            {
+                "area_name": [county(0).title() for _ in range(n)],
+                "cust_a": [str(int(rng.integers(0, 3) * rng.integers(0, 70))) for _ in range(n)],
+                "cust_s": [str(int(rng.integers(500, 40000))) for _ in range(n)],
+            }
+        ).encode()
+
+    if layout == "tx_report_table":
+        loc_val = (lambda: county(0)) if "county" in url else (
+            lambda: str(75000 + int(rng.integers(0, 900)))
+        )
+        hdr = (
+            "<tr><th>expand</th><th>loc</th><th>out</th><th>served</th><th>pct</th></tr>"
+            "<tr><td colspan=5>summary</td></tr>"
+        )
+        body = "".join(
+            f"<tr><td>+</td><td>{loc_val()}</td>"
+            f"<td>{int(rng.integers(0, 3) * rng.integers(0, 50))}</td>"
+            f"<td>{int(rng.integers(100, 9000))}</td><td>{rng.random() * 3:.2f}%</td></tr>"
+            for _ in range(n)
+        )
+        return f"<html><body><table class=\"report-table tree\">{hdr}{body}</table></body></html>".encode()
+
+    if layout == "tx_suffixjson":
+        base_ms = 1_696_100_000_000
+        out = [
+            {
+                "areaName": (county(0) if key == "per_county" else str(75000 + int(rng.integers(0, 900)))),
+                "customersAffected": int(rng.integers(0, 3) * rng.integers(0, 120)),
+                "customersServed": int(rng.integers(200, 30000)),
+                "lastUpdatedTime": base_ms + int(rng.integers(0, 10**6)) * 1000,
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(out).encode()
+
+    if layout == "tx_envelope":
+        feats = [
+            {
+                "attributes": {
+                    "OBJECTID": int(rng.integers(1, 10**6)),
+                    "BEGINTIME": 1_696_200_000_000 + int(rng.integers(0, 10**6)) * 1000,
+                    "ESTIMATEDTIMERESTORATION": 1_697_200_000_000 + int(rng.integers(0, 10**6)) * 1000,
+                    "CUSTOMERSAFFECTED": int(rng.integers(1, 500)),
+                    "CAUSE": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                },
+                "geometry": {
+                    "x": round(-99 + 4 * rng.random(), 6),
+                    "y": round(29 + 5 * rng.random(), 6),
+                },
+            }
+            for _ in range(n)
+        ]
+        payload = json.dumps({"features": feats})
+        if rng.random() < 0.3:
+            payload = f"esricb({payload});"
+        return payload.encode()
+
+    if layout == "il_numoutages":
+        out = [
+            {
+                "Name": (county(0).title() if key != "per_metro" else f"Metro-{int(rng.integers(1, 40))}"),
+                "NumOutages": int(rng.integers(0, 3) * rng.integers(0, 9)),
+                "NumCustomersAffected": int(rng.integers(0, 600)),
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(out).encode()
+
+    if layout == "il_areasummary":
+        def _areas(prefix):
+            m = int(rng.integers(0, max(1, n)))
+            return [
+                {
+                    "Name": f"{prefix}-{int(rng.integers(1, 200))}",
+                    "Out": int(rng.integers(0, 3) * rng.integers(0, 50)),
+                    "Served": int(rng.integers(100, 20000)),
+                }
+                for _ in range(m)
+            ]
+        return json.dumps(
+            {
+                "zipCodeAreas": _areas("z"),
+                "countyAreas": _areas("c"),
+                "districtAreas": _areas("d"),
+            }
+        ).encode()
+
+    if layout == "fl_pretag7":
+        rows = [
+            {
+                "OBJECTID": int(rng.integers(1, 10**5)),
+                "PHASE": int(rng.integers(1, 4)),
+                "CUSTOMERS": int(rng.integers(1, 300)),
+                "OUTAGETIME": f"2023-10-0{int(rng.integers(1, 9))} 0{int(rng.integers(0, 9))}:30:00",
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"returndata": rows}).encode()
+
+    if layout == "fl_pretag8":
+        rows = [
+            {
+                "id": int(rng.integers(1, 10**5)),
+                "numCustomers": int(rng.integers(1, 250)),
+                "startTime": f"2023-10-0{int(rng.integers(1, 9))}T0{int(rng.integers(0, 9))}:15:00",
+                "cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(rows).encode()
+
+    if layout == "ga_arcgis10":
+        feats = [
+            {
+                "attributes": {
+                    "OBJECTID": int(rng.integers(1, 10**6)),
+                    "County_Nam": county(0).title(),
+                    "CONT_SUM": str(int(rng.integers(0, 3) * rng.integers(0, 90))),
+                }
+            }
+            for _ in range(n)
+        ]
+        return json.dumps({"features": feats}).encode()
+
+    if layout == "tn_reportlevels":
+        hdr = "<tr><th></th><th>Area</th><th>Aff</th><th>Served</th></tr>"
+        rows_html = []
+        for _ in range(n):
+            if rng.random() < 0.15:  # short row -> dropna victim
+                rows_html.append(
+                    f"<tr><td>+</td><td>{county(0).title()}</td>"
+                    f"<td>{int(rng.integers(0, 60))}</td></tr>"
+                )
+            else:
+                rows_html.append(
+                    f"<tr><td>+</td><td>{county(0).title()}</td>"
+                    f"<td>{int(rng.integers(0, 3) * rng.integers(0, 60))}</td>"
+                    f"<td>{int(rng.integers(200, 9000))}</td></tr>"
+                )
+        return (
+            f"<html><body><table id=\"reportTable\">{hdr}{''.join(rows_html)}</table></body></html>"
         ).encode()
 
     raise ValueError(f"unknown layout family: {layout}")

@@ -585,3 +585,309 @@ def test_tx_scraper7_dtable_matches_reference(tx_scraper):
     want = _df_to_records(df)
     got, _ = KERNELS["dtable"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
     assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# NY family (ny_scraper.py:33-313)
+
+@pytest.fixture(scope="module")
+def ny_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.ny_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def _inst(mod, cls_name, row):
+    cls = getattr(mod, cls_name)
+    sc = cls.__new__(cls)
+    mod.BaseScraper.__init__(sc, row["url"], row["emc"])
+    sc.driver = types.SimpleNamespace(close=lambda: None, quit=lambda: None)
+    return sc
+
+
+def test_ny_scraper1_report_matches_reference(ny_scraper):
+    """NY Scraper1 (ny_scraper.py:33-153): nested report groups, conditional
+    cust_a {val} unwrap, cust_a != 0 filter."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("ny_report")
+    bodies = web.fetch(row["url"], "ny_report")
+    sc = _inst(ny_scraper, "Scraper1", row)
+    sc.fetch = lambda: {
+        k: json.loads(v)["file_data"]["areas"][0]["areas"] for k, v in bodies.items()
+    }
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["ny_report"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_ny_scraper2_kubra_val_matches_reference(ny_scraper):
+    """NY Scraper2 (ny_scraper.py:155-226): cust_a+percent_cust_a unwrap,
+    (cust_a != 0)|(n_out != 0), gotoMap drop, per_town/per_county keys."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("ny_kubra_val")
+    bodies = web.fetch(row["url"], "ny_kubra_val")
+    sc = _inst(ny_scraper, "Scraper2", row)
+    sc.fetch = lambda: {k: json.loads(v)["file_data"] for k, v in bodies.items()}
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["ny_kubra_val"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_ny_scraper3_iframe_matches_reference(ny_scraper):
+    """NY Scraper3 (ny_scraper.py:228-313): the pandas tail (plain DataFrame,
+    no filter, ts+EMC) over the per_county + concatenated per_town row lists.
+    The DOM/iframe extraction itself is selenium+bs4 (modeled as the S10
+    multi-step fetch); the tr[1:-1] trim is exercised via the shared row
+    reader on both sides."""
+    from outage_data_scraper_ray.kernels import _table_rows_trimmed
+
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("ny_iframe")
+    bodies = web.fetch(row["url"], "ny_iframe")
+    county_rows = _table_rows_trimmed(bodies["per_county"].decode())
+    town_rows = []
+    for k, v in bodies.items():
+        if k.startswith("town_"):
+            town_rows += _table_rows_trimmed(v.decode())
+    sc = _inst(ny_scraper, "Scraper3", row)
+    sc.fetch = lambda: {"per_county": county_rows, "per_town": town_rows}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"]) + _df_to_records(ref["per_town"])
+    got, _ = KERNELS["ny_iframe"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# Duke click-path family (fl Scraper9 / nc Scraper6 / nc Scraper7)
+
+@pytest.fixture(scope="module")
+def nc_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.nc_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def test_fl_scraper9_duke_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("duke")
+    bodies = web.fetch(row["url"], "duke")
+    sc = _fl_instance(fl_scraper, "Scraper9", row)
+    sc.fetch = lambda: {"per_county": json.loads(bodies["per_county"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["duke"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+    assert len(want) > 0  # the string-vs-int filter is a no-op (ref quirk)
+
+
+def test_nc_scraper6_duke_matches_reference(nc_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("duke")
+    bodies = web.fetch(row["url"], "duke")
+    sc = _inst(nc_scraper, "Scraper6", row)
+    sc.fetch = lambda: {"per_county": json.loads(bodies["per_county"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["duke"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_nc_scraper7_treegrid_matches_reference(nc_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("treegrid")
+    bodies = web.fetch(row["url"], "treegrid")
+    sc = _inst(nc_scraper, "Scraper7", row)
+    sc.fetch = lambda: {"per_county": json.loads(bodies["per_county"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["treegrid"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# TX Scraper4 / Scraper5 (tx_scraper.py:84-227)
+
+def test_tx_scraper4_suffixjson_matches_reference(tx_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("tx_suffixjson")
+    bodies = web.fetch(row["url"], "tx_suffixjson")
+    sc = tx_scraper.Scraper4(row["url"], row["emc"])
+    sc.fetch = lambda: {k: json.loads(v) for k, v in bodies.items()}
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["tx_suffixjson"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tx_scraper5_kubra_sniff_matches_reference(tx_scraper, monkeypatch):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("tx_kubra_sniff")
+    bodies = web.fetch(row["url"], "tx_kubra_sniff")
+    sc = _inst(tx_scraper, "Scraper5", row)
+    sc.fetch = lambda: {k: json.loads(v)["file_data"] for k, v in bodies.items()}
+    # Scraper5 stamps pd.Timestamp.now() (tx_scraper.py:133) — pin it
+    import pandas as _pd
+
+    class _TS:
+        @staticmethod
+        def now():
+            return VIRTUAL_SCRAPE_TS
+
+    monkeypatch.setattr(tx_scraper.pd, "Timestamp", _TS)
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["tx_kubra_sniff"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# IL Scraper2 / Scraper7 / Scraper8 (il_scraper.py:133-328)
+
+@pytest.fixture(scope="module")
+def il_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.il_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def test_il_scraper2_kubra_val_matches_reference(il_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("il_kubra_val")
+    bodies = web.fetch(row["url"], "il_kubra_val")
+    sc = _inst(il_scraper, "Scraper2", row)
+    sc.fetch = lambda: {k: json.loads(v)["file_data"] for k, v in bodies.items()}
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["il_kubra_val"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_il_scraper7_numoutages_matches_reference(il_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("il_numoutages")
+    bodies = web.fetch(row["url"], "il_numoutages")
+    sc = _inst(il_scraper, "Scraper7", row)
+    sc.fetch = lambda: {k: json.loads(v) for k, v in bodies.items()}
+    ref = sc.parse()
+    want = []
+    for k in bodies:
+        val = ref[k]
+        if isinstance(val, pd.DataFrame):
+            want += _df_to_records(val)
+        # empty fetch lists stay untouched by the reference (`if val:`)
+    got, _ = KERNELS["il_numoutages"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_il_scraper8_areasummary_matches_reference(il_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("il_areasummary")
+    bodies = web.fetch(row["url"], "il_areasummary")
+    tmp = json.loads(bodies["areasummary"])
+    raw = {}
+    if tmp["zipCodeAreas"]:
+        raw["per_zipcode"] = tmp["zipCodeAreas"]
+    if tmp["countyAreas"]:
+        raw["per_county"] = tmp["countyAreas"]
+    if tmp["districtAreas"]:
+        raw["per_district"] = tmp["districtAreas"]
+    sc = _inst(il_scraper, "Scraper8", row)
+    sc.fetch = lambda: raw
+    ref = sc.parse()
+    want = []
+    for k in raw:
+        want += _df_to_records(ref[k])
+    got, _ = KERNELS["il_areasummary"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# FL Scraper7 / Scraper8 (fl_scraper.py:321-383)
+
+def test_fl_scraper7_pretag_matches_reference(fl_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("fl_pretag7")
+    bodies = web.fetch(row["url"], "fl_pretag7")
+    sc = _fl_instance(fl_scraper, "Scraper7", row)
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["fl_pretag7"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_fl_scraper8_pretag_matches_reference(fl_scraper):
+    """fl Scraper8 calls DataFrame.from_records on the raw fetch DICT — one
+    row per outage with the raw record in a single per_outage column."""
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("fl_pretag8")
+    bodies = web.fetch(row["url"], "fl_pretag8")
+    sc = _fl_instance(fl_scraper, "Scraper8", row)
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["fl_pretag8"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# GA Scraper10 (ga_scraper.py:690-742)
+
+def test_ga_scraper10_arcgis_matches_reference(ga_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("ga_arcgis10")
+    bodies = web.fetch(row["url"], "ga_arcgis10")
+    sc = _inst(ga_scraper, "Scraper10", row)
+    sc.fetch = lambda: {"per_county": json.loads(bodies["per_county"])["features"]}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_county"])
+    got, _ = KERNELS["ga_arcgis10"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+# ---------------------------------------------------------------------------
+# Inert reference scrapers — proven inert against the real code
+
+def test_ca_scrapercc_is_inert(ga_scraper):
+    """ca ScraperCC (ca_scraper.py:66-77) has pass-bodies for parse() and
+    fetch(); there is nothing to kernelize — proven here."""
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        ca = importlib.import_module("scrapers.ca_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    sc = ca.ScraperCC("https://example.invalid", "cc")
+    assert sc.parse() is None
+    assert sc.fetch() is None
