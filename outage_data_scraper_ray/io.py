@@ -55,22 +55,24 @@ class TableIO:
         man = cls.manifest(path)
         if run_id in man["runs"]:
             return
-        if HAVE_LANCE:  # pragma: no cover
-            import lance
 
-            lance.write_dataset(ds.to_arrow_refs and ds.materialize().to_arrow_refs(), path)
+        def _tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "run_id", pa.array([run_id] * batch.num_rows, pa.string())
+            )
+
+        tagged = ds.map_batches(_tag, batch_format="pyarrow")
+        if HAVE_LANCE:  # pragma: no cover - pylance absent in this sandbox
+            # Lance is unpartitioned-by-directory; run_id lineage rides as a
+            # column (same append/resume contract as the parquet layout, the
+            # commit log handles physical appends). Distributed sink — no
+            # driver-side materialization.
+            mode = "append" if man["runs"] else "create"
+            tagged.write_lance(path, mode=mode)
+        elif partition_cols:
+            tagged.write_parquet(path, partition_cols=partition_cols)
         else:
-
-            def _tag(batch: pa.Table) -> pa.Table:
-                return batch.append_column(
-                    "run_id", pa.array([run_id] * batch.num_rows, pa.string())
-                )
-
-            tagged = ds.map_batches(_tag, batch_format="pyarrow")
-            if partition_cols:
-                tagged.write_parquet(path, partition_cols=partition_cols)
-            else:
-                tagged.write_parquet(path)
+            tagged.write_parquet(path)
         man["runs"].append(run_id)
         man["partition_cols"] = partition_cols or []
         os.makedirs(path, exist_ok=True)

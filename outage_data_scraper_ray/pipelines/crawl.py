@@ -58,7 +58,7 @@ from ..stages.fetch import (
     children_to_frontier,
 )
 from ..state.counters import CrawlCounters
-from ..state.cuckoo import SeenShard
+from ..state.cuckoo import SeenShard, shard_of
 from ..state.politeness import HostScheduler, scheduler_shard_of
 from ..synth import make_seed_registry, robots_allows, robots_rules
 
@@ -158,6 +158,8 @@ class CrawlJob:
                 "bucket_size": int(z["bucket_size"]),
                 "exact": bool(z["exact"]),
                 "exact_set": z["exact_set"] if z["exact"] else None,
+                "stash": z["stash"] if "stash" in z.files else None,
+                "kick_failures": int(z["kick_failures"]) if "kick_failures" in z.files else 0,
             }
             ray.get(shard.load.remote(state))
         for i, shard in enumerate(self.sched):
@@ -177,6 +179,8 @@ class CrawlJob:
                 bucket_size=d["bucket_size"],
                 exact=d["exact"],
                 exact_set=d["exact_set"] if d["exact_set"] is not None else np.array([], dtype=np.uint64),
+                stash=d["stash"],
+                kick_failures=d["kick_failures"],
             )
         for i, d in enumerate(ray.get([s.dump.remote() for s in self.sched])):
             with open(os.path.join(state_dir, f"sched_{i}.json"), "w") as f:
@@ -186,6 +190,48 @@ class CrawlJob:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(e))  # atomic finalize
+
+    def _commit_epoch(self, e: int) -> None:
+        """Post-finalize commit pass over epoch e's docs parquet: mark every
+        fetched URL's canonical hash seen (idempotent add-if-absent on the
+        shard actors) and derive fetch counters from per-batch partials,
+        added exactly once on the driver. Distributed — only tiny count rows
+        and O(batch) hash arrays move; safe to re-run on resume."""
+        seen_actors = self.seen
+        n_sh = len(seen_actors)
+
+        def _commit(t: pa.Table, _a=seen_actors, _n=n_sh) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            # doc_id == f"d{canonical_hash:016x}" (stages/fetch.py)
+            h = np.array([int(d[1:], 16) for d in ids], dtype=np.uint64)
+            route = shard_of(h, _n)
+            refs = []
+            for s in range(_n):
+                idx = np.flatnonzero(route == s)
+                if idx.size:
+                    refs.append(_a[s].mark.remote(h[idx]))
+            ray.get(refs)
+            ok = int(pc.sum(pc.cast(pc.equal(t.column("status"), 200), pa.int64())).as_py() or 0)
+            n_spans = int(pc.sum(pc.list_value_length(t.column("spans"))).as_py() or 0)
+            return pa.table({"n": [t.num_rows], "ok": [ok], "spans": [n_spans]})
+
+        parts = (
+            rd.read_parquet(self._docs_path(e), columns=["doc_id", "status", "spans"])
+            .map_batches(_commit, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n = int(parts["n"].sum())
+        ok = int(parts["ok"].sum())
+        ray.get(
+            self.counters.add_many.remote(
+                {
+                    "fetched": n,
+                    "fetch_ok": ok,
+                    "fetch_failed": n - ok,
+                    "spans": int(parts["spans"].sum()),
+                }
+            )
+        )
 
     @staticmethod
     def _parquet_num_rows(path: str) -> int:
@@ -282,8 +328,30 @@ class CrawlJob:
                 ray.get([sh.tick.remote() for sh in self.sched])
                 admitted_n: dict[str, int] = {}
                 over: set[str] = set()
+                # robots_skipped is counted on the DRIVER from a tiny
+                # per-batch partial pass — exactly once, immune to Ray Data
+                # task replays (a _count side effect inside the fetch chain
+                # would double-count on re-execution)
+
+                def _robots_counts(t, _s=_seed):
+                    allowed = sum(
+                        robots_allows(u, robots_rules(h, _s))
+                        for h, u in zip(
+                            t.column("host").to_pylist(), t.column("url").to_pylist()
+                        )
+                    )
+                    return pa.table({"n": [t.num_rows], "allowed": [int(allowed)]})
+
+                rc = frontier.map_batches(
+                    _robots_counts, batch_format="pyarrow"
+                ).to_pandas()
+                skipped = int(rc["n"].sum() - rc["allowed"].sum())
+                if skipped:
+                    ray.get(
+                        self.counters.add_many.remote({"robots_skipped": skipped})
+                    )
                 admitted_source = frontier.map_batches(
-                    partial(_robots_filter, _count=True), batch_format="pyarrow"
+                    _robots_filter, batch_format="pyarrow"
                 )
                 gated_path = None
                 _t1 = _t2 = _time.perf_counter()
@@ -473,10 +541,14 @@ class CrawlJob:
                     # real fetcher (webdriver/session reuse, ST1) sets
                     # stateless_fetch=False and pays the pool once per epoch.
                     **(
+                        # counters stay OUT of the fetch tasks: a replayed
+                        # block would double-count. The driver derives all
+                        # fetch counters from the finalized docs parquet in
+                        # _commit_epoch (exactly once per epoch).
                         dict(
                             fn=lambda t, _kw=dict(
                                 seed=cfg.seed, max_rows=cfg.max_rows,
-                                failure_rate=cfg.failure_rate, counters=self.counters,
+                                failure_rate=cfg.failure_rate,
                                 scrape_ts=cfg.scrape_ts,
                             ): FetchParseStage(**_kw)(t)
                         )
@@ -487,7 +559,6 @@ class CrawlJob:
                                 "seed": cfg.seed,
                                 "max_rows": cfg.max_rows,
                                 "failure_rate": cfg.failure_rate,
-                                "counters": self.counters,
                                 "scrape_ts": cfg.scrape_ts,
                             },
                             concurrency=fetch_conc,
@@ -504,6 +575,13 @@ class CrawlJob:
                 )
             )
             admitted.write_parquet(self._docs_path(e))
+            # Commit seen marks + fetch counters from the FINALIZED docs.
+            # SeenFilterStage is read-only inside retryable tasks; the mark
+            # commit is idempotent (add-if-absent), so task replays and
+            # resume re-runs of this pass are no-ops, and counters are added
+            # exactly once on the driver.
+            if os.path.exists(self._docs_path(e)):
+                self._commit_epoch(e)
             _t3 = _time.perf_counter()
 
             # 4. next frontier = deferred ∪ discovered children.

@@ -44,8 +44,16 @@ def add_hash_columns(batch: pa.Table, salt: str = "") -> pa.Table:
 
 class SeenFilterStage:
     """Filters frontier rows whose canonical hash is already in the sharded
-    URL-seen set, marking new ones seen (the reference's visited-list
-    semantics, il_scraper.py:200-212, scaled out)."""
+    URL-seen set (the reference's visited-list semantics,
+    il_scraper.py:200-212, scaled out).
+
+    READ-ONLY against the shards: marks are committed by the crawl driver
+    from each epoch's finalized docs parquet, so a retried/replayed Ray Data
+    task cannot poison the seen set (its first attempt's marks would
+    otherwise filter the replay's whole batch out). Intra-epoch duplicate
+    URLs cannot occur by construction — children are derived from their
+    parent URL (parent-unique paths) and deferred rows are single frontier
+    rows — so read-only filtering is exact within an epoch too."""
 
     def __init__(self, seen_actors: list[Any]):
         self.shards = seen_actors
@@ -63,7 +71,7 @@ class SeenFilterStage:
         for s in range(self.n):
             idx = np.flatnonzero(route == s)
             if idx.size:
-                refs.append(self.shards[s].check_add.remote(hashes[idx]))
+                refs.append(self.shards[s].contains.remote(hashes[idx]))
                 idxs.append(idx)
         for idx, mask in zip(idxs, ray.get(refs)):
             seen[idx] = mask

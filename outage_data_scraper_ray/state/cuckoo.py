@@ -40,6 +40,13 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(0xC0FFEE)
+        # overflow stash: (bucket_idx, fp) pairs parked when the kick loop
+        # fails near capacity. Without it, the fingerprint still in hand
+        # after _KICKS evictions — which belongs to a PREVIOUSLY inserted
+        # key — would be silently dropped, re-admitting a crawled URL.
+        # A growing stash is the operator signal that capacity is undersized.
+        self.stash: set[tuple[int, int]] = set()
+        self.kick_failures = 0
 
     def _fp_idx(self, h: int) -> tuple[int, int]:
         fp = (h & 0xFFFF) or 1
@@ -53,10 +60,17 @@ class CuckooFilter:
         fp, i1 = self._fp_idx(h)
         if fp in self.table[i1]:
             return True
-        return fp in self.table[self._alt(i1, fp)]
+        i2 = self._alt(i1, fp)
+        if fp in self.table[i2]:
+            return True
+        return bool(self.stash) and (
+            (i1, fp) in self.stash or (i2, fp) in self.stash
+        )
 
     def add(self, h: int) -> bool:
-        """Insert; returns False only on extreme overload (filter full)."""
+        """Insert. Never loses membership: if the kick loop fails, the
+        fingerprint left in hand (belonging to a previously inserted key) is
+        parked in the stash instead of being dropped."""
         fp, i = self._fp_idx(h)
         for idx in (i, self._alt(i, fp)):
             row = self.table[idx]
@@ -76,7 +90,12 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        return False
+        # kick budget exhausted: stash the displaced fingerprint (keyed by
+        # the bucket it was displaced from, which is one of its two homes)
+        self.stash.add((int(i), int(fp)))
+        self.count += 1
+        self.kick_failures += 1
+        return True
 
     def check_add_batch(self, hashes: np.ndarray) -> np.ndarray:
         """Vector wrapper: seen-mask for a batch, inserting unseen keys.
@@ -95,6 +114,8 @@ class CuckooFilter:
             "table": self.table.copy(),
             "count": self.count,
             "bucket_size": self.bucket_size,
+            "stash": np.array(sorted(self.stash), dtype=np.int64).reshape(-1, 2),
+            "kick_failures": self.kick_failures,
         }
 
     @classmethod
@@ -103,6 +124,10 @@ class CuckooFilter:
                 bucket_size=state["bucket_size"])
         f.table = state["table"].copy()
         f.count = int(state["count"])
+        stash = state.get("stash")
+        if stash is not None and len(stash):
+            f.stash = {(int(a), int(b)) for a, b in stash}
+        f.kick_failures = int(state.get("kick_failures", 0))
         return f
 
 
@@ -113,6 +138,28 @@ class SeenShard:
         self.filter = CuckooFilter(capacity)
         self.exact = exact
         self.exact_set: set[int] = set()
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """READ-ONLY membership mask — safe inside retryable Ray Data tasks
+        (a replayed block sees the same answer, unlike check_add, whose
+        first attempt's marks would filter the replay's whole batch out)."""
+        if self.exact:
+            return np.fromiter(
+                (h in self.exact_set for h in hashes.tolist()),
+                dtype=bool, count=len(hashes),
+            )
+        return np.fromiter(
+            (self.filter.contains(h) for h in hashes.tolist()),
+            dtype=bool, count=len(hashes),
+        )
+
+    def mark(self, hashes: np.ndarray) -> None:
+        """Idempotent mark-seen (add-if-absent, no return). The crawl commits
+        marks from each epoch's FINALIZED docs parquet, so task replays and
+        resume re-runs are no-ops."""
+        self.filter.check_add_batch(hashes)
+        if self.exact:
+            self.exact_set.update(hashes.tolist())
 
     def check_add(self, hashes: np.ndarray) -> np.ndarray:
         if self.exact:

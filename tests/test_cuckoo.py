@@ -62,3 +62,34 @@ def test_shard_routing_balanced():
     route = shard_of(keys, 8)
     counts = np.bincount(route, minlength=8)
     assert counts.min() > 20000 / 8 * 0.8
+
+
+def test_overload_never_loses_membership():
+    """Regression: at extreme load the kick loop used to drop the displaced
+    fingerprint — a previously inserted key would read as unseen and a
+    crawled URL could be re-admitted. The stash must preserve membership."""
+    f = CuckooFilter(capacity=1 << 8)  # 256 slots
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, size=600, dtype=np.uint64)  # 2.3x overload
+    f.check_add_batch(keys)
+    assert f.kick_failures > 0  # the overload actually exercised the stash
+    missing = [int(h) for h in keys if not f.contains(int(h))]
+    assert missing == []
+    # stash survives a dump/load round trip
+    g = CuckooFilter.load(f.dump())
+    assert g.kick_failures == f.kick_failures
+    assert [int(h) for h in keys if not g.contains(int(h))] == []
+
+
+def test_contains_is_read_only_and_mark_idempotent():
+    s = SeenShard(capacity=1 << 12, exact=True)
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    # read-only probe: repeated calls agree (a replayed Ray Data task must
+    # see the same answer its first attempt saw)
+    assert not s.contains(keys).any()
+    assert not s.contains(keys).any()
+    s.mark(keys)
+    s.mark(keys)  # replayed commit: no-op
+    assert s.contains(keys).all()
+    assert s.size() == len(set(keys.tolist()))
