@@ -200,6 +200,41 @@ class CrawlJob:
         seen_actors = self.seen
         n_sh = len(seen_actors)
 
+        # small epochs (scalar columns of fetched rows fit trivially in the
+        # driver): skip the Ray Data execution entirely — one footer-pruned
+        # pyarrow read + batched shard RPCs. Large epochs run distributed.
+        if self._parquet_num_rows(self._docs_path(e)) <= 1_000_000:
+            import glob as _glob
+
+            files = sorted(_glob.glob(os.path.join(self._docs_path(e), "*.parquet")))
+            t = pa.concat_tables(
+                pq.read_table(f, columns=["doc_id", "status", "n_spans"])
+                for f in files
+            )
+            h = np.array(
+                [int(d[1:], 16) for d in t.column("doc_id").to_pylist()],
+                dtype=np.uint64,
+            )
+            route = shard_of(h, n_sh)
+            refs = [
+                seen_actors[s].mark.remote(h[route == s])
+                for s in range(n_sh)
+                if (route == s).any()
+            ]
+            ray.get(refs)
+            ok = int(pc.sum(pc.cast(pc.equal(t.column("status"), 200), pa.int64())).as_py() or 0)
+            ray.get(
+                self.counters.add_many.remote(
+                    {
+                        "fetched": t.num_rows,
+                        "fetch_ok": ok,
+                        "fetch_failed": t.num_rows - ok,
+                        "spans": int(pc.sum(t.column("n_spans")).as_py() or 0),
+                    }
+                )
+            )
+            return
+
         def _commit(t: pa.Table, _a=seen_actors, _n=n_sh) -> pa.Table:
             ids = t.column("doc_id").to_pylist()
             # doc_id == f"d{canonical_hash:016x}" (stages/fetch.py)
@@ -212,11 +247,17 @@ class CrawlJob:
                     refs.append(_a[s].mark.remote(h[idx]))
             ray.get(refs)
             ok = int(pc.sum(pc.cast(pc.equal(t.column("status"), 200), pa.int64())).as_py() or 0)
-            n_spans = int(pc.sum(pc.list_value_length(t.column("spans"))).as_py() or 0)
+            n_spans = int(pc.sum(t.column("n_spans")).as_py() or 0)
             return pa.table({"n": [t.num_rows], "ok": [ok], "spans": [n_spans]})
 
+        cpus = int(ray.cluster_resources().get("CPU", 4))
         parts = (
-            rd.read_parquet(self._docs_path(e), columns=["doc_id", "status", "spans"])
+            # pruned read: three scalar columns, never the spans payload;
+            # coalesced blocks — the work per row is one hash parse + RPC
+            rd.read_parquet(
+                self._docs_path(e), columns=["doc_id", "status", "n_spans"],
+                override_num_blocks=max(4, cpus // 4),
+            )
             .map_batches(_commit, batch_format="pyarrow")
             .to_pandas()
         )
@@ -324,6 +365,7 @@ class CrawlJob:
                 and cfg.politeness_burst >= total_pending
                 and cfg.epoch_capacity is None
             )
+            robots_thread = None
             if fast_path:
                 ray.get([sh.tick.remote() for sh in self.sched])
                 admitted_n: dict[str, int] = {}
@@ -342,14 +384,26 @@ class CrawlJob:
                     )
                     return pa.table({"n": [t.num_rows], "allowed": [int(allowed)]})
 
-                rc = frontier.map_batches(
-                    _robots_counts, batch_format="pyarrow"
-                ).to_pandas()
-                skipped = int(rc["n"].sum() - rc["allowed"].sum())
-                if skipped:
-                    ray.get(
-                        self.counters.add_many.remote({"robots_skipped": skipped})
+                # overlap the count pass with the fetch execution: the count
+                # is only a counter input (not a gate), so it runs in a
+                # background thread and is joined before the checkpoint
+                import threading as _threading
+
+                _robots_cnt: dict[str, int] = {}
+
+                def _count_robots(_f=frontier_file, _out=_robots_cnt):
+                    rc = (
+                        rd.read_parquet(
+                            _f, columns=["host", "url"],
+                            override_num_blocks=max(4, total_cpus // 4),
+                        )
+                        .map_batches(_robots_counts, batch_format="pyarrow")
+                        .to_pandas()
                     )
+                    _out["skipped"] = int(rc["n"].sum() - rc["allowed"].sum())
+
+                robots_thread = _threading.Thread(target=_count_robots, daemon=True)
+                robots_thread.start()
                 admitted_source = frontier.map_batches(
                     _robots_filter, batch_format="pyarrow"
                 )
@@ -615,6 +669,14 @@ class CrawlJob:
             _t4 = _time.perf_counter()
 
             # 5. finalize epoch
+            if robots_thread is not None:
+                robots_thread.join()
+                if _robots_cnt.get("skipped"):
+                    ray.get(
+                        self.counters.add_many.remote(
+                            {"robots_skipped": _robots_cnt["skipped"]}
+                        )
+                    )
             self._checkpoint(e, {"budgets": {k: int(v) for k, v in admitted_n.items()}})
             if _dbg:
                 print(

@@ -62,6 +62,8 @@ DOCS = pa.schema(
         ("status", pa.int32()),
         ("reason", pa.string()),
         ("spans", pa.list_(SPAN_STRUCT)),
+        ("n_spans", pa.int32()),  # len(spans): lets counters/commit passes
+        # prune the heavy spans column at the read
         ("child_urls", pa.list_(pa.string())),
         ("epoch", pa.int32()),
     ]

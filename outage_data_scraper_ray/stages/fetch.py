@@ -185,6 +185,7 @@ class FetchParseStage:
             "status": pa.array(statuses, type=pa.int32()),
             "reason": pa.array(reasons, type=pa.string()),
             "spans": span_col,
+            "n_spans": pa.array(np.diff(lengths), type=pa.int32()),
             "child_urls": pa.array(all_children, type=pa.list_(pa.string())),
         }
         return pa.table(cols)
