@@ -498,13 +498,18 @@ def knn_topk(sf_dir: str) -> pd.DataFrame:
 
 
 KNN_SQL = """
+-- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes AND returns
+-- float32, so ROUND(...,6) yields a float32 that differs from the Python
+-- float64 round at the 1e-8 level (0.369994 is not float32-representable)
 SELECT vec_id,
        ROUND(list_cosine_similarity(
-           embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
        ), 6) AS score
 FROM embeddings
 ORDER BY list_cosine_similarity(
-    embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    CAST(embedding AS DOUBLE[]),
+    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
 ) DESC, vec_id
 LIMIT 10
 """
