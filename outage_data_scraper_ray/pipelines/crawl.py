@@ -204,12 +204,10 @@ class CrawlJob:
         # driver): skip the Ray Data execution entirely — one footer-pruned
         # pyarrow read + batched shard RPCs. Large epochs run distributed.
         if self._parquet_num_rows(self._docs_path(e)) <= 1_000_000:
-            import glob as _glob
-
-            files = sorted(_glob.glob(os.path.join(self._docs_path(e), "*.parquet")))
-            t = pa.concat_tables(
-                pq.read_table(f, columns=["doc_id", "status", "n_spans"])
-                for f in files
+            # one threaded dataset read over the whole docs dir — a per-file
+            # Python loop here is serial driver time that caps scaling
+            t = pq.read_table(
+                self._docs_path(e), columns=["doc_id", "status", "n_spans"]
             )
             h = np.array(
                 [int(d[1:], 16) for d in t.column("doc_id").to_pylist()],
