@@ -707,8 +707,17 @@ def parse_ga_arcgis10(bodies, emc, ts, url):
     return spans, []
 
 
+def parse_la_plainjson(bodies, emc, ts, url):
+    """LA plain-JSON list (la Scraper6, la_scraper.py:77-102): rows straight
+    from the payload, no filter."""
+    val = json.loads(bodies["per_outage"].decode("utf8"))
+    return [
+        span("per_outage", finish(dict(o), ts, emc), i) for i, o in enumerate(val)
+    ], []
+
+
 def parse_tn_reportlevels(bodies, emc, ts, url):
-    """TN multi-level reportTable (tn Scraper1, tn_scraper.py:28-113): one
+    """TN multi-level reportTable (tn Scraper2, tn_scraper.py:38-113): one
     DOM table per select-menu level; blank-header columns dropped, short
     rows dropped (dropna), STRING filter Aff != "0"."""
     spans, off = [], 0
@@ -769,10 +778,13 @@ KERNELS: dict[str, Kernel] = {
     "fl_pretag8": parse_fl_pretag8,
     "ga_arcgis10": parse_ga_arcgis10,
     "tn_reportlevels": parse_tn_reportlevels,
+    "la_plainjson": parse_la_plainjson,
 }
 
 # Reference scrapers that are themselves inert or broken — documented, not
-# kernelized: ca ScraperCC (ca_scraper.py:66-77) has pass-bodies for both
-# parse() and fetch(); fl Scraper6 (fl_scraper.py:262-290) calls find_all on
-# a bs4 ResultSet and raises AttributeError before producing data. Tests in
-# tests/test_kernels_reference.py prove both facts against the real code.
+# kernelized: ca ScraperCC (ca_scraper.py:66-77) and tx Scraper3
+# (tx_scraper.py:73-82) have pass-bodies for both parse() and fetch();
+# ga Scraper8 (ga_scraper.py:592-595) defines only __init__; fl Scraper6
+# (fl_scraper.py:262-290) calls find_all on a bs4 ResultSet and raises
+# AttributeError before producing data. Tests in
+# tests/test_kernels_reference.py prove these facts against the real code.

@@ -624,6 +624,13 @@ def oracle_parse(bodies: dict[str, bytes], layout: str, emc: str, ts: str, url: 
         _df_spans(df, "per_county", spans)
         return spans, []
 
+    if layout == "la_plainjson":
+        df = pd.DataFrame(json.loads(bodies["per_outage"].decode()))
+        df["timestamp"] = ts
+        df["EMC"] = emc
+        _df_spans(df, "per_outage", spans)
+        return spans, []
+
     if layout == "tn_reportlevels":
         from ..kernels.common import parse_html_table
 

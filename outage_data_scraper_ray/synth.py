@@ -77,7 +77,7 @@ _CELLS: list[tuple[str, str]] = [
     ("tx", "tx_kubra_sniff"), ("tx", "tx_envelope"),
     ("il", "il_kubra_val"), ("il", "il_numoutages"), ("il", "il_areasummary"),
     ("fl", "fl_pretag7"), ("fl", "fl_pretag8"),
-    ("ga", "ga_arcgis10"), ("tn", "tn_reportlevels"),
+    ("ga", "ga_arcgis10"), ("tn", "tn_reportlevels"), ("la", "la_plainjson"),
 ]
 
 
@@ -200,6 +200,7 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
         ("per_District", "report?level=District"),
         ("per_County", "report?level=County"),
     ],
+    "la_plainjson": [("per_outage", "api/outages")],
 }
 
 KUBRA_REPORT_TITLES = ["county", "zip", "MEDIA", "city", "ctv", "ward"]
@@ -870,6 +871,18 @@ def synth_body(url: str, layout: str, key: str, seed: int, max_rows: int = 8) ->
             for _ in range(n)
         ]
         return json.dumps({"features": feats}).encode()
+
+    if layout == "la_plainjson":
+        rows = [
+            {
+                "outageId": int(rng.integers(1, 10**6)),
+                "numCustomersAffected": int(rng.integers(0, 400)),
+                "cause": _CAUSES[int(rng.integers(0, len(_CAUSES)))],
+                "startTime": f"2023-10-0{int(rng.integers(1, 9))}T1{int(rng.integers(0, 9))}:00:00",
+            }
+            for _ in range(n)
+        ]
+        return json.dumps(rows).encode()
 
     if layout == "tn_reportlevels":
         hdr = "<tr><th></th><th>Area</th><th>Aff</th><th>Served</th></tr>"

@@ -891,3 +891,40 @@ def test_ca_scrapercc_is_inert(ga_scraper):
     sc = ca.ScraperCC("https://example.invalid", "cc")
     assert sc.parse() is None
     assert sc.fetch() is None
+
+
+@pytest.fixture(scope="module")
+def la_scraper(ga_scraper):
+    sys.path.insert(0, REF_APP)
+    try:
+        import importlib
+
+        mod = importlib.import_module("scrapers.la_scraper")
+    finally:
+        sys.path.remove(REF_APP)
+    mod.timenow = lambda: VIRTUAL_SCRAPE_TS
+    return mod
+
+
+def test_la_scraper6_plainjson_matches_reference(la_scraper):
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("la_plainjson")
+    bodies = web.fetch(row["url"], "la_plainjson")
+    sc = _inst(la_scraper, "Scraper6", row)
+    sc.fetch = lambda: {"per_outage": json.loads(bodies["per_outage"])}
+    ref = sc.parse()
+    want = _df_to_records(ref["per_outage"])
+    got, _ = KERNELS["la_plainjson"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tx_scraper3_and_ga_scraper8_are_inert(tx_scraper, ga_scraper):
+    """tx Scraper3 (tx_scraper.py:73-82) has pass-bodies; ga Scraper8
+    (ga_scraper.py:592-595) defines only __init__ — nothing to kernelize."""
+    sc = tx_scraper.Scraper3.__new__(tx_scraper.Scraper3)
+    tx_scraper.BaseScraper.__init__(sc, "https://example.invalid", "x")
+    assert sc.parse() is None
+    assert sc.fetch() is None
+    g8 = ga_scraper.Scraper8("https://example.invalid", "x")
+    assert not hasattr(ga_scraper.Scraper8, "parse") or \
+        ga_scraper.Scraper8.parse is ga_scraper.BaseScraper.parse
