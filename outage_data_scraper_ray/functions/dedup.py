@@ -48,20 +48,62 @@ def add_md5(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return batch
 
 
-def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+def exact_dedup(
+    docs: rd.Dataset, id_col: str = "doc_id", broadcast_threshold: int = 1_000_000
+) -> rd.Dataset:
     """Exact dedup by content hash; keeps min doc_id per text
     (the reference's only exact-dedup precedents: A4 idxmin and the disabled
-    drop_duplicates at util.py:42, made explicit here)."""
+    drop_duplicates at util.py:42, made explicit here).
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.loc[[g[id_col].idxmin()]].copy()
-        keep["n_copies"] = len(g)
-        return keep
+    Scale shape: per-batch partials reduce each batch to (md5, min_id, n)
+    triples, so the one shuffle moves 3 scalars per unique-text-per-batch —
+    never the text rows. Kept rows come back via a broadcast id map when the
+    keeper set is small (<= broadcast_threshold), else a distributed hash
+    join."""
 
-    return (
-        docs.map_batches(add_md5, batch_format="pandas")
-        .groupby("text_md5")
-        .map_groups(_first, batch_format="pandas")
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = add_md5(batch)
+        return b.groupby("text_md5", as_index=False).agg(
+            keep_id=(id_col, "min"), n=(id_col, "size")
+        )
+
+    partials = docs.map_batches(_partial, batch_format="pandas")
+
+    # row count from input metadata (cheap for reads / in-memory datasets):
+    # bounds the partial cardinality, so it safely picks the combine site
+    if docs.count() <= broadcast_threshold:
+        keep_pd = (
+            partials.to_pandas()
+            .groupby("text_md5", as_index=False)
+            .agg(keep_id=("keep_id", "min"), n_copies=("n", "sum"))
+        )
+        info = {
+            int(i): (m, int(n))
+            for m, i, n in zip(
+                keep_pd["text_md5"], keep_pd["keep_id"], keep_pd["n_copies"]
+            )
+        }
+        info_ref = ray.put(info)
+
+        def _filter(batch: pd.DataFrame, _ref=info_ref) -> pd.DataFrame:
+            m = ray.get(_ref)
+            hit = batch[batch[id_col].isin(m.keys())].copy()
+            pairs = [m[int(i)] for i in hit[id_col]]
+            hit["text_md5"] = [p[0] for p in pairs]
+            hit["n_copies"] = [p[1] for p in pairs]
+            return hit
+
+        return docs.map_batches(_filter, batch_format="pandas")
+
+    from ray.data.aggregate import Min, Sum
+
+    keep = partials.groupby("text_md5").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_copies")
+    )
+    # Dataset.join absorbs the right-side key column into the left key
+    return docs.join(
+        keep, join_type="inner", num_partitions=max(docs.num_blocks(), 8),
+        on=(id_col,), right_on=("keep_id",),
     )
 
 

@@ -70,17 +70,18 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
         return g
 
     partials = ds.map_batches(_partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
-
+    # 6-group key: partials are O(n_blocks x 6) rows — combine on the driver
+    # (integer sums commute, so order is irrelevant to exactness) instead of
+    # paying a hash-shuffle aggregate for a handful of groups
     final = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="qty_c"),
-            Sum("price_c", alias_name="price_c"),
-            Sum("disc_price_c", alias_name="disc_price_c"),
-            Sum("n", alias_name="count_order"),
+        partials.to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            qty_c=("qty_c", "sum"),
+            price_c=("price_c", "sum"),
+            disc_price_c=("disc_price_c", "sum"),
+            count_order=("n", "sum"),
         )
-        .to_pandas()
     )
     out = pd.DataFrame(
         {
@@ -131,9 +132,8 @@ NONZERO_SQL = "SELECT * FROM events WHERE value <> 0"
 
 def grouped_sum(sf_dir: str) -> pd.DataFrame:
     # pre-aggregate inside each batch (pure-arrow group_by) so only one tiny
-    # partial row per (flag, batch) reaches the final groupby — a bare
-    # groupby here would shuffle every lineitem row (4.3s vs 0.9s at sf0.1)
-    from ray.data.aggregate import Sum
+    # partial row per (flag, batch) leaves the read — a bare groupby here
+    # would shuffle every lineitem row (4.3s vs 0.9s at sf0.1)
 
     def _partial(t: pa.Table) -> pa.Table:
         qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
@@ -145,10 +145,11 @@ def grouped_sum(sf_dir: str) -> pd.DataFrame:
     partials = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
         _partial, batch_format="pyarrow"
     )
+    # 3-group key -> driver combine of the tiny partials (no shuffle actors)
     out = (
-        partials.groupby("l_returnflag")
-        .aggregate(Sum("qty_c", alias_name="qty_c"), Sum("n", alias_name="n_items"))
-        .to_pandas()
+        partials.to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .agg(qty_c=("qty_c", "sum"), n_items=("n", "sum"))
     )
     out["sum_qty"] = out.pop("qty_c") / 100.0
     out["n_items"] = out["n_items"].astype("int64")
@@ -362,31 +363,34 @@ FROM events
 # A5: global scalar properties (step2_property.py:62-94)
 
 def global_props(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Sum
-
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]).map_batches(
-        lambda t: pa.table(
+    # one partial totals row per batch -> trivial driver sum (global scalars
+    # need no shuffle at all)
+    def _partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table(
             {
-                "qty_c": pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
-                "price_c": pc.cast(
-                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
-                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "qty_c": pa.array([pc.sum(qty_c).as_py() or 0], pa.int64()),
+                "price_c": pa.array([pc.sum(price_c).as_py() or 0], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
     )
-    agg = ds.aggregate(
-        Count(alias_name="frequency"),
-        Sum("qty_c", alias_name="qty_c"),
-        Sum("price_c", alias_name="price_c"),
-    )
+    n = int(parts["n"].sum())
+    qty_c = int(parts["qty_c"].sum())
+    price_c = int(parts["price_c"].sum())
     return pd.DataFrame(
         [
             {
-                "frequency": int(agg["frequency"]),
-                "total_qty": agg["qty_c"] / 100.0,
-                "total_price": agg["price_c"] / 100.0,
-                "avg_qty": agg["qty_c"] / 100.0 / agg["frequency"],
+                "frequency": n,
+                "total_qty": qty_c / 100.0,
+                "total_price": price_c / 100.0,
+                "avg_qty": qty_c / 100.0 / n,
             }
         ]
     )
@@ -609,8 +613,6 @@ FROM l ASOF LEFT JOIN r ON l.jk = r.jk AND r.o_orderdate <= l.ts
 # workload per ray_guide "Streaming-shaped workloads")
 
 def tumbling_window(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
     def _partial(t: pa.Table) -> pa.Table:
         epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
         win = pc.multiply(pc.floor(pc.divide(epoch_s, 300)), 300)
@@ -625,10 +627,13 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     partials = _read(sf_dir, "events", ["ts", "value"]).map_batches(
         _partial, batch_format="pyarrow"
     )
+    # events are time-clustered per block, so each batch emits partial rows
+    # for only the handful of windows it spans — the combined partial frame
+    # is O(n_windows + n_blocks), a driver-side combine, not a shuffle
     out = (
-        partials.groupby("window_start_s")
-        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n_events"))
-        .to_pandas()
+        partials.to_pandas()
+        .groupby("window_start_s", as_index=False)
+        .agg(cents=("cents", "sum"), n_events=("n", "sum"))
     )
     out["window_start"] = pd.to_datetime(out.pop("window_start_s"), unit="s")
     out["sum_value"] = out.pop("cents") / 100.0

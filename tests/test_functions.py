@@ -199,3 +199,19 @@ def test_embedding_dedup_recall_vs_bruteforce(ray_session):
     lab = dict(zip(out["vec_id"], out["dup_group"]))
     got = sum(1 for a, b in want_pairs if lab[a] == lab[b])
     assert got / len(want_pairs) >= 0.9
+
+
+def test_exact_dedup_join_path(ray_session):
+    """Force the distributed-join retrieval path (broadcast_threshold=0) and
+    require identical keepers to the broadcast path."""
+    docs = rd.from_pandas(_docs_with_dupes())
+    a = exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        exact_dedup(docs, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_copies"].tolist() == b["n_copies"].tolist()
+    assert set(a.columns) == set(b.columns)
