@@ -330,7 +330,14 @@ class CrawlJob:
             total_pending = self._parquet_num_rows(frontier_file)
             if total_pending == 0:
                 break
-            frontier = rd.read_parquet(frontier_file)
+            # Fan-out at the READ: a frontier is tiny in bytes (URLs), so an
+            # un-split read collapses to one block and fuses the whole fetch
+            # chain into a single task. override_num_blocks splits the read
+            # WITHOUT the materialization barrier a repartition() would be —
+            # the epoch streams at every scale.
+            n_fetch_blocks = max(total_cpus * 4, 8)
+            read_blocks = max(1, min(n_fetch_blocks, -(-total_pending // max(1, cfg.batch_size))))
+            frontier = rd.read_parquet(frontier_file, override_num_blocks=read_blocks)
             os.makedirs(self._epoch_dir(e), exist_ok=True)
 
             _seed = cfg.seed
@@ -559,21 +566,17 @@ class CrawlJob:
                     )
                     under_ds.union(over_ds).write_parquet(gated_path)
                 admitted_source = (
-                    rd.read_parquet(gated_path)
+                    rd.read_parquet(gated_path, override_num_blocks=read_blocks)
                     .filter(expr="admitted")
                     .drop_columns(["admitted"])
                 )
                 _t2 = _time.perf_counter()
 
             # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e).
-            # The frontier is tiny in bytes, so a 128 MiB-block read yields
-            # ONE block and the whole fused fetch chain would run as a single
-            # task; repartition splits it so the fetch stage actually fans
-            # out. (At 10^10-frontier scale the epoch already arrives as many
-            # blocks and this becomes a cheap no-op coalesce bound.)
-            n_fetch_blocks = max(total_cpus * 4, 8)
+            # Fan-out comes from the override_num_blocks read split above —
+            # no repartition barrier anywhere in the chain.
             admitted = (
-                admitted_source.repartition(n_fetch_blocks)
+                admitted_source
                 .map_batches(
                     partial(add_hash_columns, salt=cfg.hash_salt),
                     batch_format="pyarrow",

@@ -198,3 +198,25 @@ def test_slow_refill_no_overadmission(ray_session):
             want[e] = set(fresh)
     assert got == want
     assert job.seen_hashes() == sim.seen_hashes
+
+
+def test_job_cli_runs_and_resumes(ray_session, capsys):
+    """`python -m outage_data_scraper_ray.job` contract: one JSON line of
+    counters; re-submitting with --resume continues from the checkpoint
+    without re-fetching (north_star `ray job submit` loop)."""
+    import json as _json
+
+    from outage_data_scraper_ray.job import main
+
+    workdir = "/tmp/odsr_job_cli"
+    shutil.rmtree(workdir, ignore_errors=True)
+    assert main(["--seeds", "24", "--workdir", workdir, "--max-epochs", "2",
+                 "--failure-rate", "0.0"]) == 0
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["counters"]["fetched"] > 0
+    assert main(["--seeds", "24", "--workdir", workdir, "--max-epochs", "8",
+                 "--failure-rate", "0.0", "--resume"]) == 0
+    second = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # resumed run completes the crawl; totals are cumulative from checkpoint
+    assert second["counters"]["fetched"] >= first["counters"]["fetched"]
+    assert second["epochs"] >= 2
