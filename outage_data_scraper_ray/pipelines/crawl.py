@@ -342,19 +342,26 @@ class CrawlJob:
 
             _seed = cfg.seed
 
-            def _robots_filter(t, _s=_seed, _count=False, _ctr=self.counters):
-                mask = pa.array(
-                    [
-                        robots_allows(u, robots_rules(h, _s))
-                        for h, u in zip(
-                            t.column("host").to_pylist(), t.column("url").to_pylist()
-                        )
-                    ]
-                )
-                ft = t.filter(mask)
-                if _count and ft.num_rows < t.num_rows:
-                    _ctr.add_many.remote({"robots_skipped": t.num_rows - ft.num_rows})
-                return ft
+            def _robots_mask(t, _s=_seed):
+                """Vectorized robots mask: rules are computed once per UNIQUE
+                host in the batch; hosts with no disallow rules (the vast
+                majority) contribute no per-row work at all."""
+                hosts = t.column("host").to_pylist()
+                uniq = set(hosts)
+                ruled = {h: r for h in uniq if (r := robots_rules(h, _s))}
+                if not ruled:
+                    return None  # all allowed
+                urls = t.column("url").to_pylist()
+                mask = np.ones(len(urls), dtype=bool)
+                for i, (h, u) in enumerate(zip(hosts, urls)):
+                    rules = ruled.get(h)
+                    if rules is not None:
+                        mask[i] = robots_allows(u, rules)
+                return mask
+
+            def _robots_filter(t, _s=_seed):
+                mask = _robots_mask(t, _s)
+                return t if mask is None else t.filter(pa.array(mask))
 
             # Fast path: when one tick provably refills every bucket to full
             # (rate*dt >= burst, so skipped consume() calls are irrelevant)
@@ -381,13 +388,9 @@ class CrawlJob:
                 # would double-count on re-execution)
 
                 def _robots_counts(t, _s=_seed):
-                    allowed = sum(
-                        robots_allows(u, robots_rules(h, _s))
-                        for h, u in zip(
-                            t.column("host").to_pylist(), t.column("url").to_pylist()
-                        )
-                    )
-                    return pa.table({"n": [t.num_rows], "allowed": [int(allowed)]})
+                    mask = _robots_mask(t, _s)
+                    allowed = t.num_rows if mask is None else int(mask.sum())
+                    return pa.table({"n": [t.num_rows], "allowed": [allowed]})
 
                 # overlap the count pass with the fetch execution: the count
                 # is only a counter input (not a gate), so it runs in a
@@ -425,10 +428,8 @@ class CrawlJob:
                     import pandas as _pd
 
                     hs = t.column("host").to_pylist()
-                    allowed = [
-                        robots_allows(u, robots_rules(h, _s))
-                        for h, u in zip(hs, t.column("url").to_pylist())
-                    ]
+                    mask = _robots_mask(t, _s)
+                    allowed = np.ones(len(hs), dtype=bool) if mask is None else mask
                     df = _pd.DataFrame(
                         {
                             "host": hs,
