@@ -138,6 +138,14 @@ def _minhash_params(n_perm: int, seed: int = 1337):
     return a, b
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _minhash_params_cached(n_perm: int, seed: int = 1337):
+    return _minhash_params(n_perm, seed)
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a*x + b) mod p universal-hash minimum per permutation, vectorized:
     one (n_shingles x n_perm) product per doc."""
@@ -209,16 +217,40 @@ def _lsh_candidate_pairs(
 ) -> pd.DataFrame:
     """MinHash banding -> deduped candidate (a, b) pairs (small by design —
     sized by the collision rate, not the corpus)."""
-    sigs = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=concurrency,
-    )
+    # Stateless tasks with process-cached permutation params: the params are
+    # a pure function of (n_perm, seed), so an lru_cache per worker gives the
+    # same init-once economics as an actor pool without paying pool spin-up
+    # on small corpora (MinHashStage remains the actor-pool variant for
+    # pipelines that already own a pool).
+    def _sigs(batch: pd.DataFrame, _np=n_perm, _k=shingle_k) -> pd.DataFrame:
+        a, b = _minhash_params_cached(_np)
+        sigs = np.empty((len(batch), _np), dtype=np.uint64)
+        for i, text in enumerate(batch["text"].fillna("")):
+            sigs[i] = minhash_signature(_shingles(text, _k), a, b)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["sig"] = list(sigs)
+        return out
+
+    sigs = docs.map_batches(_sigs, batch_format="pandas", batch_size=2048)
+    bands = sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
+
+    # band rows are (doc_id, band, band_hash) triples — n_bands scalars per
+    # doc, never text. Under the threshold, anchor-pair generation is a
+    # vectorized driver groupby (no shuffle); above it, the distributed
+    # groupby path runs.
+    if docs.count() <= 200_000:
+        bp = bands.to_pandas()
+        if not len(bp):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")
+        cand = pd.DataFrame(
+            {"a": anchor[anchor != bp["doc_id"]], "b": bp["doc_id"][anchor != bp["doc_id"]]}
+        )
+        return cand.drop_duplicates().reset_index(drop=True)
+
     cand = (
-        sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
-        .groupby(["band", "band_hash"])
+        bands.groupby(["band", "band_hash"])
         .map_groups(_anchor_pairs, batch_format="pandas")
         .to_pandas()
     )
