@@ -304,7 +304,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+# span_explode over _docs_as_span_table is deterministic from documents.text
+# (sentence split on '.', one trailing media_tile span per doc), so it gets a
+# full DuckDB value-oracle instead of the rows-only check.
+SPAN_EXPLODE_SQL = """
+WITH parts AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(COALESCE(text, ''), '.'),
+                                      s -> trim(s)), s -> s <> '') AS ps
+    FROM documents
+)
+SELECT doc_id, 'text' AS kind, unnest(ps) AS text, '' AS media_ref,
+       CAST(generate_subscripts(ps, 1) - 1 AS INTEGER) AS "offset"
+FROM parts
+UNION ALL
+SELECT doc_id, 'media_tile', '',
+       'https://tiles.synthgrid.example/' || doc_id || '.png',
+       CAST(len(ps) AS INTEGER)
+FROM parts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from outage_data_scraper_ray.functions.relational import SQL_QUERIES
 
-    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out["span_explode"] = SPAN_EXPLODE_SQL
+    return out

@@ -475,6 +475,33 @@ FROM documents
 """
 
 
+def quality_filter(sf_dir: str) -> rd.Dataset:
+    """Training-data quality gate: keep documents that are long enough,
+    carry English stopwords, and are not punctuation-heavy — the standard
+    LLM-corpus heuristic filter, expressed over the same counting kernels as
+    quality_counts."""
+
+    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[
+            (batch["char_count"] >= 150)
+            & (batch["stop_en_count"] >= 1)
+            & (batch["punct_count"] * 20 <= batch["char_count"])
+        ]
+
+    return quality_counts(sf_dir).map_batches(_keep, batch_format="pandas")
+
+
+QUALITY_FILTER_SQL = r"""
+SELECT * FROM (
+    SELECT doc_id,
+           length(text) AS char_count,
+           length(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
+           length(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|is|it|that|for)\b')) AS stop_en_count
+    FROM documents
+) WHERE char_count >= 150 AND stop_en_count >= 1 AND punct_count * 20 <= char_count
+"""
+
+
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k with a deterministic query vector
 
@@ -670,6 +697,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "token_counts": (token_counts_q, TOKEN_SQL),
     "quality_counts": (quality_counts, QUALITY_SQL),
+    "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "knn_topk": (knn_topk, KNN_SQL),
     "hash_join": (hash_join, HASH_JOIN_SQL),
     "tz_convert": (tz_convert, TZ_SQL),
