@@ -215,15 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries_m = np.stack([r["embedding"] for r in emb.take(2)])
         return ivf_knn(emb, queries_m, k=5)
 
-    def lang_id(sf_dir: str):
-        import ray.data as rd
-
-        from outage_data_scraper_ray.functions.text import text_features
-
-        docs = rd.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        return text_features(docs).select_columns(["doc_id", "lang_pred", "quality_score"])
+    # lang_id moved to relational.SQL_QUERIES — it now carries a full DuckDB
+    # value-oracle (stopword-argmax CASE + rounded quality_score).
 
     def fingerprints_q(sf_dir: str):
         import ray.data as rd
@@ -295,7 +288,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_dedup": embedding_dedup_q,
             "ngram_jaccard": ngram_jaccard_q,
             "ivf_knn": ivf_knn_q,
-            "lang_id": lang_id,
             "fingerprints": fingerprints_q,
             "media_decode": media_decode,
             "media_features": media_features_q,

@@ -475,6 +475,54 @@ FROM documents
 """
 
 
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Language-ID + quality score over documents (text.TextFeatures), with
+    quality_score rounded to 6dp so the float expression is oracle-stable.
+    The stopword-hit argmax (first-max tie-break: en, de, fr, es; 'und' when
+    no hits) mirrors exactly in SQL because the corpus is alnum+space."""
+    from .text import text_features
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["quality_score"] = batch["quality_score"].round(6)
+        return batch
+
+    return (
+        text_features(_read(sf_dir, "documents", ["doc_id", "text"]))
+        .select_columns(["doc_id", "lang_pred", "quality_score"])
+        .map_batches(_round, batch_format="pandas")
+    )
+
+
+LANG_ID_SQL = r"""
+WITH c AS (
+    SELECT doc_id,
+        length(COALESCE(text,'')) AS char_count,
+        length(regexp_extract_all(COALESCE(text,''), '[.,!?;:]')) AS punct_count,
+        length(regexp_extract_all(COALESCE(text,''), '\S+')) AS token_count,
+        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:the|and|of|to|a|in|is|it|that|for)\b')) AS s_en,
+        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) AS s_de,
+        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:le|la|les|et|est|un|une|pour|dans|que)\b')) AS s_fr,
+        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:el|la|los|y|es|un|una|por|para|que)\b')) AS s_es
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS lang_pred,
+    ROUND(
+        (least(char_count, 2000) / 2000.0) * 0.4
+        + (1.0 - least(CASE WHEN char_count > 0
+                            THEN punct_count * 1.0 / char_count ELSE 0.0 END,
+                       0.2) / 0.2) * 0.2
+        + least(s_en * 1.0 / greatest(token_count, 1), 0.5) / 0.5 * 0.4,
+    6) AS quality_score
+FROM c
+"""
+
+
 def quality_filter(sf_dir: str) -> rd.Dataset:
     """Training-data quality gate: keep documents that are long enough,
     carry English stopwords, and are not punctuation-heavy — the standard
@@ -698,6 +746,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "token_counts": (token_counts_q, TOKEN_SQL),
     "quality_counts": (quality_counts, QUALITY_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
     "knn_topk": (knn_topk, KNN_SQL),
     "hash_join": (hash_join, HASH_JOIN_SQL),
     "tz_convert": (tz_convert, TZ_SQL),
