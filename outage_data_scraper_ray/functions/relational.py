@@ -576,6 +576,58 @@ def knn_topk(sf_dir: str) -> pd.DataFrame:
     return top
 
 
+def cosine_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine >= 0.4 (the embedding near-dup family's
+    verify primitive, run standalone): the normalized matrix is broadcast
+    once via ray.put and each batch computes its rows x all similarities —
+    O(n^2) work split across batches with no shuffle. The approximate scale
+    path is dedup.embedding_dedup (sign-LSH buckets)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = emb.to_pandas()  # small side: one float matrix, broadcast once
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    mat_ref = ray.put((ids, m))
+
+    def _pairs(batch: pd.DataFrame, _ref=mat_ref) -> pd.DataFrame:
+        all_ids, mm = ray.get(_ref)
+        rows = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        rows = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-300)
+        sims = rows @ mm.T
+        bi, aj = np.where(sims >= 0.4)
+        a = batch["vec_id"].to_numpy()[bi]
+        b = all_ids[aj]
+        keep = a < b
+        return pd.DataFrame(
+            {
+                "a": a[keep].astype("int64"),
+                "b": b[keep].astype("int64"),
+                "cosine": np.round(sims[bi, aj][keep], 6),
+            }
+        )
+
+    out = emb.map_batches(_pairs, batch_format="pandas").to_pandas()
+    if "a" not in out.columns:  # all-empty blocks lose their schema
+        out = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+COSINE_PAIRS_SQL = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.4
+ORDER BY a, b
+"""
+
+
 KNN_SQL = """
 -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes AND returns
 -- float32, so ROUND(...,6) yields a float32 that differs from the Python
@@ -747,6 +799,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "quality_counts": (quality_counts, QUALITY_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
+    "cosine_pairs_exact": (cosine_pairs_exact, COSINE_PAIRS_SQL),
     "knn_topk": (knn_topk, KNN_SQL),
     "hash_join": (hash_join, HASH_JOIN_SQL),
     "tz_convert": (tz_convert, TZ_SQL),
