@@ -244,6 +244,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synth_media(200, 42))
         return media_features(media)
 
+    def media_resize(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.multimodal import resize_media, synth_media
+
+        return resize_media(rd.from_arrow(synth_media(200, 42)), max_side=64).drop_columns(
+            ["payload"]
+        )
+
+    def media_frames(sf_dir: str):
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.multimodal import frame_sample, synth_media
+
+        out = frame_sample(rd.from_arrow(synth_media(200, 42)), every=4).to_pandas()
+        out["frame_len"] = out["frame"].map(len)
+        return out[["media_id", "frame_idx", "frame_len"]]
+
     def span_explode(sf_dir: str):
         from outage_data_scraper_ray.pipelines.accumulate import explode_spans
 
@@ -291,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprints": fingerprints_q,
             "media_decode": media_decode,
             "media_features": media_features_q,
+            "media_resize": media_resize,
+            "media_frames": media_frames,
         }
     )
     return out

@@ -97,6 +97,91 @@ class FeatureStage:
         )
 
 
+class ResizeStage:
+    """Actor-pool resize stub: computes aspect-preserving target dims to fit
+    ``max_side`` and emits a new payload whose header carries the target
+    dims and whose body is a deterministic stride subsample of the original
+    bytes (a real codec resamples pixels; the Ray-side contract — binary in,
+    smaller binary out, dims in the header — is identical)."""
+
+    def __init__(self, max_side: int = 64, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("no image codec available in this sandbox")
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out_payloads: list[bytes] = []
+        out_w = np.empty(len(payloads), dtype=np.int32)
+        out_h = np.empty(len(payloads), dtype=np.int32)
+        for i, p in enumerate(payloads):
+            if p[:4] != _MAGIC:
+                out_payloads.append(p)
+                out_w[i] = out_h[i] = 0
+                continue
+            w, h, c = np.frombuffer(p[4:16], dtype=np.uint32)
+            scale = min(1.0, self.max_side / max(int(w), int(h), 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            body = np.frombuffer(p[16:], dtype=np.uint8)
+            stride = max(1, int(round(1.0 / max(scale, 1e-9))))
+            new_body = body[::stride].tobytes()
+            header = _MAGIC + np.array([nw, nh, c], dtype=np.uint32).tobytes()
+            out_payloads.append(header + new_body)
+            out_w[i], out_h[i] = nw, nh
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("payload", pa.array(out_payloads, type=pa.binary()))
+            .append_column("width", pa.array(out_w))
+            .append_column("height", pa.array(out_h))
+        )
+
+
+def resize_media(
+    media: rd.Dataset, max_side: int = 64, concurrency: int = 2
+) -> rd.Dataset:
+    return media.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_side": max_side, "fake": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+_FRAME_BYTES = 256
+
+
+def frame_sample(media: rd.Dataset, every: int = 4) -> rd.Dataset:
+    """Frame sampling for audio/video payloads: the body is treated as a
+    sequence of fixed-size frames; every ``every``-th frame becomes its own
+    output row (media_id, frame_idx, frame: binary). Columnar explode —
+    offsets computed per batch, one pass, no Python row objects in the
+    output construction."""
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids: list[str] = []
+        out_idx: list[int] = []
+        out_frames: list[bytes] = []
+        for mid, p in zip(ids, payloads):
+            body = p[16:] if p[:4] == _MAGIC else p
+            n_frames = max(1, -(-len(body) // _FRAME_BYTES))
+            for f in range(0, n_frames, every):
+                out_ids.append(mid)
+                out_idx.append(f)
+                out_frames.append(body[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES])
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame": pa.array(out_frames, pa.binary()),
+            }
+        )
+
+    return media.map_batches(_sample, batch_format="pyarrow", batch_size=64)
+
+
 def decode_media(media: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     """Binary payloads are large: small batch_size so batch x concurrency
     stays inside a worker heap (ray_guide memory note)."""

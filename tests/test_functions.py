@@ -215,3 +215,32 @@ def test_exact_dedup_join_path(ray_session):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["n_copies"].tolist() == b["n_copies"].tolist()
     assert set(a.columns) == set(b.columns)
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    from outage_data_scraper_ray.functions.multimodal import (
+        decode_media,
+        frame_sample,
+        resize_media,
+        synth_media,
+    )
+
+    media = rd.from_arrow(synth_media(60, 42))
+    resized = resize_media(media, max_side=64).to_pandas()
+    assert (resized[["width", "height"]].max(axis=1) <= 64).all()
+    # aspect preserved within integer truncation (resize keeps the original
+    # meta columns alongside the new dims)
+    big = resized[resized[["width_meta", "height_meta"]].max(axis=1) > 64]
+    assert len(big) > 0
+    ratio_in = big["width_meta"] / big["height_meta"]
+    ratio_out = big["width"] / big["height"]
+    assert (np.abs(ratio_in - ratio_out) / ratio_in).max() < 0.2  # relative
+    # resized payloads still decode through the same stage
+    dec = decode_media(rd.from_pandas(resized[["media_id", "kind", "payload"]])).to_pandas()
+    assert dec["decoded_ok"].all()
+
+    frames = frame_sample(media, every=4).to_pandas()
+    assert (frames["frame_idx"] % 4 == 0).all()
+    assert frames.groupby("media_id").size().min() >= 1
+    # every frame is a bounded slice
+    assert frames["frame"].map(len).max() <= 256
