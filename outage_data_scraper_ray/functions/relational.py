@@ -444,6 +444,36 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer shape restricted to ASCII classes (Python re has
+# no \p{L}); identical pattern string runs in both engines.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """BPE-ish token counting: the leading-space word/number/punct-run
+    pre-tokenizer every byte-pair tokenizer applies before merges."""
+    pat = re.compile(_BPE_PATTERN)
+
+    def _count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "bpe_token_count": batch["text"].fillna("").str.count(pat).astype("int64"),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _count, batch_format="pandas"
+    )
+
+
+BPE_TOKEN_SQL = r"""
+SELECT doc_id,
+       length(regexp_extract_all(COALESCE(text, ''), ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe_token_count
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality counts (SQL-mirrorable slice of the feature stage)
 
@@ -796,6 +826,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "global_props": (global_props, GLOBAL_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "token_counts": (token_counts_q, TOKEN_SQL),
+    "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_SQL),
     "quality_counts": (quality_counts, QUALITY_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
