@@ -76,6 +76,9 @@ class CrawlConfig:
     n_sched_shards: int = 2
     seen_capacity: int = 1 << 20
     exact_seen: bool = False        # exact per-shard sets for conformance tests
+    # epochs whose docs row count exceeds this commit marks/counters via the
+    # distributed pass instead of one driver-side pyarrow read
+    commit_driver_threshold: int = 1_000_000
     max_epochs: int = 50
     batch_size: int = 256
     fetch_concurrency: int = 4
@@ -203,7 +206,7 @@ class CrawlJob:
         # small epochs (scalar columns of fetched rows fit trivially in the
         # driver): skip the Ray Data execution entirely — one footer-pruned
         # pyarrow read + batched shard RPCs. Large epochs run distributed.
-        if self._parquet_num_rows(self._docs_path(e)) <= 1_000_000:
+        if self._parquet_num_rows(self._docs_path(e)) <= self.cfg.commit_driver_threshold:
             # one threaded dataset read over the whole docs dir — a per-file
             # Python loop here is serial driver time that caps scaling
             t = pq.read_table(

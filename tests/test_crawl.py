@@ -220,3 +220,29 @@ def test_job_cli_runs_and_resumes(ray_session, capsys):
     # resumed run completes the crawl; totals are cumulative from checkpoint
     assert second["counters"]["fetched"] >= first["counters"]["fetched"]
     assert second["epochs"] >= 2
+
+
+def test_distributed_commit_path_matches_oracle(ray_session):
+    """Force the distributed mark/counter commit (commit_driver_threshold=0)
+    and require the same seen set / per-epoch URLs as the sequential
+    oracle — the large-epoch branch must be semantically identical."""
+    workdir = "/tmp/odsr_crawl_distcommit"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, n_seeds=32, commit_driver_threshold=0))
+    stats = job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(
+        make_seed_registry(32, 42).to_pandas(), failure_rate=0.05, **POLITENESS
+    )
+    assert job.seen_hashes() == sim.seen_hashes
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want = {}
+    seen = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+    assert stats["counters"]["fetched"] == len(docs)
+    assert stats["counters"]["spans"] == docs["n_spans"].sum()
