@@ -8,8 +8,9 @@
                 SURVEY.md section 2 plus the scale operators (dedup /
                 similarity / text / multimodal / crawl / sessionize).
 ``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
-                (column names match exactly). Non-SQL-expressible entries
-                (stateful crawl, sessionization, LSH sketches, stubs) are
+                (column names match exactly; 25 value-oracles, all strictly
+                bit-exact at sf0.01). Non-SQL-expressible entries (stateful
+                crawl, sessionization, LSH sketches, stubs) are
                 intentionally absent -> the driver records rows-only checks.
 
 Ray is initialised by the driver before import; nothing here calls

@@ -246,3 +246,26 @@ def test_distributed_commit_path_matches_oracle(ray_session):
     assert got == want
     assert stats["counters"]["fetched"] == len(docs)
     assert stats["counters"]["spans"] == docs["n_spans"].sum()
+
+
+def test_seen_filter_never_refetches_under_cuckoo_overload(ray_session):
+    """Tiny seen capacity forces the cuckoo kick loop to overflow into the
+    stash; membership must never be lost — no URL is fetched twice across
+    epochs (the pre-stash bug re-admitted crawled URLs near capacity)."""
+    import numpy as np
+    import ray as _ray
+
+    workdir = "/tmp/odsr_crawl_overload"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(
+        workdir, n_seeds=400, failure_rate=0.0, n_seen_shards=1,
+        seen_capacity=64, politeness_rate=64.0, politeness_burst=64.0,
+        max_epochs=20,
+    ))
+    job.run()
+    docs = job.docs_dataset().to_pandas()
+    assert docs["url"].is_unique, "a crawled URL was re-admitted"
+    dumps = _ray.get([s.dump.remote() for s in job.seen])
+    assert sum(d["kick_failures"] for d in dumps) > 0, (
+        "overload did not exercise the stash; lower seen_capacity"
+    )
