@@ -299,6 +299,43 @@ def sessionize(
     return ds.groupby(GROUP_KEYS).map_groups(_per_group, batch_format="pandas")
 
 
+def split_pous(
+    ds: rd.Dataset, *, utility_substring: str, start: str, end: str
+) -> rd.Dataset:
+    """step0_split_file.py:10-23 as a streaming filter: keep rows whose
+    UtilityName contains the substring and whose RecordDateTime falls in
+    [start, end] (both inclusive, as the reference's chained comparisons)."""
+    s, e = pd.Timestamp(start), pd.Timestamp(end)
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["RecordDateTime"])
+        return batch[
+            batch["UtilityName"].str.contains(utility_substring)
+            & (ts >= s)
+            & (ts <= e)
+        ]
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def month_properties(events: rd.Dataset, year: int, month: int) -> dict[str, float]:
+    """step2_grower_property.py:68-106: the per-month window variant of the
+    global property block — [first-of-month, first-of-next-month] inclusive
+    on start_time, then the same scalar aggregate."""
+    start = pd.Timestamp(year=year, month=month, day=1)
+    end = (
+        pd.Timestamp(year=year + 1, month=1, day=1)
+        if month == 12
+        else pd.Timestamp(year=year, month=month + 1, day=1)
+    )
+
+    def _window(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["start_time"])
+        return batch[(ts >= start) & (ts <= end)]
+
+    return event_properties(events.map_batches(_window, batch_format="pandas"))
+
+
 def event_properties(events: rd.Dataset) -> dict[str, float]:
     """step2_property.py:62-94 global scalars, computed as a tiny aggregate
     over the (small) event set."""

@@ -146,3 +146,51 @@ def test_event_properties(ray_session):
     props = event_properties(ev)
     assert props["frequency"] > 0
     assert props["avg_duration_sec"] > 0
+
+
+def test_split_pous_matches_reference_predicates(ray_session):
+    """step0_split_file.py:10-23: substring + inclusive date-window filter."""
+    import ray.data as rd
+
+    from outage_data_scraper_ray.pipelines.sessionize import split_pous
+    from outage_data_scraper_ray.synth import synth_pous
+
+    df = synth_pous(8, 30, 7)
+    sub = df["UtilityName"].iloc[0][:2]
+    start, end = "2023-07-23 00:00:00", "2023-07-28 00:00:00"
+    got = (
+        split_pous(rd.from_pandas(df), utility_substring=sub, start=start, end=end)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # the reference's exact pandas expression
+    want = df[df["UtilityName"].str.contains(sub)]
+    ts = pd.to_datetime(want["RecordDateTime"])
+    want = want[(ts >= start) & (ts <= end)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_month_properties_matches_reference_window(ray_session):
+    """step2_grower_property.py:68-106: month-window scalars equal the
+    reference's pandas computation on the same events."""
+    import ray.data as rd
+
+    from outage_data_scraper_ray.pipelines.sessionize import (
+        month_properties,
+        sessionize,
+    )
+    from outage_data_scraper_ray.synth import synth_pous
+
+    events = sessionize(
+        rd.from_pandas(synth_pous(10, 40, 42)), method="threshold",
+        threshold=0.1, abs_diff=0.0,
+    )
+    ev = events.to_pandas()
+    got = month_properties(events, 2023, 7)
+    ts = pd.to_datetime(ev["start_time"])
+    w = ev[(ts >= "2023-07-01") & (ts <= "2023-08-01")]
+    assert len(w) > 0
+    assert got["frequency"] == len(w)
+    if len(w):
+        dur_s = pd.to_timedelta(w["duration"]).dt.total_seconds()
+        assert got["avg_duration_sec"] == pytest.approx(dur_s.sum() / len(w))
