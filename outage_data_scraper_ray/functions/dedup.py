@@ -77,10 +77,15 @@ def exact_dedup(
             .groupby("text_md5", as_index=False)
             .agg(keep_id=("keep_id", "min"), n_copies=("n", "sum"))
         )
+        # ids stay in their native type (string doc_ids from the crawl, int
+        # ids from the testdata) — .tolist() yields plain Python values that
+        # hash-match the batch values on lookup
         info = {
-            int(i): (m, int(n))
+            i: (m, int(n))
             for m, i, n in zip(
-                keep_pd["text_md5"], keep_pd["keep_id"], keep_pd["n_copies"]
+                keep_pd["text_md5"].tolist(),
+                keep_pd["keep_id"].tolist(),
+                keep_pd["n_copies"].tolist(),
             )
         }
         info_ref = ray.put(info)
@@ -88,7 +93,7 @@ def exact_dedup(
         def _filter(batch: pd.DataFrame, _ref=info_ref) -> pd.DataFrame:
             m = ray.get(_ref)
             hit = batch[batch[id_col].isin(m.keys())].copy()
-            pairs = [m[int(i)] for i in hit[id_col]]
+            pairs = [m[i] for i in hit[id_col].tolist()]
             hit["text_md5"] = [p[0] for p in pairs]
             hit["n_copies"] = [p[1] for p in pairs]
             return hit
@@ -154,23 +159,6 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return hashed.min(axis=0)
 
 
-class MinHashStage:
-    """Actor-pool stage: permutation parameters generated once per actor."""
-
-    def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 1337):
-        self.a, self.b = _minhash_params(n_perm, seed)
-        self.k = shingle_k
-        self.n_perm = n_perm
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.empty((len(batch), self.n_perm), dtype=np.uint64)
-        for i, text in enumerate(batch["text"].fillna("")):
-            sigs[i] = minhash_signature(_shingles(text, self.k), self.a, self.b)
-        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
-        out["sig"] = list(sigs)
-        return out
-
-
 def _band_rows(batch: pd.DataFrame, n_bands: int) -> pd.DataFrame:
     """Explode signatures into (band, band_hash, doc_id) bucket rows."""
     sigs = np.stack(batch["sig"].to_numpy())
@@ -200,11 +188,27 @@ _EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
 
 
 def _anchor_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """min-id anchor pair generation within one LSH bucket."""
-    ids = sorted(g["doc_id"].tolist())
+    """min-id anchor pair generation within one LSH bucket. Sufficient for
+    CLUSTERING (union-find connects the bucket through the anchor) but NOT
+    for pair ENUMERATION — use _all_pairs when every similar pair must be
+    reported."""
+    ids = sorted(set(g["doc_id"].tolist()))
     if len(ids) < 2:
         return pd.DataFrame(_EMPTY_PAIRS)
     return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+
+
+def _all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All within-bucket pairs (a < b); LSH buckets are small by design."""
+    ids = sorted(set(g["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    a_out, b_out = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            a_out.append(a)
+            b_out.append(b)
+    return pd.DataFrame({"a": a_out, "b": b_out})
 
 
 def _lsh_candidate_pairs(
@@ -213,15 +217,14 @@ def _lsh_candidate_pairs(
     n_perm: int,
     n_bands: int,
     shingle_k: int,
-    concurrency: int,
+    pair_mode: str = "anchor",
 ) -> pd.DataFrame:
     """MinHash banding -> deduped candidate (a, b) pairs (small by design —
-    sized by the collision rate, not the corpus)."""
+    sized by the collision rate, not the corpus). pair_mode="anchor" suits
+    clustering; "all" enumerates every within-bucket pair."""
     # Stateless tasks with process-cached permutation params: the params are
-    # a pure function of (n_perm, seed), so an lru_cache per worker gives the
-    # same init-once economics as an actor pool without paying pool spin-up
-    # on small corpora (MinHashStage remains the actor-pool variant for
-    # pipelines that already own a pool).
+    # a pure function of (n_perm, seed), so an lru_cache per worker gives
+    # init-once economics without paying actor-pool spin-up on small corpora.
     def _sigs(batch: pd.DataFrame, _np=n_perm, _k=shingle_k) -> pd.DataFrame:
         a, b = _minhash_params_cached(_np)
         sigs = np.empty((len(batch), _np), dtype=np.uint64)
@@ -233,25 +236,30 @@ def _lsh_candidate_pairs(
 
     sigs = docs.map_batches(_sigs, batch_format="pandas", batch_size=2048)
     bands = sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
+    group_fn = _anchor_pairs if pair_mode == "anchor" else _all_pairs
 
     # band rows are (doc_id, band, band_hash) triples — n_bands scalars per
-    # doc, never text. Under the threshold, anchor-pair generation is a
-    # vectorized driver groupby (no shuffle); above it, the distributed
-    # groupby path runs.
+    # doc, never text. Under the threshold, pair generation is a driver
+    # groupby (no shuffle); above it, the distributed groupby path runs.
     if docs.count() <= 200_000:
         bp = bands.to_pandas()
         if not len(bp):
             return pd.DataFrame(_EMPTY_PAIRS)
-        bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-        anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")
-        cand = pd.DataFrame(
-            {"a": anchor[anchor != bp["doc_id"]], "b": bp["doc_id"][anchor != bp["doc_id"]]}
-        )
+        if pair_mode == "anchor":
+            bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+            anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")
+            keep = anchor != bp["doc_id"]
+            cand = pd.DataFrame({"a": anchor[keep], "b": bp["doc_id"][keep]})
+        else:
+            # vectorized within-bucket self-join (a < b)
+            j = bp.merge(bp, on=["band", "band_hash"], suffixes=("_a", "_b"))
+            j = j[j["doc_id_a"] < j["doc_id_b"]]
+            cand = pd.DataFrame({"a": j["doc_id_a"], "b": j["doc_id_b"]})
         return cand.drop_duplicates().reset_index(drop=True)
 
     cand = (
         bands.groupby(["band", "band_hash"])
-        .map_groups(_anchor_pairs, batch_format="pandas")
+        .map_groups(group_fn, batch_format="pandas")
         .to_pandas()
     )
     if "a" not in cand.columns:  # fully-empty result loses its schema
@@ -274,26 +282,35 @@ def _verify_pairs_distributed(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
     # doc_id -> [(pair_key, a, b)] membership map; sized by candidate count.
-    members: dict[int, list[tuple[int, int, int]]] = {}
-    for pk, (a, b) in enumerate(zip(cand["a"].astype(int), cand["b"].astype(int))):
+    # Ids stay in their native type (string or int doc_ids both work).
+    members: dict = {}
+    for pk, (a, b) in enumerate(zip(cand["a"].tolist(), cand["b"].tolist())):
         members.setdefault(a, []).append((pk, a, b))
         members.setdefault(b, []).append((pk, a, b))
     members_ref = ray.put(members)
 
     def _emit(batch: pd.DataFrame, _ref=members_ref, _k=shingle_k) -> pd.DataFrame:
         m = ray.get(_ref)
-        rows = {"pair_key": [], "a": [], "b": [], "sh": []}
-        hits = batch[batch["doc_id"].isin(m.keys())]
-        for did, text in zip(hits["doc_id"], hits["text"].fillna("")):
+        rows = {"pair_key": [], "member": [], "a": [], "b": [], "sh": []}
+        # duplicate doc_id rows within a batch would inflate the pair group;
+        # the text is identical by id, so keep the first
+        hits = batch[batch["doc_id"].isin(m.keys())].drop_duplicates(
+            subset=["doc_id"]
+        )
+        for did, text in zip(hits["doc_id"].tolist(), hits["text"].fillna("")):
             sh = np.unique(_shingles(text, _k))
-            for pk, a, b in m[int(did)]:
+            for pk, a, b in m[did]:
                 rows["pair_key"].append(pk)
+                rows["member"].append(did)
                 rows["a"].append(a)
                 rows["b"].append(b)
                 rows["sh"].append(sh)
         return pd.DataFrame(rows)
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per member even if the corpus carried duplicate doc_id
+        # rows across batches; a pair verifies when both members are present
+        g = g.drop_duplicates(subset=["member"])
         if len(g) != 2:  # a candidate doc missing from the corpus slice
             return pd.DataFrame({"a": [], "b": [], "jaccard": []})
         s0, s1 = g["sh"].iloc[0], g["sh"].iloc[1]
@@ -312,8 +329,10 @@ def _verify_pairs_distributed(
         .to_pandas()
     )
     if "a" not in out.columns:
-        out = pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    return out.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+    return out.astype({"jaccard": "float64"})
 
 
 def _label_dataset(
@@ -329,8 +348,14 @@ def _label_dataset(
 
     def _label(batch: pd.DataFrame, _ref=label_ref, _c=id_col) -> pd.DataFrame:
         lab = ray.get(_ref)
-        ids = batch[_c].astype("int64")
-        return pd.DataFrame({_c: ids, "dup_group": ids.map(lab).fillna(ids).astype("int64")})
+        # dict.get over native Python values: exact for 64-bit ints (a
+        # pandas map+fillna would round-trip through float64 and corrupt
+        # ids >= 2^53) and works for string ids unchanged
+        ids = batch[_c]
+        grp = pd.Series(
+            [lab.get(i, i) for i in ids.tolist()], index=ids.index, dtype=ids.dtype
+        )
+        return pd.DataFrame({_c: ids, "dup_group": grp})
 
     return ids_ds.map_batches(_label, batch_format="pandas")
 
@@ -342,28 +367,27 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
-    concurrency: int = 2,
 ) -> rd.Dataset:
     """Near-dup clustering: returns (doc_id, dup_group).
 
     Candidate pairs and verified pairs are the ONLY driver-side materials
     (tiny by LSH design); shingling, banding, and exact-Jaccard verification
-    all run distributed — corpus text never reaches the driver."""
+    all run distributed — corpus text never reaches the driver. Anchor-pair
+    candidates suffice: union-find connects every bucket through its anchor."""
     cand = _lsh_candidate_pairs(
         docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
-        concurrency=concurrency,
     )
     scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
     verified = [
-        (int(a), int(b))
-        for a, b, j in zip(scored["a"], scored["b"], scored["jaccard"])
+        (a, b)
+        for a, b, j in zip(scored["a"].tolist(), scored["b"].tolist(), scored["jaccard"])
         if j >= jaccard_threshold
     ]
     return _label_dataset(docs.select_columns(["doc_id"]), "doc_id", verified)
 
 
-def _union_find_labels(ids, pairs) -> dict[int, int]:
-    parent = {int(i): int(i) for i in ids}
+def _union_find_labels(ids, pairs) -> dict:
+    parent = {i: i for i in ids}
 
     def find(x):
         while parent[x] != x:
@@ -376,7 +400,7 @@ def _union_find_labels(ids, pairs) -> dict[int, int]:
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    return {i: find(int(i)) for i in ids}
+    return {i: find(i) for i in ids}
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +472,7 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     if "a" not in verified_pd.columns:
         verified_pd = pd.DataFrame(_EMPTY_PAIRS)
     verified_pd = verified_pd.drop_duplicates()
-    verified = list(zip(verified_pd["a"].astype(int), verified_pd["b"].astype(int)))
+    verified = list(zip(verified_pd["a"].tolist(), verified_pd["b"].tolist()))
 
     pair_ids = sorted({i for p in verified for i in p})
     label = _union_find_labels(pair_ids, verified)
@@ -458,8 +482,12 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     def _label(batch: pd.DataFrame, _ref=label_ref) -> pd.DataFrame:
         lab = ray.get(_ref)
         batch = batch.copy()
-        ids = batch["doc_id"].astype("int64")
-        batch["dup_group"] = ids.map(lab).fillna(ids).astype("int64")
+        ids = batch["doc_id"]
+        # dict.get over native values: exact for 64-bit ids (no float
+        # round-trip) and type-agnostic
+        batch["dup_group"] = pd.Series(
+            [lab.get(i, i) for i in ids.tolist()], index=ids.index, dtype=ids.dtype
+        )
         return batch
 
     return sigs.map_batches(_label, batch_format="pandas")
@@ -480,14 +508,16 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard similar pairs above threshold.
 
     mode="lsh" (default, the scale path): candidate pairs from MinHash
-    banding (n_bands=32 -> s-curve cutoff ~0.18, high recall at 0.5+), then
-    exact distributed Jaccard verify — O(candidates), not O(n^2).
+    banding (n_bands=32 -> s-curve cutoff ~0.18, high recall at 0.5+) with
+    ALL within-bucket pairs (pair ENUMERATION needs more than the anchor
+    pairs clustering uses), then exact distributed Jaccard verify —
+    O(candidates), not O(n^2).
     mode="exact": brute-force all pairs on the driver; ONLY for small
     fixtures / recall tests."""
     if mode == "lsh":
         cand = _lsh_candidate_pairs(
             docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
-            concurrency=2,
+            pair_mode="all",
         )
         scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
         out = scored[scored["jaccard"] >= threshold]
@@ -495,8 +525,8 @@ def ngram_jaccard_pairs(
 
     pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
     sets = {
-        int(i): set(_shingles(t, shingle_k).tolist())
-        for i, t in zip(pdf["doc_id"], pdf["text"].fillna(""))
+        i: set(_shingles(t, shingle_k).tolist())
+        for i, t in zip(pdf["doc_id"].tolist(), pdf["text"].fillna(""))
     }
     ids = sorted(sets)
     rows = []
@@ -571,7 +601,6 @@ def embedding_dedup(
         cand = pd.DataFrame(_EMPTY_PAIRS)
     cand = cand.drop_duplicates()
     verified = [
-        (min(int(a), int(b)), max(int(a), int(b)))
-        for a, b in zip(cand["a"], cand["b"])
+        (min(a, b), max(a, b)) for a, b in zip(cand["a"].tolist(), cand["b"].tolist())
     ]
     return _label_dataset(emb.select_columns(["vec_id"]), "vec_id", verified)

@@ -509,7 +509,8 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     """Language-ID + quality score over documents (text.TextFeatures), with
     quality_score rounded to 6dp so the float expression is oracle-stable.
     The stopword-hit argmax (first-max tie-break: en, de, fr, es; 'und' when
-    no hits) mirrors exactly in SQL because the corpus is alnum+space."""
+    no hits) mirrors exactly in SQL by construction: both sides extract
+    [a-z']+ word tokens from the lowercased text and count set membership."""
     from .text import text_features
 
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
@@ -525,16 +526,24 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 
 
 LANG_ID_SQL = r"""
-WITH c AS (
+-- stopword hits mirror TextFeatures EXACTLY: extract [a-z']+ word tokens
+-- from the lowercased text, then count set membership with list_filter.
+-- A \b-boundary regex would diverge on letter-digit-adjacent tokens
+-- ('a1' has no \b between a and 1 but tokenizes to word 'a').
+WITH w AS (
     SELECT doc_id,
         length(COALESCE(text,'')) AS char_count,
         length(regexp_extract_all(COALESCE(text,''), '[.,!?;:]')) AS punct_count,
         length(regexp_extract_all(COALESCE(text,''), '\S+')) AS token_count,
-        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:the|and|of|to|a|in|is|it|that|for)\b')) AS s_en,
-        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) AS s_de,
-        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:le|la|les|et|est|un|une|pour|dans|que)\b')) AS s_fr,
-        length(regexp_extract_all(lower(COALESCE(text,'')), '\b(?:el|la|los|y|es|un|una|por|para|que)\b')) AS s_es
+        regexp_extract_all(lower(COALESCE(text,'')), '[a-z'']+') AS ws
     FROM documents
+), c AS (
+    SELECT doc_id, char_count, punct_count, token_count,
+        length(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS s_en,
+        length(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+        length(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS s_fr,
+        length(list_filter(ws, x -> x IN ('el','la','los','y','es','un','una','por','para','que'))) AS s_es
+    FROM w
 )
 SELECT doc_id,
     CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'

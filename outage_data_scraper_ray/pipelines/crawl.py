@@ -79,6 +79,13 @@ class CrawlConfig:
     # epochs whose docs row count exceeds this commit marks/counters via the
     # distributed pass instead of one driver-side pyarrow read
     commit_driver_threshold: int = 1_000_000
+    # dedupe the next frontier by canonical_hash whenever discovery added
+    # children: with a read-only seen filter, two parents discovering the
+    # same child URL in one epoch would otherwise both fetch it. The
+    # synthetic web derives children from their parent URL (no cross-parent
+    # dupes), but a real web link graph has them; keep ON outside benchmarks
+    # of the synthetic fast path.
+    dedupe_frontier: bool = True
     max_epochs: int = 50
     batch_size: int = 256
     fetch_concurrency: int = 4
@@ -275,6 +282,41 @@ class CrawlJob:
             )
         )
 
+    def _dedupe_frontier(self, nxt: "rd.Dataset", e: int) -> "rd.Dataset":
+        """Keep the min-(tier, deadline, crawl_key) row per canonical_hash.
+
+        The raw candidate frontier is written once (cheap — URLs, not
+        payloads) so its footer row count can pick the combine site: a
+        vectorized driver sort+drop_duplicates under 500k rows (the common
+        case, and the synthetic fast path where dupes cannot occur), a
+        distributed groupby above it."""
+        raw = os.path.join(self._epoch_dir(e), "frontier_raw")
+        nxt.write_parquet(raw)
+        if not os.path.isdir(raw):  # an empty dataset writes no dir at all
+            return nxt
+        n = self._parquet_num_rows(raw)
+        if n <= 500_000:
+            t = pq.read_table(raw)
+            df = t.to_pandas()
+            df = df.sort_values(
+                ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"],
+                kind="mergesort",
+            ).drop_duplicates(subset=["canonical_hash"], keep="first")
+            return rd.from_arrow(
+                pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+            )
+
+        def _keep_first(g):
+            return g.sort_values(
+                ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
+            ).head(1)
+
+        return (
+            rd.read_parquet(raw)
+            .groupby("canonical_hash")
+            .map_groups(_keep_first, batch_format="pandas")
+        )
+
     @staticmethod
     def _parquet_num_rows(path: str) -> int:
         """Row count from parquet footers only — no Dataset execution."""
@@ -400,18 +442,22 @@ class CrawlJob:
                 # background thread and is joined before the checkpoint
                 import threading as _threading
 
-                _robots_cnt: dict[str, int] = {}
+                _robots_cnt: dict[str, Any] = {}
 
                 def _count_robots(_f=frontier_file, _out=_robots_cnt):
-                    rc = (
-                        rd.read_parquet(
-                            _f, columns=["host", "url"],
-                            override_num_blocks=max(4, total_cpus // 4),
+                    try:
+                        rc = (
+                            rd.read_parquet(
+                                _f, columns=["host", "url"],
+                                override_num_blocks=max(4, total_cpus // 4),
+                            )
+                            .map_batches(_robots_counts, batch_format="pyarrow")
+                            .to_pandas()
                         )
-                        .map_batches(_robots_counts, batch_format="pyarrow")
-                        .to_pandas()
-                    )
-                    _out["skipped"] = int(rc["n"].sum() - rc["allowed"].sum())
+                        _out["skipped"] = int(rc["n"].sum() - rc["allowed"].sum())
+                    except BaseException as exc:  # surfaced at join — a
+                        # silently-dead daemon thread would undercount
+                        _out["error"] = exc
 
                 robots_thread = _threading.Thread(target=_count_robots, daemon=True)
                 robots_thread.start()
@@ -669,6 +715,20 @@ class CrawlJob:
                     batch_format="pyarrow",
                 )
                 nxt = children if nxt is None else nxt.union(children)
+                if cfg.dedupe_frontier:
+                    # discovery can introduce the same URL from two parents
+                    # (or collide with a deferred row); keep the row the
+                    # sequential oracle would serve first. Inductively the
+                    # frontier stays URL-unique, which is what lets the seen
+                    # filter be read-only within an epoch. Deferred rows
+                    # still carry the seed placeholder hash (real hashes
+                    # are stamped inside the fetch chain) — recompute
+                    # before deduping or they'd all collide on 0.
+                    nxt = nxt.map_batches(
+                        partial(add_hash_columns, salt=cfg.hash_salt),
+                        batch_format="pyarrow",
+                    )
+                    nxt = self._dedupe_frontier(nxt, e)
             if nxt is not None:
                 nxt.write_parquet(self._frontier_next_path(e))
             _t4 = _time.perf_counter()
@@ -676,6 +736,8 @@ class CrawlJob:
             # 5. finalize epoch
             if robots_thread is not None:
                 robots_thread.join()
+                if "error" in _robots_cnt:
+                    raise _robots_cnt["error"]
                 if _robots_cnt.get("skipped"):
                     ray.get(
                         self.counters.add_many.remote(

@@ -244,3 +244,41 @@ def test_media_resize_and_frame_sample(ray_session):
     assert frames.groupby("media_id").size().min() >= 1
     # every frame is a bounded slice
     assert frames["frame"].map(len).max() <= 256
+
+
+def test_exact_dedup_string_doc_ids(ray_session):
+    """Regression: the crawl's docs carry STRING doc_ids ('d<hash hex>');
+    exact_dedup must handle them on both retrieval paths."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03x}" for i in range(8)] + ["dfff"],
+            "text": ["same"] * 3 + [f"uniq{i}" for i in range(5)] + ["same"],
+        }
+    )
+    for thresh in (1_000_000, 0):  # broadcast path and join path
+        out = exact_dedup(rd.from_pandas(df), broadcast_threshold=thresh).to_pandas()
+        keep = out[out["n_copies"] == 4]
+        assert len(keep) == 1 and keep["doc_id"].iloc[0] == "d000"
+        assert len(out) == 6  # 1 keeper + 5 uniques
+
+
+def test_ngram_jaccard_lsh_reports_non_anchor_pairs(ray_session):
+    """Regression: pair ENUMERATION must include pairs between non-anchor
+    bucket members — (101,102) and not just the anchor pairs (100,10x)."""
+    pairs = ngram_jaccard_pairs(rd.from_pandas(_docs_with_dupes()), threshold=0.7)
+    keyset = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (100, 101) in keyset and (100, 102) in keyset and (101, 102) in keyset
+
+
+def test_label_map_exact_for_large_int_ids(ray_session):
+    """Regression: labels must not round-trip through float64 (ids >= 2^53
+    would silently corrupt)."""
+    big = 2**53 + 1
+    df = pd.DataFrame(
+        {"doc_id": [big, big + 2, 7], "text": [BASE, BASE, "tiny other"]}
+    )
+    out = minhash_lsh_dedup(rd.from_pandas(df), jaccard_threshold=0.8).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert set(lab) == {big, big + 2, 7}
+    assert lab[big] == lab[big + 2] == big
+    assert lab[7] == 7
