@@ -282,29 +282,34 @@ class CrawlJob:
             )
         )
 
-    def _dedupe_frontier(self, nxt: "rd.Dataset", e: int) -> "rd.Dataset":
+    def _dedupe_frontier(
+        self, nxt: "rd.Dataset", e: int, row_bound: int
+    ) -> "rd.Dataset":
         """Keep the min-(tier, deadline, crawl_key) row per canonical_hash.
 
-        The raw candidate frontier is written once (cheap — URLs, not
-        payloads) so its footer row count can pick the combine site: a
-        vectorized driver sort+drop_duplicates under 500k rows (the common
-        case, and the synthetic fast path where dupes cannot occur), a
-        distributed groupby above it."""
-        raw = os.path.join(self._epoch_dir(e), "frontier_raw")
-        nxt.write_parquet(raw)
-        if not os.path.isdir(raw):  # an empty dataset writes no dir at all
-            return nxt
-        n = self._parquet_num_rows(raw)
-        if n <= 500_000:
-            t = pq.read_table(raw)
-            df = t.to_pandas()
+        row_bound is an a-priori upper bound on the candidate frontier size
+        (deferred <= pending, children <= fan-out x fetched — both known
+        before execution). Under 500k the dedupe is a single to_pandas +
+        vectorized sort/drop_duplicates on the driver (no extra parquet
+        round trip — this sits on the epoch critical path); above it, a
+        staged parquet write + distributed groupby."""
+        if row_bound <= 500_000:
+            df = nxt.to_pandas()
+            if not len(df):
+                return nxt
             df = df.sort_values(
                 ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"],
                 kind="mergesort",
             ).drop_duplicates(subset=["canonical_hash"], keep="first")
-            return rd.from_arrow(
-                pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
-            )
+            # pin the FRONTIER schema: a pandas round trip would otherwise
+            # drift timestamp[ms] -> [ns] and split the docs schema later
+            t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+            return rd.from_arrow(t.select(FRONTIER.names).cast(FRONTIER))
+
+        raw = os.path.join(self._epoch_dir(e), "frontier_raw")
+        nxt.write_parquet(raw)
+        if not os.path.isdir(raw):  # an empty dataset writes no dir at all
+            return nxt
 
         def _keep_first(g):
             return g.sort_values(
@@ -728,7 +733,11 @@ class CrawlJob:
                         partial(add_hash_columns, salt=cfg.hash_salt),
                         batch_format="pyarrow",
                     )
-                    nxt = self._dedupe_frontier(nxt, e)
+                    # deferred <= pending; children <= 8 x this epoch's docs
+                    bound = total_pending + 8 * self._parquet_num_rows(
+                        self._docs_path(e)
+                    )
+                    nxt = self._dedupe_frontier(nxt, e, bound)
             if nxt is not None:
                 nxt.write_parquet(self._frontier_next_path(e))
             _t4 = _time.perf_counter()
