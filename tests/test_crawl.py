@@ -269,3 +269,43 @@ def test_seen_filter_never_refetches_under_cuckoo_overload(ray_session):
     assert sum(d["kick_failures"] for d in dumps) > 0, (
         "overload did not exercise the stash; lower seen_capacity"
     )
+
+
+def test_dedupe_frontier_keeps_min_priority_row(ray_session):
+    """Unit: duplicate canonical hashes collapse to the min-(tier, deadline,
+    crawl_key) row on BOTH the driver and the distributed path."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from outage_data_scraper_ray.schemas import FRONTIER
+
+    workdir = "/tmp/odsr_dedupe_unit"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, n_seeds=4))
+
+    def row(url, h, tier, key):
+        return {
+            "url": url, "host": "h.example", "emc": "E", "state": "xx",
+            "layout": "wov", "seed_index": 0, "utility_tier": tier,
+            "refresh_deadline": 1_700_000_000_000, "depth": 1,
+            "parent_doc_id": "", "crawl_key": key, "canonical_hash": h,
+        }
+
+    rows = [
+        row("https://h.example/a", 11, 2, 30),
+        row("https://h.example/a", 11, 0, 10),   # winner: lowest tier
+        row("https://h.example/a", 11, 0, 20),
+        row("https://h.example/b", 22, 1, 40),   # unique
+    ]
+    t = pa.Table.from_pylist(rows).cast(FRONTIER)
+    os.makedirs(os.path.join(workdir, "ep-00000"), exist_ok=True)
+    for bound in (10, 10**7):  # driver path, distributed path
+        out = job._dedupe_frontier(rd.from_arrow(t), 0, bound).to_pandas()
+        out = out.sort_values("canonical_hash").reset_index(drop=True)
+        assert len(out) == 2
+        a = out[out["canonical_hash"] == 11].iloc[0]
+        assert a["utility_tier"] == 0 and a["crawl_key"] == 10
+        shutil.rmtree(os.path.join(workdir, "ep-00000", "frontier_raw"),
+                      ignore_errors=True)
