@@ -331,7 +331,17 @@ SELECT * FROM events WHERE event_type = 'purchase'
 # distinct (ds.unique)
 
 def distinct_flags(sf_dir: str) -> pa.Table:
-    vals = sorted(_read(sf_dir, "lineitem", ["l_returnflag"]).unique("l_returnflag"))
+    # per-batch distinct partials (<= cardinality rows each) -> driver set
+    # union; Dataset.unique would pay a shuffle for a 3-row result
+    parts = (
+        _read(sf_dir, "lineitem", ["l_returnflag"])
+        .map_batches(
+            lambda t: pa.table({"l_returnflag": pc.unique(t["l_returnflag"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    vals = sorted(set(parts["l_returnflag"]))
     return pa.table({"l_returnflag": pa.array(vals)})
 
 
