@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -604,10 +605,14 @@ SELECT * FROM (
 
 def knn_topk(sf_dir: str) -> pd.DataFrame:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = (
-        emb.filter(expr="vec_id == 0").take(1)
+    # one predicate-pushdown row read on the driver — a Dataset filter
+    # execution for a single query vector is pure overhead
+    qrow = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
     )
-    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
     qn = q / np.linalg.norm(q)
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
