@@ -639,9 +639,13 @@ def cosine_pairs_exact(sf_dir: str) -> pd.DataFrame:
     import ray
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pdf = emb.to_pandas()  # small side: one float matrix, broadcast once
-    ids = pdf["vec_id"].to_numpy()
-    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # small side: one float matrix read directly on the driver (no Ray
+    # execution) and broadcast once
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
     mat_ref = ray.put((ids, m))
 
