@@ -245,6 +245,9 @@ def _lsh_candidate_pairs(
         bp = bands.to_pandas()
         if not len(bp):
             return pd.DataFrame(_EMPTY_PAIRS)
+        # duplicate doc_id rows in the corpus would inflate the self-join
+        # quadratically — one band row per (bucket, doc) is enough
+        bp = bp.drop_duplicates()
         if pair_mode == "anchor":
             bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
             anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")

@@ -60,7 +60,12 @@ from ..stages.fetch import (
 from ..state.counters import CrawlCounters
 from ..state.cuckoo import SeenShard, shard_of
 from ..state.politeness import HostScheduler, scheduler_shard_of
-from ..synth import make_seed_registry, robots_allows, robots_rules
+from ..synth import (
+    MAX_CHILDREN_PER_DOC,
+    make_seed_registry,
+    robots_allows,
+    robots_rules,
+)
 
 
 @dataclass
@@ -320,6 +325,12 @@ class CrawlJob:
             rd.read_parquet(raw)
             .groupby("canonical_hash")
             .map_groups(_keep_first, batch_format="pandas")
+            # same schema pin as the driver path: map_groups is a pandas
+            # round trip too and must not drift timestamp[ms] -> [ns]
+            .map_batches(
+                lambda t: t.select(FRONTIER.names).cast(FRONTIER),
+                batch_format="pyarrow",
+            )
         )
 
     @staticmethod
@@ -719,27 +730,35 @@ class CrawlJob:
                     partial(add_hash_columns, salt=cfg.hash_salt),
                     batch_format="pyarrow",
                 )
+                if nxt is not None and cfg.dedupe_frontier:
+                    # deferred rows still carry the seed placeholder hash
+                    # (real hashes are stamped inside the fetch chain) —
+                    # recompute for THEM only; children above are already
+                    # hashed and dominate the frontier, so re-hashing the
+                    # union would double the epoch's largest Python pass
+                    nxt = nxt.map_batches(
+                        partial(add_hash_columns, salt=cfg.hash_salt),
+                        batch_format="pyarrow",
+                    )
                 nxt = children if nxt is None else nxt.union(children)
                 if cfg.dedupe_frontier:
                     # discovery can introduce the same URL from two parents
                     # (or collide with a deferred row); keep the row the
                     # sequential oracle would serve first. Inductively the
                     # frontier stays URL-unique, which is what lets the seen
-                    # filter be read-only within an epoch. Deferred rows
-                    # still carry the seed placeholder hash (real hashes
-                    # are stamped inside the fetch chain) — recompute
-                    # before deduping or they'd all collide on 0.
-                    nxt = nxt.map_batches(
-                        partial(add_hash_columns, salt=cfg.hash_salt),
-                        batch_format="pyarrow",
-                    )
-                    # deferred <= pending; children <= 8 x this epoch's docs
-                    bound = total_pending + 8 * self._parquet_num_rows(
-                        self._docs_path(e)
+                    # filter be read-only within an epoch.
+                    # deferred <= pending; children <= fan-out x epoch docs
+                    bound = total_pending + MAX_CHILDREN_PER_DOC * (
+                        self._parquet_num_rows(self._docs_path(e))
                     )
                     nxt = self._dedupe_frontier(nxt, e, bound)
             if nxt is not None:
                 nxt.write_parquet(self._frontier_next_path(e))
+                # the staged dedupe's raw copy is consumed by that write
+                shutil.rmtree(
+                    os.path.join(self._epoch_dir(e), "frontier_raw"),
+                    ignore_errors=True,
+                )
             _t4 = _time.perf_counter()
 
             # 5. finalize epoch

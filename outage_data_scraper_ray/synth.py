@@ -204,6 +204,9 @@ FETCH_PLANS: dict[str, list[tuple[str, str]]] = {
 }
 
 KUBRA_REPORT_TITLES = ["county", "zip", "MEDIA", "city", "ctv", "ward"]
+# upper bound on discovery fan-out per fetched doc — crawl sizing (frontier
+# row bounds) derives from this, so keep it tied to the actual generator
+MAX_CHILDREN_PER_DOC = len(KUBRA_REPORT_TITLES)
 
 
 def fetch_plan(url: str, layout: str) -> list[tuple[str, str]]:
