@@ -36,6 +36,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..shuffle import hash_partitioned_map_batches
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -49,7 +51,10 @@ def add_md5(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def exact_dedup(
-    docs: rd.Dataset, id_col: str = "doc_id", broadcast_threshold: int = 1_000_000
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    broadcast_threshold: int = 1_000_000,
+    row_hint: int | None = None,
 ) -> rd.Dataset:
     """Exact dedup by content hash; keeps min doc_id per text
     (the reference's only exact-dedup precedents: A4 idxmin and the disabled
@@ -69,9 +74,12 @@ def exact_dedup(
 
     partials = docs.map_batches(_partial, batch_format="pandas")
 
-    # row count from input metadata (cheap for reads / in-memory datasets):
-    # bounds the partial cardinality, so it safely picks the combine site
-    if docs.count() <= broadcast_threshold:
+    # row count from input metadata (cheap for reads / in-memory datasets —
+    # callers with a DERIVED upstream pass row_hint to avoid an extra
+    # execution): bounds the partial cardinality, so it safely picks the
+    # combine site
+    n_docs = docs.count() if row_hint is None else row_hint
+    if n_docs <= broadcast_threshold:
         keep_pd = (
             partials.to_pandas()
             .groupby("text_md5", as_index=False)
@@ -187,28 +195,27 @@ def _jaccard(a: str, b: str, k: int = 5) -> float:
 _EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
 
 
-def _anchor_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """min-id anchor pair generation within one LSH bucket. Sufficient for
-    CLUSTERING (union-find connects the bucket through the anchor) but NOT
-    for pair ENUMERATION — use _all_pairs when every similar pair must be
-    reported."""
-    ids = sorted(set(g["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame(_EMPTY_PAIRS)
-    return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
-
-
-def _all_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All within-bucket pairs (a < b); LSH buckets are small by design."""
-    ids = sorted(set(g["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame(_EMPTY_PAIRS)
-    a_out, b_out = [], []
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            a_out.append(a)
-            b_out.append(b)
-    return pd.DataFrame({"a": a_out, "b": b_out})
+def _pairs_from_band_frame(bp: pd.DataFrame, pair_mode: str) -> pd.DataFrame:
+    """Vectorized candidate-pair generation from (doc_id, band, band_hash)
+    rows. Correct for any union of COMPLETE (band, band_hash) groups — the
+    contract both the driver combine and the hash-partitioned blocks meet."""
+    # duplicate doc_id rows in the corpus would inflate the self-join
+    # quadratically — one band row per (bucket, doc) is enough
+    bp = bp.drop_duplicates()
+    if len(bp) < 2:
+        # zero-length slices keep the caller's doc_id dtype (int or string)
+        return pd.DataFrame({"a": bp["doc_id"].iloc[:0], "b": bp["doc_id"].iloc[:0]})
+    if pair_mode == "anchor":
+        bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")
+        keep = anchor != bp["doc_id"]
+        cand = pd.DataFrame({"a": anchor[keep], "b": bp["doc_id"][keep]})
+    else:
+        # vectorized within-bucket self-join (a < b)
+        j = bp.merge(bp, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        cand = pd.DataFrame({"a": j["doc_id_a"], "b": j["doc_id_b"]})
+    return cand.drop_duplicates().reset_index(drop=True)
 
 
 def _lsh_candidate_pairs(
@@ -218,10 +225,19 @@ def _lsh_candidate_pairs(
     n_bands: int,
     shingle_k: int,
     pair_mode: str = "anchor",
+    driver_threshold: int = 200_000,
+    row_hint: int | None = None,
 ) -> pd.DataFrame:
     """MinHash banding -> deduped candidate (a, b) pairs (small by design —
     sized by the collision rate, not the corpus). pair_mode="anchor" suits
-    clustering; "all" enumerates every within-bucket pair."""
+    clustering; "all" enumerates every within-bucket pair.
+
+    Corpora up to driver_threshold docs combine band rows on the driver (no
+    shuffle — band rows are 3 scalars per doc per band); above it, ONE
+    hash-shuffle on (band, band_hash) co-locates each bucket and the same
+    vectorized pair generation runs once per block. row_hint lets a caller
+    that already knows the corpus size skip docs.count(), which on a derived
+    (non-read) dataset would execute the upstream pipeline an extra time."""
     # Stateless tasks with process-cached permutation params: the params are
     # a pure function of (n_perm, seed), so an lru_cache per worker gives
     # init-once economics without paying actor-pool spin-up on small corpora.
@@ -236,38 +252,31 @@ def _lsh_candidate_pairs(
 
     sigs = docs.map_batches(_sigs, batch_format="pandas", batch_size=2048)
     bands = sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
-    group_fn = _anchor_pairs if pair_mode == "anchor" else _all_pairs
 
     # band rows are (doc_id, band, band_hash) triples — n_bands scalars per
     # doc, never text. Under the threshold, pair generation is a driver
-    # groupby (no shuffle); above it, the distributed groupby path runs.
-    if docs.count() <= 200_000:
+    # combine (no shuffle); above it, the hash-partitioned path runs.
+    n_docs = docs.count() if row_hint is None else row_hint
+    if n_docs <= driver_threshold:
         bp = bands.to_pandas()
         if not len(bp):
             return pd.DataFrame(_EMPTY_PAIRS)
-        # duplicate doc_id rows in the corpus would inflate the self-join
-        # quadratically — one band row per (bucket, doc) is enough
-        bp = bp.drop_duplicates()
-        if pair_mode == "anchor":
-            bp = bp.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-            anchor = bp.groupby(["band", "band_hash"])["doc_id"].transform("min")
-            keep = anchor != bp["doc_id"]
-            cand = pd.DataFrame({"a": anchor[keep], "b": bp["doc_id"][keep]})
-        else:
-            # vectorized within-bucket self-join (a < b)
-            j = bp.merge(bp, on=["band", "band_hash"], suffixes=("_a", "_b"))
-            j = j[j["doc_id_a"] < j["doc_id_b"]]
-            cand = pd.DataFrame({"a": j["doc_id_a"], "b": j["doc_id_b"]})
-        return cand.drop_duplicates().reset_index(drop=True)
+        return _pairs_from_band_frame(bp, pair_mode)
 
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(group_fn, batch_format="pandas")
-        .to_pandas()
-    )
+    # bucket cardinality is O(n_docs x n_bands) — nearly one group per row —
+    # so a groupby().map_groups would pay a Python call per bucket. Instead:
+    # one hash-shuffle co-locates each (band, band_hash) bucket, then the
+    # same vectorized pair generation runs once per BLOCK.
+    from functools import partial as _partial
+
+    cand = hash_partitioned_map_batches(
+        bands, ["band", "band_hash"],
+        _partial(_pairs_from_band_frame, pair_mode=pair_mode),
+    ).to_pandas()
     if "a" not in cand.columns:  # fully-empty result loses its schema
         cand = pd.DataFrame(_EMPTY_PAIRS)
-    return cand.drop_duplicates()
+    # the same pair can surface from different bands in different partitions
+    return cand.drop_duplicates().reset_index(drop=True)
 
 
 def _verify_pairs_distributed(
@@ -370,6 +379,8 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    driver_threshold: int = 200_000,
+    row_hint: int | None = None,
 ) -> rd.Dataset:
     """Near-dup clustering: returns (doc_id, dup_group).
 
@@ -379,6 +390,7 @@ def minhash_lsh_dedup(
     candidates suffice: union-find connects every bucket through its anchor."""
     cand = _lsh_candidate_pairs(
         docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
+        driver_threshold=driver_threshold, row_hint=row_hint,
     )
     scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
     verified = [
@@ -507,6 +519,8 @@ def ngram_jaccard_pairs(
     mode: str = "lsh",
     n_perm: int = 64,
     n_bands: int = 32,
+    driver_threshold: int = 200_000,
+    row_hint: int | None = None,
 ) -> pd.DataFrame:
     """n-gram Jaccard similar pairs above threshold.
 
@@ -520,7 +534,8 @@ def ngram_jaccard_pairs(
     if mode == "lsh":
         cand = _lsh_candidate_pairs(
             docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
-            pair_mode="all",
+            pair_mode="all", driver_threshold=driver_threshold,
+            row_hint=row_hint,
         )
         scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
         out = scored[scored["jaccard"] >= threshold]

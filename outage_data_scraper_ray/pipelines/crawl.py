@@ -50,6 +50,7 @@ import ray
 import ray.data as rd
 
 from ..schemas import FRONTIER
+from ..shuffle import hash_partitioned_map_batches
 from ..stages.fetch import (
     FetchParseStage,
     SeenFilterStage,
@@ -91,6 +92,10 @@ class CrawlConfig:
     # dupes), but a real web link graph has them; keep ON outside benchmarks
     # of the synthetic fast path.
     dedupe_frontier: bool = True
+    # frontier-dedupe combine site: candidate frontiers bounded under this
+    # dedupe on the driver (one vectorized pass, no extra shuffle); above it
+    # the hash-partitioned distributed pass runs. 0 forces distributed.
+    frontier_driver_threshold: int = 500_000
     max_epochs: int = 50
     batch_size: int = 256
     fetch_concurrency: int = 4
@@ -294,11 +299,12 @@ class CrawlJob:
 
         row_bound is an a-priori upper bound on the candidate frontier size
         (deferred <= pending, children <= fan-out x fetched — both known
-        before execution). Under 500k the dedupe is a single to_pandas +
-        vectorized sort/drop_duplicates on the driver (no extra parquet
-        round trip — this sits on the epoch critical path); above it, a
-        staged parquet write + distributed groupby."""
-        if row_bound <= 500_000:
+        before execution). Under frontier_driver_threshold the dedupe is a
+        single to_pandas + vectorized sort/drop_duplicates on the driver (no
+        extra parquet round trip — this sits on the epoch critical path);
+        above it, a staged parquet write + hash-partitioned distributed
+        pass (one shuffle, vectorized per block)."""
+        if row_bound <= self.cfg.frontier_driver_threshold:
             df = nxt.to_pandas()
             if not len(df):
                 return nxt
@@ -316,21 +322,25 @@ class CrawlJob:
         if not os.path.isdir(raw):  # an empty dataset writes no dir at all
             return nxt
 
-        def _keep_first(g):
-            return g.sort_values(
-                ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
-            ).head(1)
-
-        return (
-            rd.read_parquet(raw)
-            .groupby("canonical_hash")
-            .map_groups(_keep_first, batch_format="pandas")
-            # same schema pin as the driver path: map_groups is a pandas
-            # round trip too and must not drift timestamp[ms] -> [ns]
-            .map_batches(
-                lambda t: t.select(FRONTIER.names).cast(FRONTIER),
-                batch_format="pyarrow",
+        # canonical_hash is nearly unique (URLs mostly distinct), so a
+        # groupby().map_groups here would pay one Python call per ROW — the
+        # degenerate case at 10^10-frontier scale. Instead: ONE hash-shuffle
+        # co-locates equal hashes per block, then one vectorized
+        # sort+drop_duplicates per block (O(blocks) Python calls).
+        def _keep_min_per_hash(df):
+            out = df.sort_values(
+                ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"],
+                kind="mergesort",
+            ).drop_duplicates(subset=["canonical_hash"], keep="first")
+            # same schema pin as the driver path: the pandas round trip must
+            # not drift timestamp[ms] -> [ns]
+            t = pa.Table.from_pandas(
+                out.reset_index(drop=True), preserve_index=False
             )
+            return t.select(FRONTIER.names).cast(FRONTIER)
+
+        return hash_partitioned_map_batches(
+            rd.read_parquet(raw), ["canonical_hash"], _keep_min_per_hash
         )
 
     @staticmethod

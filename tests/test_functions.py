@@ -217,6 +217,26 @@ def test_exact_dedup_join_path(ray_session):
     assert set(a.columns) == set(b.columns)
 
 
+def test_lsh_candidates_distributed_path(ray_session):
+    """Force the hash-partitioned candidate branch (driver_threshold=0) and
+    require identical clusters / pairs to the driver-combine branch — for
+    both pair modes (anchor via minhash_lsh_dedup, all via ngram_jaccard)."""
+    docs = rd.from_pandas(_docs_with_dupes())
+
+    a = minhash_lsh_dedup(docs, jaccard_threshold=0.7).to_pandas()
+    b = minhash_lsh_dedup(
+        docs, jaccard_threshold=0.7, driver_threshold=0
+    ).to_pandas()
+    assert dict(zip(a["doc_id"], a["dup_group"])) == dict(
+        zip(b["doc_id"], b["dup_group"])
+    )
+
+    pa_ = ngram_jaccard_pairs(docs, threshold=0.7)
+    pb_ = ngram_jaccard_pairs(docs, threshold=0.7, driver_threshold=0)
+    key = lambda df: sorted(zip(df["a"].tolist(), df["b"].tolist()))  # noqa: E731
+    assert key(pa_) == key(pb_) and len(pa_) > 0
+
+
 def test_media_resize_and_frame_sample(ray_session):
     from outage_data_scraper_ray.functions.multimodal import (
         decode_media,
