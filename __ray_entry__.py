@@ -29,6 +29,12 @@ import pyarrow as pa
 
 SF001 = "/root/testdata/sf0.001"
 
+from outage_data_scraper_ray.golden import (  # noqa: E402
+    canon_events as _canon_events,
+    canon_standardized as _canon_standardized,
+    load_golden as _load_golden,
+)
+
 
 def _docs_as_span_table(sf_dir: str):
     """Reshape the driver documents table into the interleaved-span doc
@@ -132,27 +138,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs[["doc_id", "url", "layout", "epoch", "status", "n_spans"]]
 
     def sessionize_threshold(sf_dir: str):
+        """Threshold sessionization on the seeded synth POUS feed. Value-
+        oracle: a golden VALUES table generated from the EXECUTED reference
+        merger (scripts/bluefire/step1_threshold.py) on the same input —
+        see tools/gen_golden_oracles.py. Floats are 6dp-rounded on both
+        sides with the same Python round()."""
         import ray.data as rd
 
         from outage_data_scraper_ray.pipelines.sessionize import sessionize
         from outage_data_scraper_ray.synth import synth_pous
 
-        return sessionize(
+        out = sessionize(
             rd.from_pandas(synth_pous(10, 40, 42)), method="threshold",
             threshold=0.1, abs_diff=0.0,
-        )
+        ).to_pandas()
+        return _canon_events(out)
 
     def sessionize_ganz(sf_dir: str):
+        """Ganz level-crossing sessionization over a POUS feed derived
+        deterministically from the events table (so DuckDB can reproduce the
+        input): level = 0.2 x 1000 customers tracked. The oracle is a real
+        gaps-and-islands window query (GANZ_SQL). All arithmetic is integer
+        until the single cam division, so values hash bit-exact."""
         import ray.data as rd
 
         from outage_data_scraper_ray.pipelines.sessionize import sessionize
-        from outage_data_scraper_ray.synth import synth_pous
 
-        return sessionize(
-            rd.from_pandas(synth_pous(10, 40, 42)), method="ganz", threshold=0.0005
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
         )
 
+        def _pous(b: pd.DataFrame) -> pd.DataFrame:
+            uid = b["user_id"]
+            return pd.DataFrame(
+                {
+                    "UtilityName": "U" + (uid % 4).astype(str),
+                    "StateName": "ga",
+                    "CountyName": "C" + (uid % 3).astype(str),
+                    "CityName": "X",
+                    "CountyFIPS": (uid % 3).astype(str),
+                    "CustomersTracked": np.int64(1000),
+                    "RecordDateTime": b["ts"].dt.floor("s"),
+                    "CustomersOut": np.floor(b["value"].to_numpy()).astype("int64"),
+                }
+            )
+
+        out = sessionize(
+            ev.map_batches(_pous, batch_format="pandas"), method="ganz", threshold=0.2
+        ).to_pandas()
+        return _canon_events(out, round_cam=False)
+
     def standardize_16col(sf_dir: str):
+        """16-column standardize on the seeded synth accumulated table.
+        Value-oracle: golden VALUES from the EXECUTED reference
+        GA1TX8.standardize() (app/pipeline/pipeline.py) on the same input —
+        see tools/gen_golden_oracles.py."""
         import ray.data as rd
 
         from outage_data_scraper_ray.pipelines.standardize import (
@@ -162,10 +202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         acc = synth_accumulated(40, 5, 42)
-        return standardize_ga1tx8(
+        out = standardize_ga1tx8(
             rd.from_pandas(acc), utility_provider="Washington EMC", state="ga",
             zip_county=synth_zip_county_map(sorted(acc["zip"].unique())),
-        )
+        ).to_pandas()
+        return _canon_standardized(out)
 
     def minhash_dedup(sf_dir: str):
         import ray.data as rd
@@ -338,9 +379,92 @@ FROM parts
 """
 
 
+# Ganz level-crossing sessionization as a gaps-and-islands window query over
+# the SAME deterministic events->POUS mapping the Ray wrapper uses. A window
+# opens at the first row with CustomersOut >= 0.2*CustomersTracked and closes
+# at (and includes) the first row back under the level; windows still open at
+# series end are discarded (step1_ganz.py:28-90 semantics). The zero-run
+# split (is_new) needs no SQL analog: a zero row is under-level, so it closes
+# any open window exactly where the run split would. All arithmetic is
+# integer (second-aligned timestamps x integer CustomersOut) until the single
+# cam division, so both sides hash bit-exact.
+GANZ_SQL = """
+WITH pous AS (
+    SELECT 'U' || CAST(user_id % 4 AS VARCHAR) AS UtilityName,
+           'ga' AS StateName,
+           'C' || CAST(user_id % 3 AS VARCHAR) AS CountyName,
+           'X' AS CityName,
+           CAST(user_id % 3 AS VARCHAR) AS CountyFIPS,
+           1000 AS CustomersTracked,
+           date_trunc('second', ts) AS RecordDateTime,
+           CAST(FLOOR(value) AS BIGINT) AS CustomersOut
+    FROM events
+), dedup AS (
+    SELECT UtilityName, StateName, CountyName, CityName,
+           MIN(CountyFIPS) AS CountyFIPS,
+           MIN(CustomersTracked) AS CustomersTracked,
+           RecordDateTime,
+           MIN(CustomersOut) AS CustomersOut
+    FROM pous
+    GROUP BY UtilityName, StateName, CountyName, CityName, RecordDateTime
+), flagged AS (
+    SELECT *,
+           (CustomersOut >= 0.2 * CustomersTracked) AS over_lvl,
+           COALESCE(LAG(CustomersOut >= 0.2 * CustomersTracked) OVER w,
+                    FALSE) AS prev_over
+    FROM dedup
+    WINDOW w AS (PARTITION BY UtilityName, StateName, CountyName, CityName
+                 ORDER BY RecordDateTime)
+), wins AS (
+    SELECT *,
+           SUM(CASE WHEN over_lvl AND NOT prev_over THEN 1 ELSE 0 END)
+               OVER w AS win_id
+    FROM flagged
+    WINDOW w AS (PARTITION BY UtilityName, StateName, CountyName, CityName
+                 ORDER BY RecordDateTime
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), memb AS (
+    SELECT *,
+           LEAD(RecordDateTime) OVER (
+               PARTITION BY UtilityName, StateName, CountyName, CityName, win_id
+               ORDER BY RecordDateTime) AS next_ts
+    FROM wins
+    WHERE (over_lvl OR prev_over) AND win_id >= 1
+), agg AS (
+    SELECT UtilityName, StateName, CountyName, CityName,
+           MIN(CountyFIPS) AS CountyFIPS,
+           MIN(CustomersTracked) AS CustomersTracked,
+           MIN(RecordDateTime) AS start_time,
+           MAX(RecordDateTime) AS end_time,
+           BOOL_OR(NOT over_lvl) AS closed,
+           SUM(CASE WHEN next_ts IS NULL THEN 0
+                    ELSE date_diff('second', RecordDateTime, next_ts)
+                         * CustomersOut END) AS weighted
+    FROM memb
+    GROUP BY UtilityName, StateName, CountyName, CityName, win_id
+)
+SELECT UtilityName, StateName, CountyName, CityName, CountyFIPS,
+       CustomersTracked,
+       start_time, end_time,
+       date_diff('second', start_time, end_time) AS duration_sec,
+       CAST(weighted AS DOUBLE)
+           / CAST(date_diff('second', start_time, end_time) AS DOUBLE)
+           AS customer_affected_mean
+FROM agg
+WHERE closed AND date_diff('second', start_time, end_time) > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from outage_data_scraper_ray.functions.relational import SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
     out["span_explode"] = SPAN_EXPLODE_SQL
+    out["sessionize_ganz"] = GANZ_SQL
+    # golden VALUES oracles (reference-execution output, pinned by
+    # tools/gen_golden_oracles.py); absent files -> rows-only check
+    for name in ("sessionize_threshold", "standardize_16col"):
+        sql = _load_golden(name)
+        if sql is not None:
+            out[name] = sql
     return out

@@ -1,0 +1,190 @@
+"""Generate golden VALUES oracles from the EXECUTED reference implementation.
+
+The gate inputs for sessionize_threshold / standardize_16col are seeded
+synthetic frames, so their expected outputs are fixed tables. This script:
+
+1. executes the REAL reference code on those inputs —
+   scripts/bluefire/step1_threshold.py merger() and
+   app/pipeline/pipeline.py GA1TX8.standardize() from /root/reference —
+2. canonicalizes exactly like the __ray_entry__ query wrappers
+   (outage_data_scraper_ray.golden.canon_*),
+3. verifies our Ray pipeline reproduces the reference output bit-exactly
+   under that canonicalization (fails loudly otherwise),
+4. writes the reference output as typed VALUES SQL into
+   outage_data_scraper_ray/golden/<name>.sql for oracle_sql() to serve.
+
+Run from /root/repo with the reference checkout present:
+    python tools/gen_golden_oracles.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from outage_data_scraper_ray.golden import (  # noqa: E402
+    EVENT_CANON_COLS,
+    canon_events,
+    canon_standardized,
+    values_sql,
+)
+
+REF = "/root/reference"
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "outage_data_scraper_ray", "golden"
+)
+
+
+def _load_reference_fn(filename: str, fn_name: str):
+    """Execute only the definition prefix of a reference bluefire CLI script
+    (cut before the module-level argparse) and return the named function."""
+    src = open(os.path.join(REF, "scripts", "bluefire", filename)).read()
+    cut = src.index("parser = argparse.ArgumentParser()")
+    ns: dict = {}
+    exec(compile(src[:cut], filename, "exec"), ns)
+    return ns[fn_name]
+
+
+def reference_threshold_events() -> pd.DataFrame:
+    """Reference merger() over the gate input: synth_pous(10, 40, 42),
+    idxmin dedup, per-group time sort, zero-run split — the same
+    segmentation sessionize() applies — threshold=0.1, abs_diff=0.0."""
+    from outage_data_scraper_ray.synth import synth_pous
+
+    merger = _load_reference_fn("step1_threshold.py", "merger")
+    df = synth_pous(10, 40, 42)
+    keys = ["UtilityName", "StateName", "CountyName", "CityName"]
+    idx = df.groupby(keys + ["RecordDateTime"])["CustomersOut"].idxmin()
+    df = df.loc[idx].sort_values(keys + ["RecordDateTime"])
+    events: list[dict] = []
+    for _, g in df.groupby(keys):
+        zero_before = g["CustomersOut"].shift(1).fillna(1).eq(0)
+        for _, run in g.groupby(zero_before.cumsum()):
+            rows = run.copy()
+            rows["RecordDateTime"] = rows["RecordDateTime"].astype(str)
+            events.extend(
+                e for e in merger(rows.to_dict("records"), 0.1, 0.0) if e
+            )
+    out = pd.DataFrame(events)
+    out["start_time"] = pd.to_datetime(out["start_time"])
+    out["end_time"] = pd.to_datetime(out["end_time"])
+    out["duration"] = pd.to_timedelta(out["duration"])
+    out = out[out["duration"] > pd.Timedelta(0)]
+    cols = [c for c in EVENT_CANON_COLS if c != "duration_sec"] + ["duration"]
+    return out[cols].reset_index(drop=True)
+
+
+def reference_standardized() -> pd.DataFrame:
+    """Reference GA1TX8.standardize() over the gate input:
+    synth_accumulated(40, 5, 42) with provider name 'Washington EMC'."""
+    from outage_data_scraper_ray.pipelines.standardize import (
+        synth_accumulated,
+        synth_zip_county_map,
+    )
+
+    acc = synth_accumulated(40, 5, 42)
+    zmap = synth_zip_county_map(sorted(acc["zip"].unique()))
+
+    ref_dir = os.path.join(REF, "app", "pipeline")
+    sys.path.insert(0, ref_dir)
+    try:
+        import pipeline as ref_pipeline
+    finally:
+        sys.path.remove(ref_dir)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        base = os.path.join(tmp, "acc")
+        d = os.path.join(base, "ga", "layout_1")
+        os.makedirs(d)
+        acc.to_csv(os.path.join(d, "per_outage_Washington EMC.csv"), index=False)
+        cwd = os.getcwd()
+        os.chdir(tmp)
+        try:
+            with open("ga_mapping.json", "w") as f:
+                json.dump(zmap, f)
+            cfg = {"state": "ga", "layout": 1, "type": "o",
+                   "name": "Washington EMC"}
+            out = ref_pipeline.GA1TX8(cfg, base).standardize()
+        finally:
+            os.chdir(cwd)
+    return out
+
+
+def _compare(name: str, ours: pd.DataFrame, ref: pd.DataFrame) -> None:
+    key = sorted(ours.columns)
+    a = ours[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = ref[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    for c in key:
+        g, w = a[c], b[c]
+        if pd.api.types.is_datetime64_any_dtype(g):
+            ok = (g.astype("datetime64[us]") == w.astype("datetime64[us]")).all()
+        elif pd.api.types.is_float_dtype(g):
+            ok = np.array_equal(g.to_numpy(), w.to_numpy())  # bit-exact
+        else:
+            ok = (g.astype(str) == w.astype(str)).all()
+        assert ok, f"{name}: column {c} diverges between ours and reference"
+    print(f"{name}: ours == reference on all {len(a)} rows (bit-exact)")
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as E
+
+    qs = E.queries()
+
+    # ---- sessionize_threshold -------------------------------------------
+    ref_ev = canon_events(reference_threshold_events())
+    ours_ev = qs["sessionize_threshold"]("/root/testdata/sf0.001")
+    _compare("sessionize_threshold", ours_ev, ref_ev)
+    sql = values_sql(
+        ref_ev,
+        int_cols={"CustomersTracked", "duration_sec"},
+        float_cols={"customer_affected_mean"},
+        ts_cols={"start_time", "end_time"},
+    )
+    with open(os.path.join(OUT_DIR, "sessionize_threshold.sql"), "w") as f:
+        f.write(
+            "-- GENERATED by tools/gen_golden_oracles.py: reference merger()\n"
+            "-- (scripts/bluefire/step1_threshold.py) output on the seeded\n"
+            "-- gate input synth_pous(10, 40, 42), t=0.1, abs_diff=0.\n"
+            + sql + "\n"
+        )
+
+    # ---- standardize_16col ----------------------------------------------
+    ref_st = canon_standardized(reference_standardized())
+    ours_st = qs["standardize_16col"]("/root/testdata/sf0.001")
+    _compare("standardize_16col", ours_st, ref_st)
+    floats = {c for c, d in ref_st.dtypes.items() if d == "float64"}
+    sql = values_sql(
+        ref_st, int_cols=set(), float_cols=floats,
+        ts_cols={"start_time", "end_time"},
+    )
+    with open(os.path.join(OUT_DIR, "standardize_16col.sql"), "w") as f:
+        f.write(
+            "-- GENERATED by tools/gen_golden_oracles.py: reference\n"
+            "-- GA1TX8.standardize() (app/pipeline/pipeline.py) output on the\n"
+            "-- seeded gate input synth_accumulated(40, 5, 42).\n"
+            + sql + "\n"
+        )
+
+    ray.shutdown()
+    print("golden oracles written to", os.path.abspath(OUT_DIR))
+
+
+if __name__ == "__main__":
+    main()
