@@ -517,23 +517,21 @@ FROM documents
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    """Language-ID + quality score over documents (text.TextFeatures), with
-    quality_score rounded to 6dp so the float expression is oracle-stable.
+    """Language-ID + quality score over documents (text.TextFeatures).
     The stopword-hit argmax (first-max tie-break: en, de, fr, es; 'und' when
     no hits) mirrors exactly in SQL by construction: both sides extract
-    [a-z']+ word tokens from the lowercased text and count set membership."""
+    [a-z']+ word tokens from the lowercased text and count set membership.
+
+    quality_score ships RAW: the SQL expression mirrors the Python float
+    operation order term for term, so the doubles are bit-identical
+    (verified at sf0.001/0.01/0.1) — a 6dp ROUND on each side would
+    INTRODUCE divergence risk, because pandas' scaled round-half-even and
+    DuckDB's decimal rounding disagree at 5e-7 boundaries."""
     from .text import text_features
 
-    def _round(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["quality_score"] = batch["quality_score"].round(6)
-        return batch
-
-    return (
-        text_features(_read(sf_dir, "documents", ["doc_id", "text"]))
-        .select_columns(["doc_id", "lang_pred", "quality_score"])
-        .map_batches(_round, batch_format="pandas")
-    )
+    return text_features(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "lang_pred", "quality_score"])
 
 
 LANG_ID_SQL = r"""
@@ -562,13 +560,12 @@ SELECT doc_id,
          WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
          WHEN s_fr >= s_es THEN 'fr'
          ELSE 'es' END AS lang_pred,
-    ROUND(
-        (least(char_count, 2000) / 2000.0) * 0.4
+    (least(char_count, 2000) / 2000.0) * 0.4
         + (1.0 - least(CASE WHEN char_count > 0
                             THEN punct_count * 1.0 / char_count ELSE 0.0 END,
                        0.2) / 0.2) * 0.2
-        + least(s_en * 1.0 / greatest(token_count, 1), 0.5) / 0.5 * 0.4,
-    6) AS quality_score
+        + least(s_en * 1.0 / greatest(token_count, 1), 0.5) / 0.5 * 0.4
+        AS quality_score
 FROM c
 """
 
@@ -747,11 +744,89 @@ FROM events
 
 # ---------------------------------------------------------------------------
 # as-of join: every event matched to the latest order (by a bucketed key)
-# at or before its timestamp — broadcast small side + pd.merge_asof per
-# batch (the ray_guide as-of pattern; no shuffle at all)
+# at or before its timestamp. Dimension-sized right sides broadcast
+# (pd.merge_asof per batch, no shuffle); a right side that grows with the
+# fact table would OOM the driver, so above the threshold both sides
+# co-partition by the join key and merge_asof runs per partition.
 
-def asof_join(sf_dir: str) -> rd.Dataset:
-    right = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+def _asof_distributed(left: rd.Dataset, right: rd.Dataset) -> rd.Dataset:
+    """Distributed as-of: tag both sides, ONE hash-shuffle on jk co-locates
+    each key's complete left and right row sets, then the same reduce +
+    merge_asof the broadcast path applies runs vectorized per partition.
+    Partitioning assumption: all rows of one jk fit in one block (jk is a
+    bucketed key of bounded cardinality; salt the bucketing if a single jk
+    outgrows a block)."""
+    from ..shuffle import hash_partitioned_map_batches
+
+    def _tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "jk": (b["user_id"] % 100).astype("int64"),
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "o_orderkey": np.int64(0),
+                "o_orderdate": pd.Series(
+                    pd.NaT, index=b.index, dtype=b["ts"].dtype
+                ),
+            }
+        )
+
+    def _tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "jk": (b["o_custkey"] % 100).astype("int64"),
+                "event_id": np.int64(0),
+                "ts": pd.Series(
+                    pd.NaT, index=b.index, dtype=b["o_orderdate"].dtype
+                ),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+            }
+        )
+
+    tagged = left.map_batches(_tag_left, batch_format="pandas").union(
+        right.map_batches(_tag_right, batch_format="pandas")
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["event_id", "jk", "o_orderkey", "o_orderdate"]
+        l = df[df["side"] == 0]
+        if not len(l):
+            return pd.DataFrame(
+                {
+                    "event_id": l["event_id"], "jk": l["jk"],
+                    "o_orderkey": pd.Series(dtype="float64"),
+                    "o_orderdate": l["o_orderdate"],
+                }
+            )
+        r = df[df["side"] == 1][["jk", "o_orderkey", "o_orderdate"]]
+        # same reduction as the broadcast path: one row per (jk, date),
+        # keep max orderkey — correct per partition because the shuffle
+        # co-located every row of each jk
+        r = (
+            r.sort_values(["jk", "o_orderdate", "o_orderkey"])
+            .groupby(["jk", "o_orderdate"], as_index=False)
+            .last()
+            .sort_values("o_orderdate", kind="mergesort")
+        )
+        l = l[["event_id", "jk", "ts"]].sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(
+            l, r, left_on="ts", right_on="o_orderdate", by="jk",
+            direction="backward",
+        )
+        return out[out_cols]
+
+    return hash_partitioned_map_batches(tagged, ["jk"], _merge)
+
+
+def asof_join(sf_dir: str, *, right_broadcast_threshold: int = 1_000_000) -> rd.Dataset:
+    right_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    if right_ds.count() > right_broadcast_threshold:
+        left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        return _asof_distributed(left, right_ds)
+    right = right_ds.to_pandas()
     right["jk"] = (right["o_custkey"] % 100).astype("int64")
     # make the as-of unambiguous: one row per (jk, date), keep max orderkey
     right = (

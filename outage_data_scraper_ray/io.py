@@ -67,8 +67,19 @@ class TableIO:
             # column (same append/resume contract as the parquet layout, the
             # commit log handles physical appends). Distributed sink — no
             # driver-side materialization.
-            mode = "append" if man["runs"] else "create"
-            tagged.write_lance(path, mode=mode)
+            #
+            # Mode comes from PROBING the target, not from the manifest: a
+            # crash after write_lance but before the manifest append leaves
+            # a real Lance dataset the manifest doesn't know about — a
+            # retried run must append, and first delete the partial run's
+            # rows so the retry is exactly-once.
+            try:
+                existing = lance.dataset(path)
+            except (ValueError, OSError):
+                existing = None
+            if existing is not None:
+                existing.delete(f"run_id = '{run_id}'")
+            tagged.write_lance(path, mode="append" if existing else "create")
         elif partition_cols:
             tagged.write_parquet(path, partition_cols=partition_cols)
         else:

@@ -69,21 +69,73 @@ def strip_jsonp(body: str) -> str:
     return body
 
 
-_TABLE_ROW = re.compile(r"<tr>(.*?)</tr>", re.S)
-_TABLE_CELL = re.compile(r"<t[hd][^>]*>(.*?)</t[hd]>", re.S)
-_TAG = re.compile(r"<[^>]+>")
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _TableReader(_HTMLParser):
+    """Tolerant table reader on the stdlib HTML tokenizer: survives the
+    real-world tag soup the reference absorbs through bs4
+    (ga_scraper.py:614-645) — unclosed <tr>/<td>, attributes (quoted '>'
+    included), comments, inline markup inside cells, entity references.
+    A new <tr>/<td> implicitly closes the previous one, as browsers do.
+    Nested tables are flattened into the row stream (same behavior as
+    bs4's find_all('tr') on the document)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[list[str]] = []
+        self._cells: list[str] | None = None
+        self._buf: list[str] | None = None
+
+    def _close_cell(self) -> None:
+        if self._buf is not None and self._cells is not None:
+            self._cells.append("".join(self._buf).strip())
+        self._buf = None
+
+    def _close_row(self) -> None:
+        self._close_cell()
+        if self._cells is not None:
+            self.rows.append(self._cells)
+        self._cells = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "tr":
+            self._close_row()
+            self._cells = []
+        elif tag in ("td", "th"):
+            self._close_cell()
+            if self._cells is None:  # td outside any tr: implicit row
+                self._cells = []
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("td", "th"):
+            self._close_cell()
+        elif tag == "tr":
+            self._close_row()
+
+    def handle_data(self, data: str) -> None:
+        if self._buf is not None:
+            self._buf.append(data)
+
+    def finish(self) -> list[list[str]]:
+        self.close()
+        self._close_row()
+        return self.rows
 
 
 def parse_html_table(html: str) -> tuple[list[str], list[list[str]]]:
-    """Minimal DOM-table reader (M11, ga_scraper.py:614-645): header = th
-    cells, body rows = td cells, cell text stripped. bs4 is not available in
-    this sandbox; the synthetic HTML is regular enough for a regex reader."""
-    rows = _TABLE_ROW.findall(html)
+    """DOM-table reader (M11, ga_scraper.py:614-645): header = first row's
+    cells, body = remaining rows, cell text stripped. Built on the stdlib
+    html.parser tokenizer (the same engine behind bs4's 'html.parser'
+    backend), so malformed markup degrades the way a browser would instead
+    of silently dropping rows; fuzz-tested in test_kernels.py."""
+    p = _TableReader()
+    p.feed(html)
+    rows = p.finish()
     if not rows:
         return [], []
-    header = [_TAG.sub("", c).strip() for c in _TABLE_CELL.findall(rows[0])]
-    body = [[_TAG.sub("", c).strip() for c in _TABLE_CELL.findall(r)] for r in rows[1:]]
-    return header, body
+    return rows[0], rows[1:]
 
 
 _XML_TAG = re.compile(r"<(\w+)>(.*?)</\1>", re.S)

@@ -24,6 +24,9 @@ import os
 from dataclasses import replace
 from datetime import datetime, timedelta
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray.data as rd
 
 from ..kernels.common import SCRAPE_TS_FORMAT
@@ -80,7 +83,18 @@ def flagship_outage_pipeline(
     jobs = run_poll_rounds(cfg, rounds)
     spans = explode_spans(poll_docs(jobs))
     acc = level_table(spans, "nisc", "per_outage")
-    zips = sorted(set(acc.select_columns(["zip"]).to_pandas()["zip"]))
+    # per-batch distinct partials -> driver set union (the distinct_flags
+    # pattern): the driver sees <= n_zip_values rows per batch, never the
+    # full zip column
+    zip_parts = (
+        acc.select_columns(["zip"])
+        .map_batches(
+            lambda t: pa.table({"zip": pc.unique(t["zip"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    zips = sorted(set(zip_parts["zip"]))
     return standardize_ga1tx8(
         acc.drop_columns(["doc_id"]),
         utility_provider="synthgrid",

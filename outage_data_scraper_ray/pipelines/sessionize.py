@@ -337,19 +337,31 @@ def month_properties(events: rd.Dataset, year: int, month: int) -> dict[str, flo
 
 
 def event_properties(events: rd.Dataset) -> dict[str, float]:
-    """step2_property.py:62-94 global scalars, computed as a tiny aggregate
-    over the (small) event set."""
-    df = events.to_pandas()
-    if not len(df):
+    """step2_property.py:62-94 global scalars: one partial totals row per
+    batch -> trivial driver sum (the global_props pattern — the event rows
+    themselves never reach the driver)."""
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        dur_s = pd.to_timedelta(b["duration"]).dt.total_seconds()
+        cam = pd.to_numeric(b["customer_affected_mean"])
+        return pd.DataFrame(
+            {
+                "n": [len(b)],
+                "dur_s": [float(dur_s.sum())],
+                "cam": [float(cam.sum())],
+                "cam_dur": [float((cam * dur_s).sum())],
+            }
+        )
+
+    parts = events.map_batches(_partial, batch_format="pandas").to_pandas()
+    freq = int(parts["n"].sum())
+    if freq == 0:
         return {"frequency": 0}
-    dur_s = pd.to_timedelta(df["duration"]).dt.total_seconds()
-    freq = len(df)
-    cam = pd.to_numeric(df["customer_affected_mean"])
-    cam_dur = (cam * dur_s).sum()
+    cam_dur = float(parts["cam_dur"].sum())
     return {
         "frequency": freq,
-        "avg_duration_sec": float(dur_s.sum() / freq),
-        "avg_customer_affected_mean": float(cam.sum() / freq),
+        "avg_duration_sec": float(parts["dur_s"].sum() / freq),
+        "avg_customer_affected_mean": float(parts["cam"].sum() / freq),
         "total_customer_affected_mean_duration": float(cam_dur / (freq * 60)),
         "total_customer_affected_x_duration": float(cam_dur / 60),
     }

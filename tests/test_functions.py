@@ -237,6 +237,24 @@ def test_lsh_candidates_distributed_path(ray_session):
     assert key(pa_) == key(pb_) and len(pa_) > 0
 
 
+def test_asof_join_distributed_path(ray_session):
+    """Force the co-partitioned distributed as-of (right_broadcast_threshold=0)
+    and require row-identical output to the broadcast path."""
+    from outage_data_scraper_ray.functions.relational import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    key = ["event_id"]
+    a = asof_join(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        asof_join(sf, right_broadcast_threshold=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_media_resize_and_frame_sample(ray_session):
     from outage_data_scraper_ray.functions.multimodal import (
         decode_media,

@@ -71,3 +71,92 @@ def test_offsets_are_sequential():
             bodies = web.fetch(row["url"], family)
             spans, _ = KERNELS[family](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
             assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+# ---------------------------------------------------------------------------
+# parse_html_table robustness: property-fuzz messy markup (the tag soup the
+# reference tolerates through bs4, ga_scraper.py:614-645) and require the
+# original cell matrix back. bs4 itself is absent in this sandbox; the
+# reader is built on the same stdlib html.parser engine bs4's default
+# backend uses.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from outage_data_scraper_ray.kernels.common import parse_html_table
+
+_cell_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _render_messy(matrix, rng):
+    """Render a cell matrix as deliberately messy HTML: random attributes
+    (with quoted '>'), missing </td>/</tr>, th/td mixing, comments,
+    inline markup and whitespace padding inside cells."""
+    parts = ["<table class='x'>"]
+    for ri, row in enumerate(matrix):
+        attr = " data-x=\"a>b\"" if rng.random() < 0.3 else ""
+        parts.append(f"<tr{attr}>")
+        for ci, cell in enumerate(row):
+            tag = "th" if ri == 0 and rng.random() < 0.5 else "td"
+            inner = cell
+            if rng.random() < 0.3:
+                inner = f"<b>{inner}</b>"
+            if rng.random() < 0.3:
+                inner = f"  {inner}\n"
+            if rng.random() < 0.2:
+                parts.append(f"<!-- c{ci} -->")
+            parts.append(f"<{tag}>{inner}")
+            if rng.random() < 0.5:  # often unclosed
+                parts.append(f"</{tag}>")
+        if rng.random() < 0.5:  # often unclosed row
+            parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    matrix=st.lists(
+        st.lists(_cell_text, min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_parse_html_table_recovers_messy_matrix(matrix, seed):
+    import random
+
+    width = len(matrix[0])
+    matrix = [row[:width] + [""] * (width - len(row)) for row in matrix]
+    html = _render_messy(matrix, random.Random(seed))
+    header, body = parse_html_table(html)
+    got = [header] + body
+    want = [[c.strip() for c in row] for row in matrix]
+    assert got == want, f"html={html!r}"
+
+
+def test_parse_html_table_wellformed_unchanged():
+    """The regular fixtures' shape keeps parsing exactly as before."""
+    html = (
+        "<table><tr><th>ZIP</th><th>Out</th></tr>"
+        "<tr><td>30030</td><td>5</td></tr>"
+        "<tr><td>30031</td><td>0</td></tr></table>"
+    )
+    header, body = parse_html_table(html)
+    assert header == ["ZIP", "Out"]
+    assert body == [["30030", "5"], ["30031", "0"]]
+
+
+def test_parse_html_table_entities_and_empty():
+    header, body = parse_html_table(
+        "<table><tr><th>A&amp;B</th></tr><tr><td></td></tr></table>"
+    )
+    assert header == ["A&B"]
+    assert body == [[""]]
+    assert parse_html_table("no tables here") == ([], [])

@@ -928,3 +928,102 @@ def test_tx_scraper3_and_ga_scraper8_are_inert(tx_scraper, ga_scraper):
     g8 = ga_scraper.Scraper8("https://example.invalid", "x")
     assert not hasattr(ga_scraper.Scraper8, "parse") or \
         ga_scraper.Scraper8.parse is ga_scraper.BaseScraper.parse
+
+
+# ---------------------------------------------------------------------------
+# The three kernels previously covered only by oracle_sim: tx Scraper1
+# (report-panel tables), tx Scraper6 (ArcGIS envelope sniff), tn Scraper2
+# (multi-level reportTable). Their parse() bodies are fused with
+# selenium/seleniumwire/bs4 DOM extraction, so — like the dtable/ny_iframe
+# precedents above — these tests execute the reference's exact post-DOM
+# pandas tail verbatim (with the wall-clock/timenow pinned to the virtual
+# scrape timestamp) over row lists extracted by the shared table reader.
+
+def test_tx_scraper1_report_table_matches_reference(tx_scraper):
+    """tx_scraper.py:33-70: rows[2:], hardcoded 5-col header, VIEW dropped
+    via column selection, string filter CUSTOMER OUTAGES != '0'."""
+    import pandas as _pd
+
+    from outage_data_scraper_ray.kernels.common import parse_html_table
+
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("tx_report_table")
+    bodies = web.fetch(row["url"], "tx_report_table")
+    want = []
+    for key, loc in (("per_county", "COUNTY"), ("per_zipcode", "ZIP")):
+        _, body_rows = parse_html_table(bodies[key].decode())
+        raw_data = body_rows[1:]  # the reference's rows[2:] (two header trs)
+        header = ["VIEW", loc, "CUSTOMER OUTAGES", "CUSTOMERS SERVED", "% AFFECTED"]
+        table_data = [dict(zip(header, r)) for r in raw_data]
+        df = _pd.DataFrame(table_data)[
+            [loc, "CUSTOMER OUTAGES", "CUSTOMERS SERVED", "% AFFECTED"]
+        ]
+        df["timestamp"] = VIRTUAL_SCRAPE_TS  # in place of timenow()
+        df["EMC"] = row["emc"]
+        df = df[df["CUSTOMER OUTAGES"] != "0"]
+        want += _df_to_records(df)
+    got, _ = KERNELS["tx_report_table"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert [s["text"] for s in got] == want
+
+
+def test_tx_scraper6_envelope_matches_reference(tx_scraper):
+    """tx_scraper.py:230-289: JSONP strip via index('(')/rindex(')'),
+    attributes expand, BEGINTIME/ESTIMATEDTIMERESTORATION unit='ms',
+    geometry x/y, pd.Timestamp.now() pinned, NO filter / NO dropna."""
+    import pandas as _pd
+
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("tx_envelope")
+    bodies = web.fetch(row["url"], "tx_envelope")
+    data_str = bodies["per_outage"].decode()
+    if data_str[0] == "{":
+        val = json.loads(data_str)
+    else:
+        start = data_str.index("(") + 1
+        end = data_str.rindex(")")
+        val = json.loads(data_str[start:end])
+    df = _pd.DataFrame([x["attributes"] for x in val["features"]])
+    df["BEGINTIME"] = _pd.to_datetime(df["BEGINTIME"], unit="ms")
+    df["ESTIMATEDTIMERESTORATION"] = _pd.to_datetime(
+        df["ESTIMATEDTIMERESTORATION"], unit="ms"
+    )
+    df["x"] = [x["geometry"]["x"] for x in val["features"]]
+    df["y"] = [x["geometry"]["y"] for x in val["features"]]
+    df["timestamp"] = VIRTUAL_SCRAPE_TS  # in place of pd.Timestamp.now()
+    df["EMC"] = row["emc"]
+    want = _df_to_records(df)
+    got, _ = KERNELS["tx_envelope"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert len(got) > 0
+    assert [s["text"] for s in got] == want
+
+
+def test_tn_scraper2_reportlevels_matches_reference(tn_scraper):
+    """tn_scraper.py:38-113 _parse tail per level page: dict(zip(header,
+    row)) with blank headers, df[cols] then dropna(axis=0) on short rows,
+    timenow + EMC stamp, string filter Aff != '0'; levels with <= 1 column
+    collapse to an empty frame."""
+    import pandas as _pd
+
+    from outage_data_scraper_ray.kernels.common import parse_html_table
+
+    web = SyntheticWeb(42, max_rows=14, failure_rate=0.0)
+    row = _seed_for("tn_reportlevels")
+    bodies = web.fetch(row["url"], "tn_reportlevels")
+    want = []
+    for key, body in bodies.items():
+        header, rows = parse_html_table(body.decode())
+        cols = [h for h in header if h != ""]
+        table = [dict(zip(header, r)) for r in rows]
+        df = _pd.DataFrame(table)
+        if len(df.columns) > 1:
+            df = df[cols]
+            df = df.dropna(axis=0)
+            df["timestamp"] = VIRTUAL_SCRAPE_TS  # in place of timenow()
+            df["EMC"] = row["emc"]
+            df = df[df["Aff"] != "0"]
+        else:
+            df = _pd.DataFrame()
+        want += _df_to_records(df)
+    got, _ = KERNELS["tn_reportlevels"](bodies, row["emc"], VIRTUAL_SCRAPE_TS, row["url"])
+    assert len(got) > 0
+    assert [s["text"] for s in got] == want
