@@ -60,19 +60,14 @@ def exact_dedup(
     (the reference's only exact-dedup precedents: A4 idxmin and the disabled
     drop_duplicates at util.py:42, made explicit here).
 
-    Scale shape: per-batch partials reduce each batch to (md5, min_id, n)
-    triples, so the one shuffle moves 3 scalars per unique-text-per-batch —
-    never the text rows. Kept rows come back via a broadcast id map when the
-    keeper set is small (<= broadcast_threshold), else a distributed hash
-    join."""
-
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = add_md5(batch)
-        return b.groupby("text_md5", as_index=False).agg(
-            keep_id=(id_col, "min"), n=(id_col, "size")
-        )
-
-    partials = docs.map_batches(_partial, batch_format="pandas")
+    Scale shape, small side (keeper set <= broadcast_threshold): per-batch
+    partials reduce each batch to (md5, min_id, n) triples — the one shuffle
+    moves 3 scalars per unique-text-per-batch, never text rows — and the
+    combined keep map broadcasts back for a stateless filter. Large side:
+    any row-retrieval keyed by content hash must move each row once, so the
+    optimal shape is ONE hash-shuffle of the full rows on text_md5 followed
+    by a vectorized per-partition keep-min (co-location makes per-partition
+    groupby counts/mins global) — no aggregate pre-pass, no join operator."""
 
     # row count from input metadata (cheap for reads / in-memory datasets —
     # callers with a DERIVED upstream pass row_hint to avoid an extra
@@ -80,6 +75,14 @@ def exact_dedup(
     # combine site
     n_docs = docs.count() if row_hint is None else row_hint
     if n_docs <= broadcast_threshold:
+
+        def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+            b = add_md5(batch)
+            return b.groupby("text_md5", as_index=False).agg(
+                keep_id=(id_col, "min"), n=(id_col, "size")
+            )
+
+        partials = docs.map_batches(_partial, batch_format="pandas")
         keep_pd = (
             partials.to_pandas()
             .groupby("text_md5", as_index=False)
@@ -108,15 +111,24 @@ def exact_dedup(
 
         return docs.map_batches(_filter, batch_format="pandas")
 
-    from ray.data.aggregate import Min, Sum
+    def _keep_min(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            block = block.copy()
+            block["n_copies"] = pd.Series([], dtype="int64")
+            return block
+        g = block.groupby("text_md5")[id_col]
+        block = block.copy()
+        block["n_copies"] = g.transform("size")
+        return block[g.transform("min") == block[id_col]]
 
-    keep = partials.groupby("text_md5").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_copies")
-    )
-    # Dataset.join absorbs the right-side key column into the left key
-    return docs.join(
-        keep, join_type="inner", num_partitions=max(docs.num_blocks(), 8),
-        on=(id_col,), right_on=("keep_id",),
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # ~500k rows per shuffle partition keeps block-sized pandas passes cheap
+    num_blocks = max(8, cpus, n_docs // 500_000)
+    return hash_partitioned_map_batches(
+        docs.map_batches(add_md5, batch_format="pandas"),
+        ["text_md5"],
+        _keep_min,
+        num_blocks=num_blocks,
     )
 
 

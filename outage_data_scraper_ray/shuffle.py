@@ -45,7 +45,14 @@ def hash_partitioned_map_batches(
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_blocks = max(8, cpus)
-    out = ds.repartition(num_blocks, keys=list(keys)).map_batches(
+    # Blocks that round-tripped through pandas (or pandas-written parquet)
+    # carry b'pandas' schema metadata, which makes pa.Schema unhashable —
+    # the shuffle aggregator then logs "Failed to hash the schemas" per
+    # block-merge and loses unify_schemas' early exit. Strip it (zero-copy).
+    stripped = ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    out = stripped.repartition(num_blocks, keys=list(keys)).map_batches(
         fn, batch_format=batch_format, batch_size=None
     )
     # The planner validates the strategy against the PLAN's captured context

@@ -201,8 +201,8 @@ def test_embedding_dedup_recall_vs_bruteforce(ray_session):
     assert got / len(want_pairs) >= 0.9
 
 
-def test_exact_dedup_join_path(ray_session):
-    """Force the distributed-join retrieval path (broadcast_threshold=0) and
+def test_exact_dedup_distributed_path(ray_session):
+    """Force the hash-partitioned keep-min path (broadcast_threshold=0) and
     require identical keepers to the broadcast path."""
     docs = rd.from_pandas(_docs_with_dupes())
     a = exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
