@@ -298,9 +298,12 @@ def _verify_pairs_distributed(
     text on the driver.
 
     One map_batches pass over docs emits (pair_key, a, b, shingle array) rows
-    for candidate members only; groupby(pair_key) co-locates the two shingle
-    sets and computes exact Jaccard inside the group. Only candidate docs'
-    shingle arrays shuffle. Returns (a, b, jaccard) for ALL candidate pairs."""
+    for candidate members only; one hash-shuffle on pair_key co-locates the
+    two shingle sets of every pair, and a single vectorized pass per BLOCK
+    computes exact Jaccard (pair_key cardinality == candidate count, so a
+    per-group callable would pay one Python dispatch per pair). Only
+    candidate docs' shingle arrays shuffle. Returns (a, b, jaccard) for ALL
+    candidate pairs."""
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -331,27 +334,40 @@ def _verify_pairs_distributed(
                 rows["sh"].append(sh)
         return pd.DataFrame(rows)
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+    def _verify_block(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"jaccard": "float64"}
+        )
+        if block.empty:
+            return empty
         # one row per member even if the corpus carried duplicate doc_id
         # rows across batches; a pair verifies when both members are present
-        g = g.drop_duplicates(subset=["member"])
-        if len(g) != 2:  # a candidate doc missing from the corpus slice
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        s0, s1 = g["sh"].iloc[0], g["sh"].iloc[1]
-        inter = np.intersect1d(s0, s1, assume_unique=True).size
-        union = s0.size + s1.size - inter
-        j = 1.0 if union == 0 else inter / union
-        return pd.DataFrame(
-            {"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]], "jaccard": [j]}
-        )
+        block = block.drop_duplicates(subset=["pair_key", "member"])
+        sizes = block.groupby("pair_key")["member"].transform("size")
+        block = block[sizes == 2].sort_values("pair_key", kind="mergesort")
+        if block.empty:
+            return empty
+        sh = block["sh"].tolist()
+        a = block["a"].to_numpy()[0::2]
+        b = block["b"].to_numpy()[0::2]
+        jac = np.empty(len(a), dtype=np.float64)
+        # the per-pair set intersection IS the kernel; the loop is over
+        # pairs in this block, with no per-group dispatch around it
+        for i in range(len(a)):
+            s0 = np.asarray(sh[2 * i])
+            s1 = np.asarray(sh[2 * i + 1])
+            inter = np.intersect1d(s0, s1, assume_unique=True).size
+            union = s0.size + s1.size - inter
+            jac[i] = 1.0 if union == 0 else inter / union
+        return pd.DataFrame({"a": a, "b": b, "jaccard": jac})
 
-    out = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(_emit, batch_format="pandas")
-        .groupby("pair_key")
-        .map_groups(_verify, batch_format="pandas")
-        .to_pandas()
-    )
+    out = hash_partitioned_map_batches(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            _emit, batch_format="pandas"
+        ),
+        ["pair_key"],
+        _verify_block,
+    ).to_pandas()
     if "a" not in out.columns:
         out = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -446,9 +462,11 @@ def _simhash64(text: str) -> np.uint64:
 
 def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets -> candidates + Hamming verify
-    inside groupby(chunk).map_groups (signatures are co-located with the
-    bucket group, so only band rows shuffle and nothing but verified pairs
-    reaches the driver). Returns (doc_id, simhash, dup_group)."""
+    in ONE vectorized pass per hash-shuffled block (signatures are co-located
+    with the bucket, so only band rows shuffle and nothing but verified pairs
+    reaches the driver; bucket cardinality is up to 4x2^16, so a per-group
+    callable would pay ~262k Python dispatches). Returns
+    (doc_id, simhash, dup_group)."""
 
     def _sig(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -478,24 +496,32 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             )
         return pd.concat(frames, ignore_index=True)
 
-    def _pairs_verified(g: pd.DataFrame, _maxh=max_hamming) -> pd.DataFrame:
-        if len(g) < 2:
+    def _pairs_verified_block(block: pd.DataFrame, _maxh=max_hamming) -> pd.DataFrame:
+        if block.empty:
             return pd.DataFrame(_EMPTY_PAIRS)
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
-        # anchor pairs (min id vs rest), Hamming verified vectorized
-        x = sh[0] ^ sh[1:]
-        dist = np.array([bin(int(v)).count("1") for v in x])
+        # anchor pairs (min doc_id vs rest of its bucket), all buckets in
+        # this block at once: sort by (chunk_key, doc_id), broadcast each
+        # bucket's first row down the bucket, Hamming-verify vectorized
+        block = block.sort_values(["chunk_key", "doc_id"], kind="mergesort")
+        g = block.groupby("chunk_key")
+        anchor_id = g["doc_id"].transform("first")
+        anchor_sh = g["simhash"].transform("first").to_numpy(dtype=np.uint64)
+        rest = (block["doc_id"] != anchor_id).to_numpy()
+        x = block["simhash"].to_numpy(dtype=np.uint64)[rest] ^ anchor_sh[rest]
+        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         keep = dist <= _maxh
-        return pd.DataFrame({"a": np.repeat(ids[0], keep.sum()), "b": ids[1:][keep]})
+        return pd.DataFrame(
+            {
+                "a": anchor_id.to_numpy()[rest][keep],
+                "b": block["doc_id"].to_numpy()[rest][keep],
+            }
+        )
 
-    verified_pd = (
-        sigs.map_batches(_band_rows, batch_format="pandas")
-        .groupby("chunk_key")
-        .map_groups(_pairs_verified, batch_format="pandas")
-        .to_pandas()
-    )
+    verified_pd = hash_partitioned_map_batches(
+        sigs.map_batches(_band_rows, batch_format="pandas"),
+        ["chunk_key"],
+        _pairs_verified_block,
+    ).to_pandas()
     if "a" not in verified_pd.columns:
         verified_pd = pd.DataFrame(_EMPTY_PAIRS)
     verified_pd = verified_pd.drop_duplicates()
@@ -615,18 +641,29 @@ def embedding_dedup(
 
     buckets = emb.map_batches(_bucket, batch_format="pandas")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def _pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
             return pd.DataFrame(_EMPTY_PAIRS)
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        ids = g["vec_id"].to_numpy()
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        # drop singleton buckets vectorized; the per-bucket matmul is the
+        # kernel, so the remaining loop runs only over multi-member buckets
+        # in this block (no per-group dispatch around it)
+        sizes = block.groupby("bucket")["vec_id"].transform("size")
+        block = block[sizes >= 2]
+        frames = []
+        for _, g in block.groupby("bucket"):
+            m = np.stack([np.asarray(v) for v in g["vec"].to_numpy()])
+            sims = m @ m.T
+            ids = g["vec_id"].to_numpy()
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+            if ai.size:
+                frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not frames:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.concat(frames, ignore_index=True)
 
-    cand = (
-        buckets.groupby("bucket").map_groups(_pairs, batch_format="pandas").to_pandas()
-    )
+    cand = hash_partitioned_map_batches(
+        buckets, ["bucket"], _pairs_block
+    ).to_pandas()
     if "a" not in cand.columns:
         cand = pd.DataFrame(_EMPTY_PAIRS)
     cand = cand.drop_duplicates()
