@@ -291,19 +291,34 @@ def _lsh_candidate_pairs(
     return cand.drop_duplicates().reset_index(drop=True)
 
 
+# Upper bound on candidate pairs the verify step may pull to the driver:
+# each pair contributes two (pair_key, a, b, shingle-array) rows, so the
+# driver frame is ~2 x pairs x shingles-per-doc x 8 B (~80 MB at 20k pairs
+# and 500 shingles) — far under the band-row combine's budget, and the
+# whole pull disappears above the bound.
+_VERIFY_DRIVER_PAIRS_MAX = 20_000
+
+
 def _verify_pairs_distributed(
-    docs: rd.Dataset, cand: pd.DataFrame, *, shingle_k: int
+    docs: rd.Dataset,
+    cand: pd.DataFrame,
+    *,
+    shingle_k: int,
+    driver_threshold: int = _VERIFY_DRIVER_PAIRS_MAX,
 ) -> pd.DataFrame:
     """Exact-Jaccard verify of candidate pairs WITHOUT materializing corpus
     text on the driver.
 
     One map_batches pass over docs emits (pair_key, a, b, shingle array) rows
-    for candidate members only; one hash-shuffle on pair_key co-locates the
-    two shingle sets of every pair, and a single vectorized pass per BLOCK
-    computes exact Jaccard (pair_key cardinality == candidate count, so a
-    per-group callable would pay one Python dispatch per pair). Only
-    candidate docs' shingle arrays shuffle. Returns (a, b, jaccard) for ALL
-    candidate pairs."""
+    for candidate members only. Candidate sets up to driver_threshold pairs
+    pull those rows straight to the driver (bounded by candidate count x
+    shingles-per-doc, never the corpus) and verify in one vectorized pass —
+    no shuffle, so small corpora skip the hash-shuffle's fixed actor-pool
+    cost. Above the threshold, one hash-shuffle on pair_key co-locates the
+    two shingle sets of every pair and the same vectorized pass runs per
+    BLOCK (pair_key cardinality == candidate count, so a per-group callable
+    would pay one Python dispatch per pair); only candidate docs' shingle
+    arrays shuffle. Returns (a, b, jaccard) for ALL candidate pairs."""
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -361,13 +376,15 @@ def _verify_pairs_distributed(
             jac[i] = 1.0 if union == 0 else inter / union
         return pd.DataFrame({"a": a, "b": b, "jaccard": jac})
 
-    out = hash_partitioned_map_batches(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            _emit, batch_format="pandas"
-        ),
-        ["pair_key"],
-        _verify_block,
-    ).to_pandas()
+    emitted = docs.select_columns(["doc_id", "text"]).map_batches(
+        _emit, batch_format="pandas"
+    )
+    if len(cand) <= driver_threshold:
+        out = _verify_block(emitted.to_pandas())
+    else:
+        out = hash_partitioned_map_batches(
+            emitted, ["pair_key"], _verify_block
+        ).to_pandas()
     if "a" not in out.columns:
         out = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -380,10 +397,19 @@ def _label_dataset(
 ) -> rd.Dataset:
     """Union-find over the (tiny) verified pairs; broadcast only the
     NON-IDENTITY labels (sized by the duplicate count, not the corpus) and
-    label with a vectorized map."""
+    label with a vectorized map.
+
+    Labels are canonicalized to each component's MINIMUM member id, so the
+    output is a pure function of the verified-pair graph (independent of
+    union order) — which is what lets the driver gate reproduce dup_group
+    with a SQL connected-components oracle."""
     pair_ids = sorted({i for p in verified_pairs for i in p})
     label = _union_find_labels(pair_ids, verified_pairs)
-    label = {i: r for i, r in label.items() if i != r}
+    root_min: dict = {}
+    for i, r in label.items():
+        if r not in root_min or i < root_min[r]:
+            root_min[r] = i
+    label = {i: root_min[r] for i, r in label.items() if i != root_min[r]}
     label_ref = ray.put(label)
 
     def _label(batch: pd.DataFrame, _ref=label_ref, _c=id_col) -> pd.DataFrame:
@@ -420,7 +446,10 @@ def minhash_lsh_dedup(
         docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
         driver_threshold=driver_threshold, row_hint=row_hint,
     )
-    scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
+    scored = _verify_pairs_distributed(
+        docs, cand, shingle_k=shingle_k,
+        driver_threshold=min(driver_threshold, _VERIFY_DRIVER_PAIRS_MAX),
+    )
     verified = [
         (a, b)
         for a, b, j in zip(scored["a"].tolist(), scored["b"].tolist(), scored["jaccard"])
@@ -575,7 +604,10 @@ def ngram_jaccard_pairs(
             pair_mode="all", driver_threshold=driver_threshold,
             row_hint=row_hint,
         )
-        scored = _verify_pairs_distributed(docs, cand, shingle_k=shingle_k)
+        scored = _verify_pairs_distributed(
+            docs, cand, shingle_k=shingle_k,
+            driver_threshold=min(driver_threshold, _VERIFY_DRIVER_PAIRS_MAX),
+        )
         out = scored[scored["jaccard"] >= threshold]
         return out.sort_values(["a", "b"]).reset_index(drop=True)
 

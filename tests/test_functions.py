@@ -147,8 +147,12 @@ def test_media_features_shape(ray_session):
 
 
 def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
-    """Scale contract: the near-dedup family may bring only PAIR-sized frames
-    to the driver — never corpus text, signatures, or embedding vectors."""
+    """Scale contract: on the forced-distributed path (driver_threshold=0)
+    the near-dedup family may bring only PAIR-sized frames to the driver —
+    never corpus text, signatures, shingle arrays, or embedding vectors.
+    (Under default thresholds the verify step may pull candidate members'
+    shingle rows, bounded by 2 x _VERIFY_DRIVER_PAIRS_MAX pairs — that
+    fast-path contract is asserted separately below.)"""
     heavy = {"text", "sig", "sh", "vec", "embedding", "simhash_full"}
     orig = rd.Dataset.to_pandas
 
@@ -160,7 +164,9 @@ def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
 
     monkeypatch.setattr(rd.Dataset, "to_pandas", guarded)
     docs = rd.from_pandas(_docs_with_dupes())
-    out = minhash_lsh_dedup(docs, jaccard_threshold=0.7).to_pandas()
+    out = minhash_lsh_dedup(
+        docs, jaccard_threshold=0.7, driver_threshold=0
+    ).to_pandas()
     lab = dict(zip(out["doc_id"], out["dup_group"]))
     assert lab[100] == lab[101] == lab[102] == 100
 
@@ -168,7 +174,7 @@ def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
     lab = dict(zip(out["doc_id"], out["dup_group"]))
     assert lab[100] == lab[101]
 
-    pairs = ngram_jaccard_pairs(docs, threshold=0.7)  # default lsh mode
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7, driver_threshold=0)
     assert (100, 101) in {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
 
     rng = np.random.default_rng(0)
@@ -178,6 +184,28 @@ def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
     out = embedding_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
     lab = dict(zip(out["vec_id"], out["dup_group"]))
     assert lab[21] == lab[20] == 20
+
+
+def test_verify_fast_path_pull_is_pair_bounded(ray_session, monkeypatch):
+    """Under default thresholds the exact-Jaccard verify may pull shingle
+    rows to the driver, but never more than 2 rows per candidate pair."""
+    pulled = []
+    orig = rd.Dataset.to_pandas
+
+    def recording(self, *a, **k):
+        df = orig(self, *a, **k)
+        if "sh" in df.columns:
+            pulled.append(len(df))
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", recording)
+    docs = rd.from_pandas(_docs_with_dupes())
+    out = minhash_lsh_dedup(docs, jaccard_threshold=0.7).to_pandas()
+    lab = dict(zip(out["doc_id"], out["dup_group"]))
+    assert lab[100] == lab[101] == lab[102] == 100
+    assert pulled, "expected the driver verify fast path on a tiny corpus"
+    n_pairs = len(_docs_with_dupes()) ** 2  # generous upper bound
+    assert all(n <= 2 * n_pairs for n in pulled)
 
 
 def test_embedding_dedup_recall_vs_bruteforce(ray_session):

@@ -134,6 +134,97 @@ def _compare(name: str, ours: pd.DataFrame, ref: pd.DataFrame) -> None:
     print(f"{name}: ours == reference on all {len(a)} rows (bit-exact)")
 
 
+# ---------------------------------------------------------------------------
+# Determinism pins: the crawl/flagship/media gate queries take NO input from
+# sf_dir (fixed seeded configs), and their outputs are deterministic across
+# fresh Ray sessions and parallelism levels. Pin each output as a golden
+# VALUES oracle AFTER proving that: run the full set in two subprocesses at
+# different num_cpus and require bit-exact equality before writing.
+
+PIN_QUERIES = [
+    "crawl_docs", "crawl_level_table", "flagship_outage_e2e",
+    "media_decode", "media_features", "media_resize", "media_frames",
+]
+
+_PIN_RUNNER = r"""
+import pickle, sys
+import pandas as pd
+import ray
+
+ncpu, out_path = int(sys.argv[1]), sys.argv[2]
+ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as E
+
+qs = E.queries()
+res = {}
+for name in %r:
+    r = qs[name]("/root/testdata/sf0.001")
+    if not isinstance(r, pd.DataFrame):
+        r = r.to_pandas()
+    res[name] = r.reset_index(drop=True)
+with open(out_path, "wb") as f:
+    pickle.dump(res, f)
+ray.shutdown()
+""" % (PIN_QUERIES,)
+
+
+def _col_spec(df: pd.DataFrame) -> dict:
+    """Derive the values_sql typed-cast sets from the frame's dtypes."""
+    spec = {"int_cols": set(), "float_cols": set(), "ts_cols": set(),
+            "bool_cols": set()}
+    for c, dt in df.dtypes.items():
+        if pd.api.types.is_bool_dtype(dt):
+            spec["bool_cols"].add(c)
+        elif pd.api.types.is_integer_dtype(dt):
+            spec["int_cols"].add(c)
+        elif pd.api.types.is_float_dtype(dt):
+            spec["float_cols"].add(c)
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            spec["ts_cols"].add(c)
+    return spec
+
+
+def generate_determinism_pins() -> None:
+    import subprocess
+
+    with tempfile.TemporaryDirectory() as tmp:
+        outs = []
+        for ncpu in (4, 16):
+            path = os.path.join(tmp, f"pin_{ncpu}.pkl")
+            script = os.path.join(tmp, f"run_{ncpu}.py")
+            with open(script, "w") as f:
+                f.write(_PIN_RUNNER)
+            subprocess.run(
+                [sys.executable, script, str(ncpu), path],
+                check=True, cwd="/root/repo",
+            )
+            import pickle
+
+            with open(path, "rb") as f:
+                outs.append(pickle.load(f))
+    for name in PIN_QUERIES:
+        a, b = outs[0][name], outs[1][name]
+        _compare(f"{name} (4 vs 16 cpus)", a, b)
+        spec = _col_spec(a)
+        key = sorted(a.columns)
+        canon = a[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+        sql = values_sql(canon, **spec)
+        with open(os.path.join(OUT_DIR, f"{name}.sql"), "w") as f:
+            f.write(
+                "-- GENERATED by tools/gen_golden_oracles.py "
+                "(generate_determinism_pins):\n"
+                f"-- the fixed seeded gate config's output for {name}, "
+                "proven bit-exact\n"
+                "-- across fresh Ray sessions at num_cpus=4 and 16 before "
+                "pinning.\n" + sql + "\n"
+            )
+        print(f"{name}: pinned {len(canon)} rows")
+
+
 def main() -> None:
     import ray
 
@@ -183,6 +274,7 @@ def main() -> None:
         )
 
     ray.shutdown()
+    generate_determinism_pins()
     print("golden oracles written to", os.path.abspath(OUT_DIR))
 
 
