@@ -48,9 +48,10 @@ def _docs_as_span_table(sf_dir: str):
     span per 'img:' marker-free doc boundary)."""
     import ray.data as rd
 
+    from outage_data_scraper_ray.io import read_parquet_clean
     from outage_data_scraper_ray.schemas import SPAN_STRUCT
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
     def _to_spans(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -85,9 +86,8 @@ def _docs_as_span_table(sf_dir: str):
 def entry() -> Any:
     """Flagship: documents -> interleaved span docs -> explode -> per-kind
     counts joined with text features, on sf0.001."""
-    import ray.data as rd
-
     from outage_data_scraper_ray.functions.text import text_features
+    from outage_data_scraper_ray.io import read_parquet_clean
 
     span_docs = _docs_as_span_table(SF001)
 
@@ -104,7 +104,7 @@ def entry() -> Any:
 
     counts = span_docs.map_batches(_explode, batch_format="pyarrow")
     feats = text_features(
-        rd.read_parquet(os.path.join(SF001, "documents.parquet"))
+        read_parquet_clean(os.path.join(SF001, "documents.parquet"))
     ).select_columns(["doc_id", "token_count", "lang_pred", "quality_score"])
     # distributed hash join (no driver-side merge — the flagship sets the
     # pattern for every downstream join)
@@ -166,11 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         input): level = 0.2 x 1000 customers tracked. The oracle is a real
         gaps-and-islands window query (GANZ_SQL). All arithmetic is integer
         until the single cam division, so values hash bit-exact."""
-        import ray.data as rd
-
+        from outage_data_scraper_ray.io import read_parquet_clean
         from outage_data_scraper_ray.pipelines.sessionize import sessionize
 
-        ev = rd.read_parquet(
+        ev = read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
         )
 
@@ -219,7 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from outage_data_scraper_ray.functions.dedup import minhash_lsh_dedup
 
-        docs = rd.read_parquet(
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
@@ -229,7 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from outage_data_scraper_ray.functions.dedup import simhash_dedup
 
-        docs = rd.read_parquet(
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         out = simhash_dedup(docs).to_pandas()
@@ -251,8 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         import pyarrow.parquet as pq
 
+        from outage_data_scraper_ray.io import read_parquet_clean
+
         path = os.path.join(sf_dir, "embeddings.parquet")
-        emb = rd.read_parquet(path)
+        emb = read_parquet_clean(path)
         # 20-row copy block via one predicate-pushdown read on the driver (a
         # whole-dataset map for a fixed 20-row augmentation is pure overhead)
         copies = pq.read_table(path, filters=[("vec_id", "<", 20)]).to_pandas()
@@ -265,7 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from outage_data_scraper_ray.functions.dedup import ngram_jaccard_pairs
 
-        docs = rd.read_parquet(
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         return ngram_jaccard_pairs(docs, threshold=0.5)
@@ -275,7 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from outage_data_scraper_ray.functions.simsearch import ivf_knn
 
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         queries_m = np.stack([r["embedding"] for r in emb.take(2)])
         return ivf_knn(emb, queries_m, k=5)
 
@@ -287,7 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from outage_data_scraper_ray.functions.text import fingerprints
 
-        docs = rd.read_parquet(
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         return fingerprints(docs)

@@ -26,7 +26,12 @@ import ray.data as rd
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    """Pruned parquet read, footer metadata stripped (io.read_parquet_clean)."""
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,27 @@ import pyarrow as pa
 
 import ray.data as rd
 
+
+def read_parquet_clean(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
+    """read_parquet with the b'pandas' footer metadata stripped at the
+    source. pandas-written parquet carries schema metadata whose dict values
+    make pa.Schema unhashable, so every downstream block merge logs "Failed
+    to hash the schemas" and loses unify_schemas' early exit. One driver
+    footer read builds a metadata-free (projected) schema instead."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(
+        path, schema=sch, columns=columns, override_num_blocks=override_num_blocks
+    )
+
 try:  # pragma: no cover - not installed in this sandbox
     import lance  # noqa: F401
 
