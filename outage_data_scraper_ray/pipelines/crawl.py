@@ -34,6 +34,7 @@ Scale notes:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import sys
@@ -110,11 +111,43 @@ class CrawlConfig:
     seeds_table: pa.Table | None = field(default=None, repr=False)
 
 
+class _EmptyBundleSchemaFilter(logging.Filter):
+    """Suppress ONLY Ray's empty-new-schema divergence warning.
+
+    A map task whose output has zero rows (e.g. a docs batch where no row
+    discovered children) emits a block-less RefBundle whose schema is None;
+    the streaming executor then logs "Operator produced a RefBundle with a
+    different schema ... new schema: ." even though nothing diverged (with
+    enforce_schemas off it keeps the old schema, so there is no behavior
+    change either). Real schema divergences — where the new schema has
+    fields — still log."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        return not (
+            "different schema" in msg and "new schema: ." in msg
+        )
+
+
+_SCHEMA_FILTER_INSTALLED = False
+
+
+def _install_schema_warning_filter() -> None:
+    global _SCHEMA_FILTER_INSTALLED
+    if _SCHEMA_FILTER_INSTALLED:
+        return
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBundleSchemaFilter())
+    _SCHEMA_FILTER_INSTALLED = True
+
+
 class CrawlJob:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
         self.workdir = cfg.workdir
         os.makedirs(self.workdir, exist_ok=True)
+        _install_schema_warning_filter()
         # state actors are bookkeeping, not compute: num_cpus=0 so they never
         # compete with (or deadlock against) the Data execution pool
         self.seen = [
