@@ -191,7 +191,27 @@ class CrawlJob:
             "crawl_key", pa.array(seeds.column("seed_index").to_numpy().astype(np.int64))
         )
         t = t.append_column("canonical_hash", pa.array(np.zeros(n, dtype=np.uint64)))
-        return t.cast(FRONTIER)
+        t = t.cast(FRONTIER)
+        # Frontier-uniqueness invariant, enforced at the SEED boundary: the
+        # epoch machinery (read-only seen filter, politeness accounting)
+        # assumes every epoch frontier is canonical-URL-unique — children and
+        # deferred rows keep it inductively via _dedupe_frontier, but a
+        # user-supplied seeds_table may carry duplicate URLs. Collapse them
+        # to the min-(tier, deadline, crawl_key) row, exactly the rule the
+        # sequential oracle applies (oracle_sim.simulate_crawl) and the one
+        # _dedupe_frontier uses for discovered collisions. Real hashes are
+        # stamped here (add_hash_columns is a pure function — the fetch
+        # chain's re-stamp is a no-op on these rows). The seeds table is
+        # driver-resident by API contract (pa.Table), so a vectorized
+        # driver pass adds no distributed work.
+        t = add_hash_columns(t, salt=self.cfg.hash_salt)
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
+        ).drop_duplicates(subset=["canonical_hash"], keep="first")
+        # schema pin: the pandas round trip must not drift timestamp[ms]->[ns]
+        out = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return out.select(FRONTIER.names).cast(FRONTIER)
 
     def last_complete_epoch(self) -> int:
         e = -1

@@ -709,6 +709,23 @@ def simulate_crawl(
         d["depth"] = 0
         pending.append(d)
 
+    # Frontier-uniqueness invariant at the seed boundary (mirrors
+    # CrawlJob._initial_frontier): duplicate seed URLs collapse to the
+    # min-(tier, deadline, crawl_key) row BEFORE any politeness accounting,
+    # so duplicates neither consume budget nor re-fetch.
+    best: dict[int, tuple[tuple, dict]] = {}
+    for d in pending:
+        h64 = int(
+            pd.util.hash_array(
+                np.array([canonical_url(d["url"])], dtype=object), categorize=False
+            )[0]
+        )
+        k = (d["utility_tier"], d["refresh_deadline"], d["crawl_key"])
+        cur = best.get(h64)
+        if cur is None or k < cur[0]:
+            best[h64] = (k, d)
+    pending = [d for _, d in best.values()]
+
     docs: list[SimDoc] = []
     seen: set[int] = set()
     admitted_log: list[list[str]] = []

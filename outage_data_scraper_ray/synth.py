@@ -93,7 +93,12 @@ def make_seed_registry(n_seeds: int = 285, seed: int = 42) -> pa.Table:
     cell = idx % len(_CELLS)
     states = np.array([c[0] for c in _CELLS])[cell]
     families = np.array([c[1] for c in _CELLS])[cell]
-    slugs = np.char.zfill(idx.astype(str), 5)
+    # np.char.zfill allocates exactly `width` chars and TRUNCATES longer
+    # inputs — at n_seeds > 100_000 a fixed width of 5 would silently
+    # collide idx 100000 with 10000 (duplicate seed URLs). Width follows
+    # the largest index; 5 keeps every historical <=100k URL byte-stable.
+    slug_width = max(5, len(str(max(n_seeds - 1, 0))))
+    slugs = np.char.zfill(idx.astype(str), slug_width)
     urls = np.char.add(
         np.char.add("https://outage.emc", slugs),
         np.char.add(np.char.add(".", states), ".synthgrid.example"),

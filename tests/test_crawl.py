@@ -309,3 +309,56 @@ def test_dedupe_frontier_keeps_min_priority_row(ray_session):
         assert a["utility_tier"] == 0 and a["crawl_key"] == 10
         shutil.rmtree(os.path.join(workdir, "ep-00000", "frontier_raw"),
                       ignore_errors=True)
+
+
+def test_seed_registry_urls_distinct_at_any_scale():
+    """np.char.zfill truncates above its width — the slug width must follow
+    the index digit count or seeds >=100k collide (idx 100000 -> '10000')."""
+    for n in (285, 99_999, 120_000):
+        u = make_seed_registry(n, 42).column("url")
+        assert u.to_pandas().nunique() == n, f"collided URLs at n_seeds={n}"
+    # width stays 5 (byte-stable URLs) for every historical <=100k registry
+    assert (
+        make_seed_registry(285, 42).column("url")[0].as_py()
+        == "https://outage.emc00000.ga.synthgrid.example"
+    )
+
+
+def test_duplicate_seed_urls_match_oracle(ray_session):
+    """Frontier-uniqueness at the seed boundary: a seeds_table carrying the
+    same URL under several priorities collapses to the min-(tier, deadline,
+    crawl_key) row in BOTH the crawl and the sequential oracle — each URL is
+    fetched exactly once, with identical winner rows, order, and seen set."""
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.schemas import SEEDS
+
+    base = make_seed_registry(12, 42).to_pandas()
+    dups = base.iloc[:4].copy()
+    dups["seed_index"] = dups["seed_index"] + 12
+    # two dups OUTRANK their originals (tier 0 < original), two lose (tier 2
+    # >= any original; equal tiers fall through to deadline then crawl_key,
+    # where the original's lower seed_index wins)
+    dups.loc[dups.index[:2], "utility_tier"] = 0
+    dups.loc[dups.index[2:], "utility_tier"] = 2
+    seeds_df = pd.concat([base, dups], ignore_index=True)
+    seeds_tbl = pa.Table.from_pandas(seeds_df, preserve_index=False).cast(SEEDS)
+
+    workdir = "/tmp/odsr_dup_seeds"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, seeds_table=seeds_tbl, max_epochs=8))
+    job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(seeds_df, failure_rate=0.05, **POLITENESS)
+
+    assert docs["url"].is_unique, "a duplicated seed URL was fetched twice"
+    assert job.seen_hashes() == sim.seen_hashes
+    ordered = docs.sort_values(
+        ["epoch", "utility_tier", "refresh_deadline", "crawl_key"]
+    )[["url", "crawl_key"]]
+    assert ordered["url"].tolist() == [d.url for d in sim.docs]
+    # winner identity: the surviving row per duplicated URL is the same one
+    # the oracle kept (crawl_key identifies the seed row)
+    sim_keys = {d.url: d.crawl_key for d in sim.docs}
+    for _, r in docs[docs["url"].isin(set(dups["url"]))].iterrows():
+        assert r["crawl_key"] == sim_keys[r["url"]], r["url"]
