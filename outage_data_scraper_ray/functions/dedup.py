@@ -163,7 +163,7 @@ def _minhash_params(n_perm: int, seed: int = 1337):
     return a, b
 
 
-from functools import lru_cache as _lru_cache
+from functools import lru_cache as _lru_cache, partial as _fpartial
 
 
 @_lru_cache(maxsize=8)
@@ -489,6 +489,48 @@ def _simhash64(text: str) -> np.uint64:
     return np.bitwise_or.reduce(mask) if mask.size else np.uint64(0)
 
 
+def _simhash_pairs_block(block: pd.DataFrame, _maxh: int = 3) -> pd.DataFrame:
+    """Complete candidate enumeration per bucket, fully vectorized.
+
+    A single anchor per bucket is NOT enough at scale: with 2^16 chunk
+    values per band, a 500k-doc corpus packs ~8 unrelated duplicate
+    groups into every bucket, and only the anchor's own group would
+    connect (measured 57% recall at 500k vs 99.9% at 20k). Instead:
+
+    1. equal-hash runs — each doc pairs with the first doc of its
+       (chunk_key, simhash) run. Hamming 0 by construction (no verify);
+       catches every exact/near-identical duplicate group regardless of
+       how many groups share the bucket.
+    2. representative pairs — one row per distinct (chunk_key, simhash)
+       (its min doc_id), all-pairs among representatives within a
+       bucket, Hamming-verified. Distinct hashes per bucket stay small
+       (corpus / 2^16 per band), so the self-merge is tiny.
+
+    Completeness: any pair with Hamming <= max_hamming (<= 3 differing
+    bits across 4 x 16-bit chunks) leaves >= 1 chunk equal by
+    pigeonhole, so the two docs share that band's bucket; their hash
+    representatives pair in (2) and each doc reaches its representative
+    via (1) — union-find connects the full group. Recall is exactly 1
+    for Hamming <= max_hamming when max_hamming < n_bands."""
+    if block.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    block = block.sort_values(["chunk_key", "simhash", "doc_id"], kind="mergesort")
+    rep_id = block.groupby(["chunk_key", "simhash"])["doc_id"].transform("first")
+    member = (block["doc_id"] != rep_id).to_numpy()
+    runs = pd.DataFrame(
+        {"a": rep_id.to_numpy()[member], "b": block["doc_id"].to_numpy()[member]}
+    )
+    reps = block.loc[~member, ["chunk_key", "doc_id", "simhash"]]
+    j = reps.merge(reps, on="chunk_key", suffixes=("_a", "_b"))
+    j = j[j["doc_id_a"] < j["doc_id_b"]]
+    x = j["simhash_a"].to_numpy(dtype=np.uint64) ^ j["simhash_b"].to_numpy(dtype=np.uint64)
+    if len(x):
+        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        j = j[dist <= _maxh]
+    cross = pd.DataFrame({"a": j["doc_id_a"], "b": j["doc_id_b"]})
+    return pd.concat([runs, cross], ignore_index=True)
+
+
 def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets -> candidates + Hamming verify
     in ONE vectorized pass per hash-shuffled block (signatures are co-located
@@ -525,31 +567,10 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             )
         return pd.concat(frames, ignore_index=True)
 
-    def _pairs_verified_block(block: pd.DataFrame, _maxh=max_hamming) -> pd.DataFrame:
-        if block.empty:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        # anchor pairs (min doc_id vs rest of its bucket), all buckets in
-        # this block at once: sort by (chunk_key, doc_id), broadcast each
-        # bucket's first row down the bucket, Hamming-verify vectorized
-        block = block.sort_values(["chunk_key", "doc_id"], kind="mergesort")
-        g = block.groupby("chunk_key")
-        anchor_id = g["doc_id"].transform("first")
-        anchor_sh = g["simhash"].transform("first").to_numpy(dtype=np.uint64)
-        rest = (block["doc_id"] != anchor_id).to_numpy()
-        x = block["simhash"].to_numpy(dtype=np.uint64)[rest] ^ anchor_sh[rest]
-        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = dist <= _maxh
-        return pd.DataFrame(
-            {
-                "a": anchor_id.to_numpy()[rest][keep],
-                "b": block["doc_id"].to_numpy()[rest][keep],
-            }
-        )
-
     verified_pd = hash_partitioned_map_batches(
         sigs.map_batches(_band_rows, batch_format="pandas"),
         ["chunk_key"],
-        _pairs_verified_block,
+        _fpartial(_simhash_pairs_block, _maxh=max_hamming),
     ).to_pandas()
     if "a" not in verified_pd.columns:
         verified_pd = pd.DataFrame(_EMPTY_PAIRS)

@@ -348,3 +348,69 @@ def test_label_map_exact_for_large_int_ids(ray_session):
     assert set(lab) == {big, big + 2, 7}
     assert lab[big] == lab[big + 2] == big
     assert lab[7] == 7
+
+
+def test_simhash_pairs_block_mixed_bucket():
+    """Regression: a bucket holding SEVERAL duplicate groups must connect all
+    of them — the old one-anchor-per-bucket enumeration only connected the
+    anchor's own group (57% recall at 500k docs in the forced rehearsal)."""
+    from outage_data_scraper_ray.functions.dedup import _simhash_pairs_block
+
+    far = np.uint64(0xFFFF_FFFF_FFFF_0000)  # Hamming 48 from 0 outside chunk 0
+    block = pd.DataFrame(
+        {
+            # one bucket (chunk_key 8): groups {1,2} at hash 0, {5,6} at far
+            "chunk_key": [8, 8, 8, 8],
+            "doc_id": [1, 2, 5, 6],
+            "simhash": np.array([0, 0, far, far], dtype=np.uint64),
+        }
+    )
+    pairs = _simhash_pairs_block(block, _maxh=3)
+    keyset = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in keyset
+    assert (5, 6) in keyset, "non-anchor group lost in a mixed bucket"
+    # the far-apart representatives must NOT pair (Hamming 48 > 3)
+    assert (1, 5) not in keyset and (1, 6) not in keyset
+    # cross-hash near pair within the bucket still enumerates + verifies
+    block2 = pd.DataFrame(
+        {
+            "chunk_key": [8, 8, 8],
+            "doc_id": [1, 2, 3],
+            "simhash": np.array([0, 1 << 20, far], dtype=np.uint64),
+        }
+    )
+    pairs2 = _simhash_pairs_block(block2, _maxh=3)
+    assert (1, 2) in {(a, b) for a, b in zip(pairs2["a"], pairs2["b"])}
+
+
+def test_simhash_dedup_matches_bruteforce(ray_session):
+    """Hamming <= max_hamming < n_bands pairs ALWAYS share a 16-bit band
+    bucket (pigeonhole), so the distributed label set must equal a
+    brute-force union-find over the full Hamming<=3 pair graph."""
+    from outage_data_scraper_ray.functions.dedup import (
+        _simhash64,
+        _union_find_labels,
+    )
+
+    rng = np.random.default_rng(11)
+    texts, ids = [], []
+    words = [f"tok{i}" for i in range(400)]
+    for g in range(40):
+        body = " ".join(rng.choice(words, size=24))
+        for r in range(int(rng.integers(1, 4))):  # 1-3 exact copies
+            ids.append(g * 10 + r)
+            texts.append(body)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    out = simhash_dedup(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["dup_group"]))
+
+    sh = {i: _simhash64(t) for i, t in zip(ids, texts)}
+    pairs = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(int(sh[ids[x]]) ^ int(sh[ids[y]])).count("1")
+            if d <= 3:
+                pairs.append((ids[x], ids[y]))
+    want = _union_find_labels(sorted(ids), pairs)
+    assert got == want

@@ -144,6 +144,18 @@ def main() -> None:
 
         corpus = rd.read_parquet(corpus_path, columns=["doc_id", "text"])
 
+        # self-check: ground-truth duplicate count = rows minus distinct
+        # gids (each gid's first doc is the group representative). A wrong
+        # corpus (e.g. colliding doc_ids) shows up here, not as a silent
+        # recall gap — the round-3 seed-URL collision hid exactly this way.
+        import duckdb
+
+        gt = duckdb.sql(
+            f"SELECT COUNT(*) - COUNT(DISTINCT gid) FROM "
+            f"read_parquet('{corpus_path}/*.parquet')"
+        ).fetchone()[0]
+        near["ground_truth_dups"] = int(gt)
+
         def _counts(labeled, id_col):
             # one pass: total rows + rows labeled into another doc's group
             def _cnt(b: pd.DataFrame, _c=id_col) -> pd.DataFrame:
