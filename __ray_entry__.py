@@ -664,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_threshold", "standardize_16col",
         "crawl_docs", "crawl_level_table", "flagship_outage_e2e",
         "media_decode", "media_features", "media_resize", "media_frames",
+        # input-specific determinism pins, generated at the gate's sf0.01:
+        # simhash signatures are pandas SipHash (not SQL-recomputable) and
+        # ivf_knn is approximate by design — both bit-deterministic across
+        # parallelism (content-keyed centroid sampling; 4-vs-16 rehearsal)
+        "simhash_dedup", "ivf_knn",
     ):
         sql = _load_golden(name)
         if sql is not None:

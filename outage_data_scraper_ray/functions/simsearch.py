@@ -61,9 +61,32 @@ def brute_force_knn(
 
 
 def _train_centroids(emb: rd.Dataset, n_centroids: int, seed: int = 7, iters: int = 5) -> np.ndarray:
-    sample = emb.random_sample(
-        min(1.0, max(0.01, (n_centroids * 50) / max(1, emb.count()))), seed=seed
-    ).to_pandas()
+    """Coarse centroids from a CONTENT-KEYED sample: each row is admitted by
+    a splitmix-style hash of its vec_id, so the sample (and therefore the
+    trained centroids, assignments, and final top-k) is a pure function of
+    the data + seed — independent of block layout / parallelism, unlike
+    Dataset.random_sample whose per-block RNG changes with num_blocks. The
+    driver pull is bounded at ~50 rows per centroid."""
+    frac = min(1.0, max(0.01, (n_centroids * 50) / max(1, emb.count())))
+    mod = np.uint64(1) << np.uint64(32)
+    thresh = np.uint64(int(float(mod) * frac))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    sseed = np.uint64(seed)
+
+    def _admit(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["vec_id"].to_numpy().astype(np.uint64)
+        h = (v + sseed) * mix
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return batch[(h % mod) < thresh]
+
+    sample = (
+        emb.map_batches(_admit, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
     m = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]

@@ -14,6 +14,11 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
+# simhash_dedup / ivf_knn carry INPUT-SPECIFIC determinism pins generated at
+# the driver gate's scale (sf0.01) — the mirror must feed them the same input
+# the driver will (the other queries run at sf0.001 purely for test speed).
+SF001 = "/root/testdata/sf0.01"
+SF001_QUERIES = {"simhash_dedup", "ivf_knn"}
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -32,6 +37,16 @@ def con():
     c = duckdb.connect()
     for t in TABLES:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def con001():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF001}/{t}.parquet')"
+        )
     return c
 
 
@@ -73,14 +88,15 @@ def test_every_query_runs(entrymod):
         assert len(res.columns) > 0, name
 
 
-def test_oracle_equality(entrymod, con):
+def test_oracle_equality(entrymod, con, con001):
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
     failures = []
     for name, sql in sqls.items():
-        got = _canon(_to_pandas(qs[name](SF)))
-        want = _canon(con.sql(sql).df())
+        sf, c = (SF001, con001) if name in SF001_QUERIES else (SF, con)
+        got = _canon(_to_pandas(qs[name](sf)))
+        want = _canon(c.sql(sql).df())
         try:
             assert list(got.columns) == list(want.columns), (
                 f"{name}: columns {list(got.columns)} != {list(want.columns)}"

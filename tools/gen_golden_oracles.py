@@ -146,12 +146,26 @@ PIN_QUERIES = [
     "media_decode", "media_features", "media_resize", "media_frames",
 ]
 
+# These two DO read sf_dir, so their pins are generated at the driver gate's
+# scale (sf0.01) and are only valid for that input — the pin header records
+# this. They are the two queries COVERAGE.md carried as rows-only: simhash
+# signatures are pandas SipHash (deterministic, fixed key, but not
+# SQL-recomputable) and ivf_knn is approximate by design (recall < 1, so no
+# exact SQL reformulation exists). Both are bit-deterministic across
+# parallelism now that centroid training samples by a content-keyed hash of
+# vec_id rather than Dataset.random_sample (block-layout-dependent).
+PIN_QUERIES_SF001 = ["simhash_dedup", "ivf_knn"]
+
 _PIN_RUNNER = r"""
 import pickle, sys
 import pandas as pd
 import ray
 
-ncpu, out_path = int(sys.argv[1]), sys.argv[2]
+ncpu, sf_dir, names_json, out_path = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+)
+import json
+names = json.loads(names_json)
 ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
          logging_level="ERROR")
 from ray.data import DataContext
@@ -161,15 +175,15 @@ import __ray_entry__ as E
 
 qs = E.queries()
 res = {}
-for name in %r:
-    r = qs[name]("/root/testdata/sf0.001")
+for name in names:
+    r = qs[name](sf_dir)
     if not isinstance(r, pd.DataFrame):
         r = r.to_pandas()
     res[name] = r.reset_index(drop=True)
 with open(out_path, "wb") as f:
     pickle.dump(res, f)
 ray.shutdown()
-""" % (PIN_QUERIES,)
+"""
 
 
 def _col_spec(df: pd.DataFrame) -> dict:
@@ -188,7 +202,10 @@ def _col_spec(df: pd.DataFrame) -> dict:
     return spec
 
 
-def generate_determinism_pins() -> None:
+def generate_determinism_pins(
+    queries: list[str] = PIN_QUERIES, sf_dir: str = "/root/testdata/sf0.001",
+    header_note: str = "",
+) -> None:
     import subprocess
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -199,14 +216,15 @@ def generate_determinism_pins() -> None:
             with open(script, "w") as f:
                 f.write(_PIN_RUNNER)
             subprocess.run(
-                [sys.executable, script, str(ncpu), path],
+                [sys.executable, script, str(ncpu), sf_dir,
+                 json.dumps(queries), path],
                 check=True, cwd="/root/repo",
             )
             import pickle
 
             with open(path, "rb") as f:
                 outs.append(pickle.load(f))
-    for name in PIN_QUERIES:
+    for name in queries:
         a, b = outs[0][name], outs[1][name]
         _compare(f"{name} (4 vs 16 cpus)", a, b)
         spec = _col_spec(a)
@@ -220,7 +238,7 @@ def generate_determinism_pins() -> None:
                 f"-- the fixed seeded gate config's output for {name}, "
                 "proven bit-exact\n"
                 "-- across fresh Ray sessions at num_cpus=4 and 16 before "
-                "pinning.\n" + sql + "\n"
+                "pinning.\n" + header_note + sql + "\n"
             )
         print(f"{name}: pinned {len(canon)} rows")
 
@@ -275,6 +293,14 @@ def main() -> None:
 
     ray.shutdown()
     generate_determinism_pins()
+    generate_determinism_pins(
+        queries=PIN_QUERIES_SF001,
+        sf_dir="/root/testdata/sf0.01",
+        header_note=(
+            "-- INPUT-SPECIFIC pin: this query reads sf_dir; the pin records\n"
+            "-- its output for the driver gate's input (sf0.01) only.\n"
+        ),
+    )
     print("golden oracles written to", os.path.abspath(OUT_DIR))
 
 
