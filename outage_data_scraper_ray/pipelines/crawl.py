@@ -763,9 +763,24 @@ class CrawlJob:
             # SeenFilterStage is read-only inside retryable tasks; the mark
             # commit is idempotent (add-if-absent), so task replays and
             # resume re-runs of this pass are no-ops, and counters are added
-            # exactly once on the driver.
+            # exactly once on the driver. The commit OVERLAPS the frontier
+            # build below (step 4 never reads the seen set or the fetch
+            # counters); it is joined before the checkpoint — which dumps
+            # the seen actors — and therefore before the next epoch's seen
+            # filter can run.
+            commit_thread = None
+            _commit_err: dict[str, BaseException] = {}
             if os.path.exists(self._docs_path(e)):
-                self._commit_epoch(e)
+                import threading as _threading2
+
+                def _commit_bg(_e=e, _out=_commit_err):
+                    try:
+                        self._commit_epoch(_e)
+                    except BaseException as exc:  # surfaced at join
+                        _out["error"] = exc
+
+                commit_thread = _threading2.Thread(target=_commit_bg, daemon=True)
+                commit_thread.start()
             _t3 = _time.perf_counter()
 
             # 4. next frontier = deferred ∪ discovered children.
@@ -814,9 +829,21 @@ class CrawlJob:
                     bound = total_pending + MAX_CHILDREN_PER_DOC * (
                         self._parquet_num_rows(self._docs_path(e))
                     )
+                    _td0 = _time.perf_counter()
                     nxt = self._dedupe_frontier(nxt, e, bound)
+                    if _dbg:
+                        print(
+                            f"[epoch {e}]   dedupe={_time.perf_counter()-_td0:.2f}s",
+                            file=sys.stderr,
+                        )
             if nxt is not None:
+                _tw0 = _time.perf_counter()
                 nxt.write_parquet(self._frontier_next_path(e))
+                if _dbg:
+                    print(
+                        f"[epoch {e}]   frontier_write={_time.perf_counter()-_tw0:.2f}s",
+                        file=sys.stderr,
+                    )
                 # the staged dedupe's raw copy is consumed by that write
                 shutil.rmtree(
                     os.path.join(self._epoch_dir(e), "frontier_raw"),
@@ -824,7 +851,13 @@ class CrawlJob:
                 )
             _t4 = _time.perf_counter()
 
-            # 5. finalize epoch
+            # 5. finalize epoch. Join the commit BEFORE the checkpoint: the
+            # checkpoint dumps the seen actors, so every mark of this epoch
+            # must have landed for resume to restore a complete seen set.
+            if commit_thread is not None:
+                commit_thread.join()
+                if "error" in _commit_err:
+                    raise _commit_err["error"]
             if robots_thread is not None:
                 robots_thread.join()
                 if "error" in _robots_cnt:
