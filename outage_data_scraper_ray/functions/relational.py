@@ -603,6 +603,80 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
+# corpus prep: the composed training-data pipeline (dedup -> features ->
+# quality gate) as ONE streaming chain
+
+def corpus_prep(sf_dir: str) -> rd.Dataset:
+    """End-to-end LLM-corpus preparation over documents, composed from the
+    individually-oracled stages and kept fully streaming: exact dedup (keep
+    min doc_id per content hash) -> per-actor TextFeatures (compiled
+    regexes, stopword tables) -> the standard quality gate (length, English
+    stopwords, punctuation ratio). Output is one training-manifest row per
+    surviving document. No stage materializes the corpus: dedup moves
+    3 scalars per unique text, features/gate are per-batch maps."""
+    from .dedup import exact_dedup
+    from .text import text_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    feats = text_features(exact_dedup(docs))
+
+    def _gate(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[
+            (b["char_count"] >= 150)
+            & (b["stop_en"] >= 1)
+            & (b["punct_count"] * 20 <= b["char_count"])
+        ]
+        return out[
+            ["doc_id", "text_md5", "n_copies", "lang_pred", "token_count",
+             "quality_score"]
+        ]
+
+    return feats.map_batches(_gate, batch_format="pandas")
+
+
+# the composition of EXACT_DEDUP_SQL + LANG_ID_SQL's feature CTE + the gate;
+# quality_score mirrors the Python float operation order term for term
+# (bit-identical doubles, same contract as LANG_ID_SQL).
+CORPUS_PREP_SQL = r"""
+WITH kept AS (
+    SELECT doc_id, text, md5(text) AS text_md5,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), w AS (
+    SELECT doc_id, text_md5, n_copies,
+        length(COALESCE(text,'')) AS char_count,
+        length(regexp_extract_all(COALESCE(text,''), '[.,!?;:]')) AS punct_count,
+        length(regexp_extract_all(COALESCE(text,''), '\S+')) AS token_count,
+        regexp_extract_all(lower(COALESCE(text,'')), '[a-z'']+') AS ws
+    FROM kept
+), c AS (
+    SELECT doc_id, text_md5, n_copies, char_count, punct_count, token_count,
+        length(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS s_en,
+        length(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+        length(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS s_fr,
+        length(list_filter(ws, x -> x IN ('el','la','los','y','es','un','una','por','para','que'))) AS s_es
+    FROM w
+)
+SELECT doc_id, text_md5, n_copies,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS lang_pred,
+    token_count,
+    (least(char_count, 2000) / 2000.0) * 0.4
+        + (1.0 - least(CASE WHEN char_count > 0
+                            THEN punct_count * 1.0 / char_count ELSE 0.0 END,
+                       0.2) / 0.2) * 0.2
+        + least(s_en * 1.0 / greatest(token_count, 1), 0.5) / 0.5 * 0.4
+        AS quality_score
+FROM c
+WHERE char_count >= 150 AND s_en >= 1 AND punct_count * 20 <= char_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # brute-force cosine top-k with a deterministic query vector
 
 def knn_topk(sf_dir: str) -> pd.DataFrame:
@@ -933,6 +1007,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "epoch_ms_cast": (epoch_ms_cast, EPOCH_SQL),
     "global_props": (global_props, GLOBAL_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "corpus_prep": (corpus_prep, CORPUS_PREP_SQL),
     "token_counts": (token_counts_q, TOKEN_SQL),
     "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_SQL),
     "quality_counts": (quality_counts, QUALITY_SQL),
