@@ -686,14 +686,52 @@ class CrawlJob:
                         mask = pa.array([h in ov for h in t.column("host").to_pylist()])
                         return t.filter(mask)
 
+                    def _prune_mark(df, _ref=budgets_ref):
+                        """Per-block partial admission prune (skew guard):
+                        a row ranked >= budget(host) within its own block
+                        already has budget better rows globally, so it can
+                        NEVER be admitted — it skips the per-host shuffle
+                        entirely. Only contenders (local rank < budget)
+                        reach the exact per-host admit, so the hot-host
+                        group size is bounded by blocks x budget instead of
+                        the host's full pending count (a 10^7-row hot host
+                        with budget 100 shuffles <= blocks x 100 rows)."""
+                        b = ray.get(_ref)
+                        df = df.sort_values(
+                            ["host", "utility_tier", "refresh_deadline", "crawl_key"],
+                            kind="mergesort",
+                        )
+                        rank = df.groupby("host", sort=False).cumcount()
+                        lim = df["host"].map(lambda h: b.get(h, 0)).astype("int64")
+                        df = df.copy()
+                        df["contender"] = (rank < lim).to_numpy()
+                        return df
+
                     live = frontier.map_batches(_robots_filter, batch_format="pyarrow")
                     under_ds = live.map_batches(_mark_under, batch_format="pyarrow")
-                    over_ds = (
-                        live.map_batches(_keep_over, batch_format="pyarrow")
+                    over_src = live.map_batches(
+                        _keep_over, batch_format="pyarrow"
+                    ).map_batches(_prune_mark, batch_format="pandas")
+                    contender_ds = (
+                        over_src.filter(expr="contender")
+                        .drop_columns(["contender"])
                         .groupby("host")
                         .map_groups(_admit, batch_format="pandas")
                     )
-                    under_ds.union(over_ds).write_parquet(gated_path)
+                    pruned_ds = (
+                        over_src.filter(expr="contender == False")
+                        .drop_columns(["contender"])
+                        .map_batches(
+                            lambda t: t.append_column(
+                                "admitted",
+                                pa.array(np.zeros(t.num_rows, dtype=bool)),
+                            ),
+                            batch_format="pyarrow",
+                        )
+                    )
+                    under_ds.union(contender_ds).union(pruned_ds).write_parquet(
+                        gated_path
+                    )
                 admitted_source = (
                     rd.read_parquet(gated_path, override_num_blocks=read_blocks)
                     .filter(expr="admitted")

@@ -362,3 +362,59 @@ def test_duplicate_seed_urls_match_oracle(ray_session):
     sim_keys = {d.url: d.crawl_key for d in sim.docs}
     for _, r in docs[docs["url"].isin(set(dups["url"]))].iterrows():
         assert r["crawl_key"] == sim_keys[r["url"]], r["url"]
+
+
+def test_hot_host_skew_matches_oracle(ray_session):
+    """Skew guard: one hot host holds 40 pending URLs against a per-epoch
+    budget of 5 (pending >> budget — the shape where the per-block partial
+    prune decides admission for almost every row and only contenders reach
+    the per-host shuffle). The engine must still match the sequential
+    oracle's per-epoch admissions, order, and final seen set exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.schemas import SEEDS
+
+    hot = pd.DataFrame(
+        {
+            "url": [f"https://hot.synthgrid.example/p{i:03d}" for i in range(40)],
+            "host": "hot.synthgrid.example",
+            "emc": "HOT EMC",
+            "state": "ga",
+            "layout": "wov",
+            "seed_index": np.arange(40, dtype=np.int32),
+            "utility_tier": (np.arange(40) % 3).astype(np.int32),
+            "refresh_deadline": pd.to_datetime(1_700_000_000_000, unit="ms")
+            + pd.to_timedelta((np.arange(40) * 7) % 11, unit="s"),
+        }
+    )
+    cold = make_seed_registry(6, 7).to_pandas()
+    cold["seed_index"] = (cold["seed_index"] + 40).astype("int32")
+    seeds_df = pd.concat([hot, cold], ignore_index=True)
+    seeds_tbl = pa.Table.from_pandas(seeds_df, preserve_index=False).cast(SEEDS)
+
+    pol = dict(politeness_rate=5.0, politeness_burst=5.0, politeness_dt=1.0)
+    workdir = "/tmp/odsr_hot_host"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, seeds_table=seeds_tbl, max_epochs=20,
+                        failure_rate=0.0, **pol))
+    job.run()
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(seeds_df, failure_rate=0.0, **pol)
+
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want: dict[int, set] = {}
+    seen: set = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+    assert job.seen_hashes() == sim.seen_hashes
+    # hot-host admissions are budget-bounded every epoch
+    hot_per_epoch = docs[
+        docs["url"].str.startswith("https://hot.synthgrid.example/")
+    ].groupby("epoch").size()
+    assert (hot_per_epoch <= 5).all()
+    assert hot_per_epoch.sum() == 40
