@@ -90,23 +90,19 @@ def exact_dedup(
         )
         # ids stay in their native type (string doc_ids from the crawl, int
         # ids from the testdata) — .tolist() yields plain Python values that
-        # hash-match the batch values on lookup
-        info = {
-            i: (m, int(n))
-            for m, i, n in zip(
-                keep_pd["text_md5"].tolist(),
-                keep_pd["keep_id"].tolist(),
-                keep_pd["n_copies"].tolist(),
-            )
-        }
-        info_ref = ray.put(info)
+        # hash-match the batch values on lookup. Two flat dicts so the
+        # filter below is a pair of C-speed Series.map calls, not a Python
+        # loop over rows.
+        ids = keep_pd["keep_id"].tolist()
+        md5_by_id = dict(zip(ids, keep_pd["text_md5"].tolist()))
+        n_by_id = dict(zip(ids, (int(n) for n in keep_pd["n_copies"].tolist())))
+        info_ref = ray.put((md5_by_id, n_by_id))
 
         def _filter(batch: pd.DataFrame, _ref=info_ref) -> pd.DataFrame:
-            m = ray.get(_ref)
-            hit = batch[batch[id_col].isin(m.keys())].copy()
-            pairs = [m[i] for i in hit[id_col].tolist()]
-            hit["text_md5"] = [p[0] for p in pairs]
-            hit["n_copies"] = [p[1] for p in pairs]
+            md5s, ns = ray.get(_ref)
+            hit = batch[batch[id_col].isin(md5s.keys())].copy()
+            hit["text_md5"] = hit[id_col].map(md5s)
+            hit["n_copies"] = hit[id_col].map(ns).astype("int64")
             return hit
 
         return docs.map_batches(_filter, batch_format="pandas")

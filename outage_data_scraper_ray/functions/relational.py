@@ -46,36 +46,40 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
     )
     cutoff = pd.Timestamp("1998-09-01")
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["l_shipdate"] <= cutoff]
-        if not len(b):
-            return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "qty_c", "price_c",
-                         "disc_price_c", "n"]
-            )
-        # disc_price in integer e4 units: price_cents * (100 - disc_pct).
-        # Rounding price*(1-disc)*100 directly lands on .5-cent boundaries
-        # where numpy (half-even) and DuckDB ROUND (half-away) disagree;
-        # pure-integer arithmetic has no boundary at all.
-        price_c = np.rint(b["l_extendedprice"] * 100).astype("int64")
-        disc_pct = np.rint(b["l_discount"] * 100).astype("int64")
-        b = b.assign(
-            qty_c=np.rint(b["l_quantity"] * 100).astype("int64"),
-            price_c=price_c,
-            disc_price_c=price_c * (100 - disc_pct),
+    def _partial(t: pa.Table) -> pa.Table:
+        """Zero-copy arrow partial: filter + integer-e4 units + group_by,
+        all pyarrow.compute kernels (a pandas version of this batch body
+        costs ~2x the bare-read wall time at sf0.1 just in conversions).
+        disc_price in integer e4 units: price_cents * (100 - disc_pct).
+        Rounding price*(1-disc)*100 directly lands on .5-cent boundaries
+        where half-even (numpy/arrow) and DuckDB ROUND (half-away)
+        disagree; pure-integer arithmetic has no boundary at all. The
+        float64 multiplies here are bit-identical to the previous pandas
+        body, so the half-even rounding agrees term for term."""
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        rnd = dict(round_mode="half_to_even")
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), **rnd), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0), **rnd), pa.int64())
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0), **rnd), pa.int64())
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_price_c": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)),
+            }
         )
-        g = (
-            b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                qty_c=("qty_c", "sum"),
-                price_c=("price_c", "sum"),
-                disc_price_c=("disc_price_c", "sum"),
-                n=("qty_c", "size"),
-            )
+        g = tb.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_price_c", "sum"),
+             ("qty_c", "count")]
         )
-        return g
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c",
+             "disc_price_c", "n"]
+        )
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
     # 6-group key: partials are O(n_blocks x 6) rows — combine on the driver
     # (integer sums commute, so order is irrelevant to exactness) instead of
     # paying a hash-shuffle aggregate for a handful of groups
