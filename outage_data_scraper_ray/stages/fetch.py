@@ -22,7 +22,7 @@ from ..kernels import KERNELS
 from ..kernels.common import SCRAPE_TS_FORMAT
 from ..schemas import SPAN_STRUCT
 from ..state.cuckoo import shard_of
-from ..synth import SyntheticWeb, canonical_url, host_of
+from ..synth import SyntheticWeb, canonical_url, canonical_urls, host_of
 
 # virtual scrape timestamp injected for determinism (reference stamps
 # wall-clock at parse time, util.py:92-93)
@@ -32,10 +32,12 @@ VIRTUAL_SCRAPE_TS = "10-05-2023 08:00:00"
 def add_hash_columns(batch: pa.Table, salt: str = "") -> pa.Table:
     """canonical_hash = 64-bit siphash of the canonicalized URL (+ optional
     poll-round salt so each refresh round has its own seen-space).
-    Vectorized via pandas' C hash (deterministic across processes)."""
-    urls = batch.column("url").to_pylist()
-    canon = np.array([canonical_url(u) + salt for u in urls], dtype=object)
-    hashes = pd.util.hash_array(canon, categorize=False)
+    Vectorized end to end: regex-extract canonicalization + pandas' C hash
+    (deterministic across processes) — no Python call per URL."""
+    canon = canonical_urls(batch.column("url").to_pandas())
+    if salt:
+        canon = canon + salt
+    hashes = pd.util.hash_array(canon.to_numpy(dtype=object), categorize=False)
     out = batch
     if "canonical_hash" in batch.column_names:
         out = out.drop_columns(["canonical_hash"])

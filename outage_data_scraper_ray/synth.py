@@ -36,13 +36,36 @@ def hash64(s: str) -> int:
 
 
 def canonical_url(url: str) -> str:
-    """Canonicalize: lowercase scheme+host, strip trailing slash + fragment."""
+    """Canonicalize: lowercase scheme+host, strip trailing slash + fragment.
+    Scalar reference implementation — the crawl's hot paths use the
+    vectorized ``canonical_urls`` below (equivalence property-tested)."""
     url = url.split("#", 1)[0]
     if "://" in url:
         scheme, rest = url.split("://", 1)
         host, _, path = rest.partition("/")
         url = scheme.lower() + "://" + host.lower() + ("/" + path if path else "")
     return url.rstrip("/")
+
+
+# non-greedy scheme = everything before the FIRST "://" (matches the scalar
+# split); host = up to the next "/"; path = the rest including its slash
+_CANON_RE = r"^(.*?)://([^/]*)(.*)$"
+
+
+def canonical_urls(urls) -> "pd.Series":
+    """Vectorized canonical_url over a sequence: one C-speed regex extract +
+    string kernels instead of a Python call per URL (the crawl stamps every
+    frontier/children row, so this sits on the widest pass of each epoch)."""
+    import pandas as pd
+
+    s = pd.Series(urls, dtype=object).str.split("#", n=1).str[0]
+    m = s.str.contains("://", regex=False)
+    if bool(m.any()):
+        ex = s[m].str.extract(_CANON_RE, expand=True)
+        canon = ex[0].str.lower() + "://" + ex[1].str.lower() + ex[2]
+        s = s.copy()
+        s[m] = canon
+    return s.str.rstrip("/")
 
 
 def host_of(url: str) -> str:

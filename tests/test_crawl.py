@@ -418,3 +418,37 @@ def test_hot_host_skew_matches_oracle(ray_session):
     ].groupby("epoch").size()
     assert (hot_per_epoch <= 5).all()
     assert hot_per_epoch.sum() == 40
+
+
+def test_canonical_urls_matches_scalar():
+    """The vectorized canonicalizer (synth.canonical_urls, used by
+    add_hash_columns on the widest pass of every epoch) must agree with the
+    scalar reference implementation on every URL shape the crawl can see."""
+    from hypothesis import given, settings, strategies as st
+
+    from outage_data_scraper_ray.synth import canonical_url, canonical_urls
+
+    fixed = [
+        "https://Hot.SynthGrid.example/path/A/",
+        "http://a.example/p?q=1#frag",
+        "no-scheme/path/",
+        "HTTPS://X.Y/",
+        "https://h.example",
+        "",
+        "://weird",
+        "https://h.example/a://b/c#f#g",
+        "ftp://MIXED.Case/Path/No/Slash",
+    ]
+    got = canonical_urls(fixed).tolist()
+    assert got == [canonical_url(u) for u in fixed]
+
+    url_chars = st.text(
+        alphabet="abcXYZ019/:#?.-_", min_size=0, max_size=40
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(url_chars, min_size=1, max_size=8))
+    def inner(urls):
+        assert canonical_urls(urls).tolist() == [canonical_url(u) for u in urls]
+
+    inner()
