@@ -370,16 +370,15 @@ class CrawlJob:
             t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
             return rd.from_arrow(t.select(FRONTIER.names).cast(FRONTIER))
 
-        raw = os.path.join(self._epoch_dir(e), "frontier_raw")
-        nxt.write_parquet(raw)
-        if not os.path.isdir(raw):  # an empty dataset writes no dir at all
-            return nxt
-
         # canonical_hash is nearly unique (URLs mostly distinct), so a
         # groupby().map_groups here would pay one Python call per ROW — the
         # degenerate case at 10^10-frontier scale. Instead: ONE hash-shuffle
         # co-locates equal hashes per block, then one vectorized
-        # sort+drop_duplicates per block (O(blocks) Python calls).
+        # sort+drop_duplicates per block (O(blocks) Python calls). The
+        # shuffle consumes the deferred∪children lineage DIRECTLY — staging
+        # it through an intermediate parquet (the first cut) cost a full
+        # extra write+read of the candidate frontier per epoch, and the
+        # lineage is all cheap pruned parquet reads + vectorized filters.
         def _keep_min_per_hash(df):
             out = df.sort_values(
                 ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"],
@@ -393,7 +392,91 @@ class CrawlJob:
             return t.select(FRONTIER.names).cast(FRONTIER)
 
         return hash_partitioned_map_batches(
-            rd.read_parquet(raw), ["canonical_hash"], _keep_min_per_hash
+            nxt, ["canonical_hash"], _keep_min_per_hash
+        )
+
+    _PRIORITY = ["utility_tier", "refresh_deadline", "crawl_key"]
+
+    @classmethod
+    def _merge_children_broadcast(
+        cls,
+        deferred: "rd.Dataset",
+        defer_keys: "rd.Dataset",
+        children: "rd.Dataset",
+    ) -> "rd.Dataset":
+        """Next-frontier merge for the small-discovery regime: deferred rows
+        are URL-unique by induction (a subset of this epoch's frontier), so
+        the ONLY possible collisions are children-vs-children and
+        children-vs-deferred. When the children side is a-priori driver-
+        bounded (MAX_CHILDREN_PER_DOC x fetched(e) <= frontier_driver_
+        threshold), resolving those collisions needs NO all-to-all shuffle
+        of the (possibly enormous) deferred mass:
+
+        1. pull + self-dedupe the children on the driver (bounded),
+        2. one pruned 4-column scan of the deferred keys collects the rows
+           whose hash collides with a child (output sized by the collision
+           count, not the frontier),
+        3. the driver resolves each collision by the same min-(tier,
+           deadline, crawl_key) rule the shuffle path's keep-first sort
+           applies — ties go to the deferred row, matching the
+           deferred-before-children union order there,
+        4. the deferred stream passes through with only the losing hashes
+           filtered (broadcast via ray.put), unioned with the surviving
+           children.
+
+        The deferred rows stream straight to the frontier write — the
+        hash-shuffle fallback in _dedupe_frontier remains the path for
+        epochs whose discovery is itself beyond driver bounds."""
+        kids = children.to_pandas()
+        if not len(kids):
+            return deferred
+        kids = kids.sort_values(
+            ["canonical_hash", *cls._PRIORITY], kind="mergesort"
+        ).drop_duplicates(subset=["canonical_hash"], keep="first")
+        kid_hashes = ray.put(kids["canonical_hash"].to_numpy())
+
+        def _collide(df, _r=kid_hashes):
+            m = np.isin(df["canonical_hash"].to_numpy(), ray.get(_r))
+            return df[m]
+
+        coll = defer_keys.map_batches(_collide, batch_format="pandas").to_pandas()
+        if len(coll):
+            m = coll.merge(
+                kids[["canonical_hash", *cls._PRIORITY]],
+                on="canonical_hash",
+                suffixes=("_d", "_k"),
+            )
+            tk, td = m["utility_tier_k"].to_numpy(), m["utility_tier_d"].to_numpy()
+            dk, dd = (
+                m["refresh_deadline_k"].to_numpy(),
+                m["refresh_deadline_d"].to_numpy(),
+            )
+            kk, kd = m["crawl_key_k"].to_numpy(), m["crawl_key_d"].to_numpy()
+            kid_wins = (tk < td) | (
+                (tk == td) & ((dk < dd) | ((dk == dd) & (kk < kd)))
+            )
+            kids = kids[
+                ~kids["canonical_hash"].isin(m.loc[~kid_wins, "canonical_hash"])
+            ]
+            def_losers = m.loc[kid_wins, "canonical_hash"].to_numpy()
+            if def_losers.size:
+                losers_ref = ray.put(def_losers)
+
+                def _drop_losers(t, _r=losers_ref):
+                    keep = ~np.isin(
+                        t.column("canonical_hash").to_numpy(), ray.get(_r)
+                    )
+                    return t.filter(pa.array(keep))
+
+                deferred = deferred.map_batches(
+                    _drop_losers, batch_format="pyarrow"
+                )
+        if not len(kids):
+            return deferred
+        # same schema pin as the driver dedupe path (no [ms] -> [ns] drift)
+        kt = pa.Table.from_pandas(kids.reset_index(drop=True), preserve_index=False)
+        return deferred.union(
+            rd.from_arrow(kt.select(FRONTIER.names).cast(FRONTIER))
         )
 
     @staticmethod
@@ -581,9 +664,15 @@ class CrawlJob:
                         )
                     )
 
+                _tg0 = _time.perf_counter()
                 partial_counts = frontier.map_batches(
                     _host_counts, batch_format="pyarrow"
                 ).to_pandas()
+                if _dbg:
+                    print(
+                        f"[epoch {e}]   gate.counts={_time.perf_counter()-_tg0:.2f}s",
+                        file=sys.stderr,
+                    )
                 prio = (
                     partial_counts.sort_values(
                         ["utility_tier", "refresh_deadline", "crawl_key"],
@@ -654,6 +743,7 @@ class CrawlJob:
                 # skewed/hot ones — pay the groupby(host) rank.
                 over = {h for h in hosts if pending_n[h] > budgets.get(h, 0)}
                 gated_path = os.path.join(self._epoch_dir(e), "gated")
+                contender_path = os.path.join(self._epoch_dir(e), "gated_contender")
                 if not over:
                     frontier.map_batches(
                         _robots_filter, batch_format="pyarrow"
@@ -663,6 +753,11 @@ class CrawlJob:
                         ),
                         batch_format="pyarrow",
                     ).write_parquet(gated_path)
+                    admitted_source = (
+                        rd.read_parquet(gated_path, override_num_blocks=read_blocks)
+                        .filter(expr="admitted")
+                        .drop_columns(["admitted"])
+                    )
                 else:
                     budgets_ref = ray.put(budgets)
                     over_ref = ray.put(over)
@@ -670,73 +765,137 @@ class CrawlJob:
                     def _admit(g, _ref=budgets_ref):
                         return admit_group(g, budgets=ray.get(_ref))
 
-                    def _mark_under(t, _over=over_ref):
-                        ov = ray.get(_over)
+                    def _tag(t, _s=_seed, _o=over_ref, _b=budgets_ref):
+                        """ONE tagged pass over the frontier: robots filter +
+                        admission marks in a single stream. (The previous
+                        3-way under/contender/pruned union re-executed the
+                        frontier read and robots filter once per branch —
+                        the whole gate cost ~3 full frontier passes.)
+                        - under-budget hosts: admitted outright, no shuffle;
+                        - over-budget (hot) hosts: per-block partial prune
+                          (skew guard) — a row locally ranked >= budget(host)
+                          already has budget better rows in its OWN block, so
+                          it can never be admitted globally: admitted=False,
+                          skips the shuffle. Local winners are contenders;
+                          only they (<= blocks x budget per hot host) reach
+                          the exact per-host admission shuffle below."""
+                        t = _robots_filter(t, _s)
+                        ov = ray.get(_o)
                         sel = t.column("host").to_pandas().isin(ov).to_numpy()
-                        ft = t.filter(pa.array(~sel))
-                        return ft.append_column(
-                            "admitted", pa.array(np.ones(ft.num_rows, dtype=bool))
-                        )
+                        contender = np.zeros(t.num_rows, dtype=bool)
+                        if sel.any():
+                            b = ray.get(_b)
+                            d = (
+                                t.select(
+                                    ["host", "utility_tier",
+                                     "refresh_deadline", "crawl_key"]
+                                )
+                                .to_pandas()[sel]
+                                .sort_values(
+                                    ["host", "utility_tier",
+                                     "refresh_deadline", "crawl_key"],
+                                    kind="mergesort",
+                                )
+                            )
+                            rank = d.groupby("host", sort=False).cumcount()
+                            lim = d["host"].map(b).fillna(0).astype("int64")
+                            contender[d.index[(rank < lim).to_numpy()]] = True
+                        return t.append_column(
+                            "admitted", pa.array(~sel)
+                        ).append_column("contender", pa.array(contender))
 
-                    def _keep_over(t, _over=over_ref):
-                        ov = ray.get(_over)
-                        sel = t.column("host").to_pandas().isin(ov).to_numpy()
-                        return t.filter(pa.array(sel))
-
-                    def _prune_mark(df, _ref=budgets_ref):
-                        """Per-block partial admission prune (skew guard):
-                        a row ranked >= budget(host) within its own block
-                        already has budget better rows globally, so it can
-                        NEVER be admitted — it skips the per-host shuffle
-                        entirely. Only contenders (local rank < budget)
-                        reach the exact per-host admit, so the hot-host
-                        group size is bounded by blocks x budget instead of
-                        the host's full pending count (a 10^7-row hot host
-                        with budget 100 shuffles <= blocks x 100 rows)."""
-                        b = ray.get(_ref)
-                        df = df.sort_values(
-                            ["host", "utility_tier", "refresh_deadline", "crawl_key"],
-                            kind="mergesort",
-                        )
-                        rank = df.groupby("host", sort=False).cumcount()
-                        # Series.map(dict) is a C-speed hash join; hosts
-                        # outside the budget map (shouldn't happen for the
-                        # over-set) default to 0 admitted
-                        lim = df["host"].map(b).fillna(0).astype("int64")
-                        df = df.copy()
-                        df["contender"] = (rank < lim).to_numpy()
-                        return df
-
-                    live = frontier.map_batches(_robots_filter, batch_format="pyarrow")
-                    under_ds = live.map_batches(_mark_under, batch_format="pyarrow")
-                    over_src = live.map_batches(
-                        _keep_over, batch_format="pyarrow"
-                    ).map_batches(_prune_mark, batch_format="pandas")
-                    contender_ds = (
-                        over_src.filter(expr="contender")
-                        .drop_columns(["contender"])
-                        .groupby("host")
-                        .map_groups(_admit, batch_format="pandas")
-                    )
-                    pruned_ds = (
-                        over_src.filter(expr="contender == False")
-                        .drop_columns(["contender"])
-                        .map_batches(
-                            lambda t: t.append_column(
-                                "admitted",
-                                pa.array(np.zeros(t.num_rows, dtype=bool)),
-                            ),
-                            batch_format="pyarrow",
-                        )
-                    )
-                    under_ds.union(contender_ds).union(pruned_ds).write_parquet(
+                    _tg1 = _time.perf_counter()
+                    frontier.map_batches(_tag, batch_format="pyarrow").write_parquet(
                         gated_path
                     )
-                admitted_source = (
-                    rd.read_parquet(gated_path, override_num_blocks=read_blocks)
-                    .filter(expr="admitted")
-                    .drop_columns(["admitted"])
-                )
+                    if _dbg:
+                        print(
+                            f"[epoch {e}]   gate.tag_write="
+                            f"{_time.perf_counter()-_tg1:.2f}s",
+                            file=sys.stderr,
+                        )
+                    _tg2 = _time.perf_counter()
+                    # a contender exists iff some over host has budget > 0
+                    # (its first-ranked row in some block wins locally), so
+                    # the driver can skip the whole shuffle stage without
+                    # reading anything when every hot host is budget-0
+                    over_budget_sum = sum(budgets.get(h, 0) for h in over)
+                    if over_budget_sum > 0:
+                        # contender volume is a-priori bounded: each block
+                        # contributes <= budget(h) contenders per hot host,
+                        # so total <= read_blocks x sum(over budgets)
+                        contender_bound = read_blocks * over_budget_sum
+                        if contender_bound <= cfg.frontier_driver_threshold:
+                            # driver admit (no shuffle): pull only the
+                            # contender rows (pushdown scan, sized by the
+                            # bound, NOT the frontier) and run the same
+                            # vectorized rank-vs-budget over all hot hosts
+                            cont = (
+                                rd.read_parquet(
+                                    gated_path, filter=pc.field("contender")
+                                )
+                                .drop_columns(["contender", "admitted"])
+                                .to_pandas()
+                            )
+                            cont = cont.sort_values(
+                                ["host", "utility_tier",
+                                 "refresh_deadline", "crawl_key"],
+                                kind="mergesort",
+                            )
+                            crank = cont.groupby("host", sort=False).cumcount()
+                            clim = (
+                                cont["host"].map(budgets).fillna(0).astype("int64")
+                            )
+                            cont["admitted"] = (crank < clim).to_numpy()
+                            ct = pa.Table.from_pandas(
+                                cont.reset_index(drop=True), preserve_index=False
+                            )
+                            gated_schema = pa.schema(
+                                list(FRONTIER) + [pa.field("admitted", pa.bool_())]
+                            )
+                            os.makedirs(contender_path, exist_ok=True)
+                            pq.write_table(
+                                ct.select(gated_schema.names).cast(gated_schema),
+                                os.path.join(contender_path, "driver-0.parquet"),
+                            )
+                        else:
+                            (
+                                # filter pushed into the arrow fragment scan:
+                                # non-contender rows (the vast majority)
+                                # never become blocks at all
+                                rd.read_parquet(
+                                    gated_path, filter=pc.field("contender")
+                                )
+                                .drop_columns(["contender", "admitted"])
+                                .groupby("host")
+                                .map_groups(_admit, batch_format="pandas")
+                                .map_batches(
+                                    # strip the b'pandas' footer the
+                                    # map_groups round trip adds (unhashable
+                                    # schema kills unify_schemas' early exit
+                                    # downstream)
+                                    lambda t: t.replace_schema_metadata(None),
+                                    batch_format="pyarrow",
+                                )
+                                .write_parquet(contender_path)
+                            )
+                    if _dbg:
+                        print(
+                            f"[epoch {e}]   gate.contender="
+                            f"{_time.perf_counter()-_tg2:.2f}s",
+                            file=sys.stderr,
+                        )
+                    admitted_source = rd.read_parquet(
+                        gated_path,
+                        override_num_blocks=read_blocks,
+                        filter=pc.field("admitted"),
+                    ).drop_columns(["admitted", "contender"])
+                    if self._parquet_num_rows(contender_path):
+                        admitted_source = admitted_source.union(
+                            rd.read_parquet(
+                                contender_path, filter=pc.field("admitted")
+                            ).drop_columns(["admitted"])
+                        )
                 _t2 = _time.perf_counter()
 
             # 3. admitted -> seen-filter -> fetch+parse -> docs(e).
@@ -828,11 +987,18 @@ class CrawlJob:
             # — skip the gated re-read entirely.
             nxt = None
             if over:
-                nxt = (
-                    rd.read_parquet(gated_path)
-                    .filter(expr="admitted == False")
-                    .drop_columns(["admitted"])
-                )
+                # deferred = gated rows that are neither admitted nor
+                # contenders, plus contenders the exact admission rejected
+                nxt = rd.read_parquet(
+                    gated_path,
+                    filter=~pc.field("admitted") & ~pc.field("contender"),
+                ).drop_columns(["admitted", "contender"])
+                if self._parquet_num_rows(contender_path):
+                    nxt = nxt.union(
+                        rd.read_parquet(
+                            contender_path, filter=~pc.field("admitted")
+                        ).drop_columns(["admitted"])
+                    )
             if os.path.exists(self._docs_path(e)):
                 # an epoch that admitted nothing writes no docs dir at all
                 children = rd.read_parquet(
@@ -853,19 +1019,51 @@ class CrawlJob:
                 # child-discovery stamp) and the gated round trip preserves
                 # the column — measured 24s -> 2s on the 500k-deferred
                 # hot-host rehearsal
-                nxt = children if nxt is None else nxt.union(children)
-                if cfg.dedupe_frontier:
+                if not cfg.dedupe_frontier:
+                    nxt = children if nxt is None else nxt.union(children)
+                else:
                     # discovery can introduce the same URL from two parents
                     # (or collide with a deferred row); keep the row the
                     # sequential oracle would serve first. Inductively the
                     # frontier stays URL-unique, which is what lets the seen
                     # filter be read-only within an epoch.
                     # deferred <= pending; children <= fan-out x epoch docs
-                    bound = total_pending + MAX_CHILDREN_PER_DOC * (
-                        self._parquet_num_rows(self._docs_path(e))
+                    child_bound = MAX_CHILDREN_PER_DOC * self._parquet_num_rows(
+                        self._docs_path(e)
                     )
+                    bound = total_pending + child_bound
                     _td0 = _time.perf_counter()
-                    nxt = self._dedupe_frontier(nxt, e, bound)
+                    if (
+                        nxt is not None
+                        and bound > cfg.frontier_driver_threshold
+                        and child_bound <= cfg.frontier_driver_threshold
+                    ):
+                        # small-discovery regime: resolve collisions against
+                        # a driver-bounded children set; the deferred mass
+                        # streams to the write with NO all-to-all shuffle
+                        defer_keys = rd.read_parquet(
+                            gated_path,
+                            columns=["canonical_hash", *self._PRIORITY],
+                            filter=~pc.field("admitted") & ~pc.field("contender"),
+                        )
+                        if self._parquet_num_rows(contender_path):
+                            defer_keys = defer_keys.union(
+                                rd.read_parquet(
+                                    contender_path,
+                                    columns=["canonical_hash", *self._PRIORITY],
+                                    filter=~pc.field("admitted"),
+                                )
+                            )
+                        nxt = self._merge_children_broadcast(
+                            nxt, defer_keys, children
+                        )
+                    elif nxt is None:
+                        # children-only epoch: the bound is the child bound
+                        nxt = self._dedupe_frontier(children, e, child_bound)
+                    else:
+                        nxt = self._dedupe_frontier(
+                            nxt.union(children), e, bound
+                        )
                     if _dbg:
                         print(
                             f"[epoch {e}]   dedupe={_time.perf_counter()-_td0:.2f}s",
@@ -879,11 +1077,6 @@ class CrawlJob:
                         f"[epoch {e}]   frontier_write={_time.perf_counter()-_tw0:.2f}s",
                         file=sys.stderr,
                     )
-                # the staged dedupe's raw copy is consumed by that write
-                shutil.rmtree(
-                    os.path.join(self._epoch_dir(e), "frontier_raw"),
-                    ignore_errors=True,
-                )
             _t4 = _time.perf_counter()
 
             # 5. finalize epoch. Join the commit BEFORE the checkpoint: the

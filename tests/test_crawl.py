@@ -364,12 +364,16 @@ def test_duplicate_seed_urls_match_oracle(ray_session):
         assert r["crawl_key"] == sim_keys[r["url"]], r["url"]
 
 
-def test_hot_host_skew_matches_oracle(ray_session):
+@pytest.mark.parametrize("frontier_driver_threshold", [500_000, 0])
+def test_hot_host_skew_matches_oracle(ray_session, frontier_driver_threshold):
     """Skew guard: one hot host holds 40 pending URLs against a per-epoch
     budget of 5 (pending >> budget — the shape where the per-block partial
     prune decides admission for almost every row and only contenders reach
     the per-host shuffle). The engine must still match the sequential
-    oracle's per-epoch admissions, order, and final seen set exactly."""
+    oracle's per-epoch admissions, order, and final seen set exactly.
+    threshold=0 forces the distributed contender admission AND the
+    hash-shuffled frontier dedupe (the branches that run at 10^10 scale);
+    the default forces the driver-bounded paths."""
     import numpy as np
     import pyarrow as pa
 
@@ -397,7 +401,9 @@ def test_hot_host_skew_matches_oracle(ray_session):
     workdir = "/tmp/odsr_hot_host"
     shutil.rmtree(workdir, ignore_errors=True)
     job = CrawlJob(_cfg(workdir, seeds_table=seeds_tbl, max_epochs=20,
-                        failure_rate=0.0, **pol))
+                        failure_rate=0.0,
+                        frontier_driver_threshold=frontier_driver_threshold,
+                        **pol))
     job.run()
     docs = job.docs_dataset().to_pandas()
     sim = simulate_crawl(seeds_df, failure_rate=0.0, **pol)
@@ -452,3 +458,82 @@ def test_canonical_urls_matches_scalar():
         assert canonical_urls(urls).tolist() == [canonical_url(u) for u in urls]
 
     inner()
+
+
+def test_merge_children_broadcast_matches_shuffle_dedupe(ray_session):
+    """The small-discovery merge (_merge_children_broadcast: driver-bounded
+    children + pruned key scan, NO shuffle of the deferred mass) must
+    produce exactly the rows the shuffle dedupe would: per canonical_hash
+    keep the min-(tier, deadline, crawl_key) row, ties to the deferred
+    side. Engineered collisions: child-beats-deferred, deferred-beats-child,
+    exact tie, child-vs-child dup, plus non-colliding rows on both sides."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from outage_data_scraper_ray.pipelines.crawl import CrawlJob
+    from outage_data_scraper_ray.schemas import FRONTIER
+
+    def mk(rows):
+        df = pd.DataFrame(rows)
+        df["refresh_deadline"] = pd.to_datetime(df["refresh_deadline"], unit="ms")
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.select(FRONTIER.names).cast(FRONTIER)
+
+    def row(url, h, tier, dl, key):
+        return dict(
+            url=url, host="h.example", emc="E", state="ga", layout="wov",
+            seed_index=0, utility_tier=tier, refresh_deadline=dl,
+            depth=0, parent_doc_id="", crawl_key=key,
+            canonical_hash=np.uint64(h),
+        )
+
+    deferred_rows = [
+        row("https://h.example/a", 1, 1, 1000, 10),   # loses to child (tier)
+        row("https://h.example/b", 2, 1, 1000, 10),   # beats child (deadline)
+        row("https://h.example/c", 3, 2, 2000, 30),   # exact tie -> deferred wins
+        row("https://h.example/d", 4, 0, 500, 5),     # no collision
+    ]
+    children_rows = [
+        row("https://h.example/a", 1, 0, 9000, 99),   # wins vs deferred h=1
+        row("https://h.example/b", 2, 1, 2000, 1),    # loses vs deferred h=2
+        row("https://h.example/c", 3, 2, 2000, 30),   # tie vs deferred h=3
+        row("https://h.example/e", 5, 1, 100, 7),     # child-vs-child dup...
+        row("https://h.example/e", 5, 0, 100, 8),     # ...this one wins
+        row("https://h.example/f", 6, 3, 700, 2),     # no collision
+    ]
+    deferred_t, children_t = mk(deferred_rows), mk(children_rows)
+    deferred = rd.from_arrow(deferred_t)
+    defer_keys = rd.from_arrow(
+        deferred_t.select(
+            ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"]
+        )
+    )
+    children = rd.from_arrow(children_t)
+
+    got = (
+        CrawlJob._merge_children_broadcast(deferred, defer_keys, children)
+        .to_pandas()
+        .sort_values("canonical_hash")
+        .reset_index(drop=True)
+    )
+
+    # reference: the shuffle path's rule on the deferred-first union
+    want = (
+        pd.concat([deferred_t.to_pandas(), children_t.to_pandas()],
+                  ignore_index=True)
+        .sort_values(
+            ["canonical_hash", "utility_tier", "refresh_deadline", "crawl_key"],
+            kind="mergesort",
+        )
+        .drop_duplicates(subset=["canonical_hash"], keep="first")
+        .sort_values("canonical_hash")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # winners are exactly: child h=1, deferred h=2, deferred h=3 (tie),
+    # deferred h=4, child key=8 for h=5, child h=6
+    assert got.loc[got.canonical_hash == 1, "crawl_key"].item() == 99
+    assert got.loc[got.canonical_hash == 2, "crawl_key"].item() == 10
+    assert got.loc[got.canonical_hash == 3, "crawl_key"].item() == 30
+    assert got.loc[got.canonical_hash == 5, "crawl_key"].item() == 8
