@@ -176,21 +176,29 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def _band_rows(batch: pd.DataFrame, n_bands: int) -> pd.DataFrame:
-    """Explode signatures into (band, band_hash, doc_id) bucket rows."""
+    """Explode signatures into (band, band_hash, doc_id) bucket rows.
+    Fully array-native: the band hashes land in one (n_bands x n) uint64
+    matrix and the frame is assembled with tile/repeat — no per-element
+    Python list building (the old .extend/.tolist() paid 3 x n_bands x n
+    Python object conversions per batch)."""
     sigs = np.stack(batch["sig"].to_numpy())
     n, n_perm = sigs.shape
     r = n_perm // n_bands
-    rows = {"doc_id": [], "band": [], "band_hash": []}
+    hs = np.empty((n_bands, n), dtype=np.uint64)
     for bnd in range(n_bands):
-        chunk = sigs[:, bnd * r : (bnd + 1) * r].copy()
+        chunk = sigs[:, bnd * r : (bnd + 1) * r]
         # vectorized row hash: fold the r columns with the FNV-style mix
         h = np.zeros(n, dtype=np.uint64)
         for c in range(r):
             h = h * _FNV_PRIME + chunk[:, c]
-        rows["doc_id"].extend(batch["doc_id"].tolist())
-        rows["band"].extend([bnd] * n)
-        rows["band_hash"].extend(h.tolist())
-    return pd.DataFrame(rows)
+        hs[bnd] = h
+    return pd.DataFrame(
+        {
+            "doc_id": np.tile(batch["doc_id"].to_numpy(), n_bands),
+            "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+            "band_hash": hs.reshape(-1),
+        }
+    )
 
 
 def _jaccard(a: str, b: str, k: int = 5) -> float:

@@ -29,15 +29,28 @@ from ..synth import SyntheticWeb, canonical_url, canonical_urls, host_of
 VIRTUAL_SCRAPE_TS = "10-05-2023 08:00:00"
 
 
+_HASH_CHUNK = 1 << 17
+
+
 def add_hash_columns(batch: pa.Table, salt: str = "") -> pa.Table:
     """canonical_hash = 64-bit siphash of the canonicalized URL (+ optional
     poll-round salt so each refresh round has its own seen-space).
     Vectorized end to end: regex-extract canonicalization + pandas' C hash
-    (deterministic across processes) — no Python call per URL."""
-    canon = canonical_urls(batch.column("url").to_pandas())
-    if salt:
-        canon = canon + salt
-    hashes = pd.util.hash_array(canon.to_numpy(dtype=object), categorize=False)
+    (deterministic across processes) — no Python call per URL. Chunked so
+    the transient string Series stay bounded even on a driver-resident
+    million-row seeds table (map_batches callers pass far smaller batches
+    and take the single-chunk path)."""
+    n = batch.num_rows
+    urls = batch.column("url")
+    hashes = np.empty(n, dtype=np.uint64)
+    for lo in range(0, max(n, 1), _HASH_CHUNK):
+        chunk = urls.slice(lo, _HASH_CHUNK).to_pandas()
+        canon = canonical_urls(chunk)
+        if salt:
+            canon = canon + salt
+        hashes[lo : lo + len(canon)] = pd.util.hash_array(
+            canon.to_numpy(dtype=object), categorize=False
+        )
     out = batch
     if "canonical_hash" in batch.column_names:
         out = out.drop_columns(["canonical_hash"])
