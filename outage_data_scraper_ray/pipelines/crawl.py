@@ -745,18 +745,13 @@ class CrawlJob:
                 gated_path = os.path.join(self._epoch_dir(e), "gated")
                 contender_path = os.path.join(self._epoch_dir(e), "gated_contender")
                 if not over:
-                    frontier.map_batches(
+                    # every pending row is admitted and nothing is deferred,
+                    # so there is no gated bookkeeping to persist: stream the
+                    # robots-filtered frontier straight into the fetch chain
+                    # (same shape as the fast path) — the gated parquet
+                    # round trip here was a full extra write+read per epoch
+                    admitted_source = frontier.map_batches(
                         _robots_filter, batch_format="pyarrow"
-                    ).map_batches(
-                        lambda t: t.append_column(
-                            "admitted", pa.array(np.ones(t.num_rows, dtype=bool))
-                        ),
-                        batch_format="pyarrow",
-                    ).write_parquet(gated_path)
-                    admitted_source = (
-                        rd.read_parquet(gated_path, override_num_blocks=read_blocks)
-                        .filter(expr="admitted")
-                        .drop_columns(["admitted"])
                     )
                 else:
                     budgets_ref = ray.put(budgets)
