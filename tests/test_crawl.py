@@ -537,3 +537,66 @@ def test_merge_children_broadcast_matches_shuffle_dedupe(ray_session):
     assert got.loc[got.canonical_hash == 2, "crawl_key"].item() == 10
     assert got.loc[got.canonical_hash == 3, "crawl_key"].item() == 30
     assert got.loc[got.canonical_hash == 5, "crawl_key"].item() == 8
+
+
+def test_broadcast_merge_branch_matches_oracle(ray_session, monkeypatch):
+    """End-to-end conformance THROUGH the shuffle-free small-discovery
+    frontier merge: threshold tuned so child_bound (6 x fetched) fits the
+    driver bound while pending + child_bound exceeds it — the regime where
+    _merge_children_broadcast (not the hash-shuffle dedupe) builds the next
+    frontier. A wrapper asserts the branch actually ran; the run must still
+    match the sequential oracle's admissions and seen set exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.schemas import SEEDS
+
+    calls = {"n": 0}
+    orig = CrawlJob._merge_children_broadcast.__func__
+
+    def _wrapped(cls, deferred, defer_keys, children):
+        calls["n"] += 1
+        return orig(cls, deferred, defer_keys, children)
+
+    monkeypatch.setattr(
+        CrawlJob, "_merge_children_broadcast", classmethod(_wrapped)
+    )
+
+    hot = pd.DataFrame(
+        {
+            "url": [f"https://hot.synthgrid.example/p{i:03d}" for i in range(40)],
+            "host": "hot.synthgrid.example",
+            "emc": "HOT EMC",
+            "state": "ga",
+            "layout": "wov",
+            "seed_index": np.arange(40, dtype=np.int32),
+            "utility_tier": (np.arange(40) % 3).astype(np.int32),
+            "refresh_deadline": pd.to_datetime(1_700_000_000_000, unit="ms")
+            + pd.to_timedelta((np.arange(40) * 7) % 11, unit="s"),
+        }
+    )
+    cold = make_seed_registry(6, 7).to_pandas()
+    cold["seed_index"] = (cold["seed_index"] + 40).astype("int32")
+    seeds_df = pd.concat([hot, cold], ignore_index=True)
+    seeds_tbl = pa.Table.from_pandas(seeds_df, preserve_index=False).cast(SEEDS)
+
+    pol = dict(politeness_rate=5.0, politeness_burst=5.0, politeness_dt=1.0)
+    workdir = "/tmp/odsr_bcast_merge"
+    shutil.rmtree(workdir, ignore_errors=True)
+    job = CrawlJob(_cfg(workdir, seeds_table=seeds_tbl, max_epochs=20,
+                        failure_rate=0.0, frontier_driver_threshold=80, **pol))
+    job.run()
+    assert calls["n"] >= 1, "broadcast merge branch never ran"
+
+    docs = job.docs_dataset().to_pandas()
+    sim = simulate_crawl(seeds_df, failure_rate=0.0, **pol)
+    got = docs.groupby("epoch")["url"].apply(set).to_dict()
+    want: dict[int, set] = {}
+    seen: set = set()
+    for e, urls in enumerate(sim.admitted_per_epoch):
+        fresh = [u for u in urls if u not in seen]
+        seen.update(fresh)
+        if fresh:
+            want[e] = set(fresh)
+    assert got == want
+    assert job.seen_hashes() == sim.seen_hashes
