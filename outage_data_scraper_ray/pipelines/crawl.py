@@ -243,18 +243,15 @@ class CrawlJob:
     def _checkpoint(self, e: int, extra: dict[str, Any]) -> None:
         state_dir = os.path.join(self._epoch_dir(e), "state")
         os.makedirs(state_dir, exist_ok=True)
-        dumps = ray.get([s.dump.remote() for s in self.seen])
-        for i, d in enumerate(dumps):
-            np.savez(
-                os.path.join(state_dir, f"seen_{i}.npz"),
-                table=d["table"],
-                count=d["count"],
-                bucket_size=d["bucket_size"],
-                exact=d["exact"],
-                exact_set=d["exact_set"] if d["exact_set"] is not None else np.array([], dtype=np.uint64),
-                stash=d["stash"],
-                kick_failures=d["kick_failures"],
-            )
+        # shards write their own npz in parallel (atomic rename inside):
+        # the table arrays never ship to the driver, and the epoch pays
+        # max(shard write) instead of sum(transfer + serial write)
+        ray.get(
+            [
+                s.dump_to.remote(os.path.join(state_dir, f"seen_{i}.npz"))
+                for i, s in enumerate(self.seen)
+            ]
+        )
         for i, d in enumerate(ray.get([s.dump.remote() for s in self.sched])):
             with open(os.path.join(state_dir, f"sched_{i}.json"), "w") as f:
                 json.dump(d, f)

@@ -181,6 +181,32 @@ class SeenShard:
         d["exact_set"] = np.fromiter(self.exact_set, dtype=np.uint64) if self.exact else None
         return d
 
+    def dump_to(self, path: str) -> None:
+        """Write this shard's checkpoint npz from INSIDE the actor: the
+        table array (10s of MB at crawl capacity) never ships to the
+        driver, and the n_shards writes run in parallel instead of a serial
+        driver loop. Same file format as the driver-side dump path (the
+        atomic tmp+rename keeps a crash mid-write from leaving a torn file
+        that a later resume would np.load)."""
+        d = self.dump()
+        tmp = path + ".tmp"
+        np.savez(
+            tmp,
+            table=d["table"],
+            count=d["count"],
+            bucket_size=d["bucket_size"],
+            exact=d["exact"],
+            exact_set=d["exact_set"]
+            if d["exact_set"] is not None
+            else np.array([], dtype=np.uint64),
+            stash=d["stash"],
+            kick_failures=d["kick_failures"],
+        )
+        # np.savez appends .npz to any target not already ending in it
+        import os
+
+        os.replace(tmp + ".npz", path)
+
     def load(self, state: dict) -> None:
         self.filter = CuckooFilter.load(state)
         self.exact = bool(state.get("exact", False))
