@@ -504,11 +504,21 @@ class CrawlJob:
         if start_epoch == 0:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
-            os.makedirs(self._epoch_dir(0), exist_ok=True)
-            pq.write_table(
-                self._initial_frontier(),
-                os.path.join(self._epoch_dir(0), "frontier_init.parquet"),
-            )
+            init_dir = os.path.join(self._epoch_dir(0), "frontier_init")
+            os.makedirs(init_dir, exist_ok=True)
+            # shard the seed frontier across files: ray's parquet read is
+            # one task PER FILE (override_num_blocks only splits the blocks
+            # it produced afterwards), so a single-file million-row seed
+            # table would serialize epoch 0's widest read through one core
+            t = self._initial_frontier()
+            n_files = max(1, min(32, -(-t.num_rows // 65_536)))
+            step = -(-t.num_rows // n_files)
+            for i in range(n_files):
+                part = t.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(
+                        part, os.path.join(init_dir, f"seeds-{i:04d}.parquet")
+                    )
 
         # never let the fetch actor pool reserve every CPU: leave headroom
         # for the read/write task operators or the streaming executor starves
@@ -524,7 +534,7 @@ class CrawlJob:
         while e < cfg.max_epochs:
             _t0 = _time.perf_counter()
             frontier_file = (
-                os.path.join(self._epoch_dir(0), "frontier_init.parquet")
+                os.path.join(self._epoch_dir(0), "frontier_init")
                 if e == 0
                 else self._frontier_next_path(e - 1)
             )
