@@ -95,45 +95,50 @@ def run_bench() -> dict:
     from outage_data_scraper_ray.schemas import SEEDS
     from outage_data_scraper_ray.synth import make_seed_registry
 
+    # --scaling trials set GRAFT_BENCH_HOT_URLS=0 to measure the headline
+    # only: the efficiency math uses `value`, and a 100k gated crawl per
+    # 1-CPU trial would triple each trial for no extra signal
     n_hot = int(os.environ.get("GRAFT_BENCH_HOT_URLS", "100000"))
-    hot = pd.DataFrame(
-        {
-            "url": [f"https://hot.synthgrid.example/p{i:06d}" for i in range(n_hot)],
-            "host": "hot.synthgrid.example",
-            "emc": "HOT EMC",
-            "state": "ga",
-            "layout": "wov",
-            "seed_index": np.arange(n_hot, dtype=np.int32),
-            "utility_tier": (np.arange(n_hot) % 3).astype(np.int32),
-            "refresh_deadline": pd.to_datetime(1_700_000_000_000, unit="ms")
-            + pd.to_timedelta((np.arange(n_hot) * 7) % 9973, unit="s"),
-        }
-    )
-    cold = make_seed_registry(2000, 7).to_pandas()
-    cold["seed_index"] = (cold["seed_index"] + n_hot).astype("int32")
-    seeds_tbl = pa.Table.from_pandas(
-        pd.concat([hot, cold], ignore_index=True), preserve_index=False
-    ).cast(SEEDS)
-    hot_dir = f"/tmp/odsr_bench_hot_{num_cpus}"
-    shutil.rmtree(hot_dir, ignore_errors=True)
-    hot_cfg = CrawlConfig(
-        seeds_table=seeds_tbl,
-        workdir=hot_dir,
-        max_epochs=2,
-        max_rows=2,
-        failure_rate=0.0,
-        politeness_rate=1000.0,
-        politeness_burst=1000.0,
-        politeness_dt=1.0,
-        batch_size=2048,
-        fetch_concurrency=max(2, num_cpus - 4),
-        n_seen_shards=8,
-        n_sched_shards=2,
-    )
-    t0 = time.perf_counter()
-    hot_stats = CrawlJob(hot_cfg).run()
-    hot_gate_sec = time.perf_counter() - t0
-    shutil.rmtree(hot_dir, ignore_errors=True)
+    hot_stats, hot_gate_sec = None, 0.0
+    if n_hot:
+        hot = pd.DataFrame(
+            {
+                "url": [f"https://hot.synthgrid.example/p{i:06d}" for i in range(n_hot)],
+                "host": "hot.synthgrid.example",
+                "emc": "HOT EMC",
+                "state": "ga",
+                "layout": "wov",
+                "seed_index": np.arange(n_hot, dtype=np.int32),
+                "utility_tier": (np.arange(n_hot) % 3).astype(np.int32),
+                "refresh_deadline": pd.to_datetime(1_700_000_000_000, unit="ms")
+                + pd.to_timedelta((np.arange(n_hot) * 7) % 9973, unit="s"),
+            }
+        )
+        cold = make_seed_registry(2000, 7).to_pandas()
+        cold["seed_index"] = (cold["seed_index"] + n_hot).astype("int32")
+        seeds_tbl = pa.Table.from_pandas(
+            pd.concat([hot, cold], ignore_index=True), preserve_index=False
+        ).cast(SEEDS)
+        hot_dir = f"/tmp/odsr_bench_hot_{num_cpus}"
+        shutil.rmtree(hot_dir, ignore_errors=True)
+        hot_cfg = CrawlConfig(
+            seeds_table=seeds_tbl,
+            workdir=hot_dir,
+            max_epochs=2,
+            max_rows=2,
+            failure_rate=0.0,
+            politeness_rate=1000.0,
+            politeness_burst=1000.0,
+            politeness_dt=1.0,
+            batch_size=2048,
+            fetch_concurrency=max(2, num_cpus - 4),
+            n_seen_shards=8,
+            n_sched_shards=2,
+        )
+        t0 = time.perf_counter()
+        hot_stats = CrawlJob(hot_cfg).run()
+        hot_gate_sec = time.perf_counter() - t0
+        shutil.rmtree(hot_dir, ignore_errors=True)
 
     # ---- relational battery over sf_dir --------------------------------
     from outage_data_scraper_ray.functions.relational import SQL_QUERIES
@@ -149,7 +154,8 @@ def run_bench() -> dict:
 
     ray.shutdown()
 
-    qtimes["crawl_hot_gate"] = round(hot_gate_sec, 3)
+    if hot_stats is not None:
+        qtimes["crawl_hot_gate"] = round(hot_gate_sec, 3)
 
     return {
         "metric": "crawl fetch+parse wall time (headline) + relational battery",
@@ -166,13 +172,17 @@ def run_bench() -> dict:
             "urls_per_sec": round(fetched / crawl_sec, 1),
             "spans_per_sec": round(spans / crawl_sec, 1),
         },
-        "crawl_hot_gate": {
-            "pending_urls": int(n_hot + 2000),
-            "budget_per_epoch": 1000,
-            "epochs": hot_stats["epochs"],
-            "fetched": int(hot_stats["counters"].get("fetched", 0)),
-            "sec": round(hot_gate_sec, 3),
-        },
+        "crawl_hot_gate": (
+            {
+                "pending_urls": int(n_hot + 2000),
+                "budget_per_epoch": 1000,
+                "epochs": hot_stats["epochs"],
+                "fetched": int(hot_stats["counters"].get("fetched", 0)),
+                "sec": round(hot_gate_sec, 3),
+            }
+            if hot_stats is not None
+            else None
+        ),
     }
 
 
@@ -210,6 +220,7 @@ def run_scaling() -> None:
     )
     os.environ.setdefault("GRAFT_BENCH_SEEDS", "40000")
     os.environ.setdefault("GRAFT_BENCH_MAX_ROWS", "160")
+    os.environ.setdefault("GRAFT_BENCH_HOT_URLS", "0")  # headline-only trials
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
     out = {}
     for ncpu in (lo, hi):
