@@ -58,6 +58,7 @@ from ..stages.fetch import (
     add_hash_columns,
     admit_group,
     children_to_frontier,
+    rank_within_budget,
 )
 from ..state.counters import CrawlCounters
 from ..state.cuckoo import SeenShard, shard_of
@@ -199,11 +200,12 @@ class CrawlJob:
         # user-supplied seeds_table may carry duplicate URLs. Collapse them
         # to the min-(tier, deadline, crawl_key) row, exactly the rule the
         # sequential oracle applies (oracle_sim.simulate_crawl) and the one
-        # _dedupe_frontier uses for discovered collisions. Real hashes are
-        # stamped here (add_hash_columns is a pure function — the fetch
-        # chain's re-stamp is a no-op on these rows). The seeds table is
-        # driver-resident by API contract (pa.Table), so a vectorized
-        # driver pass adds no distributed work.
+        # _dedupe_frontier uses for discovered collisions. This stamp is
+        # LOAD-BEARING: the fetch chain does NOT re-hash (every frontier
+        # row must carry its real canonical_hash by induction — seeds here,
+        # children at discovery, deferred rows preserved through the gated
+        # file). The seeds table is driver-resident by API contract
+        # (pa.Table), so a vectorized driver pass adds no distributed work.
         t = add_hash_columns(t, salt=self.cfg.hash_salt)
         df = t.to_pandas()
         df = df.sort_values(
@@ -786,22 +788,13 @@ class CrawlJob:
                         sel = t.column("host").to_pandas().isin(ov).to_numpy()
                         contender = np.zeros(t.num_rows, dtype=bool)
                         if sel.any():
-                            b = ray.get(_b)
-                            d = (
-                                t.select(
-                                    ["host", "utility_tier",
-                                     "refresh_deadline", "crawl_key"]
-                                )
-                                .to_pandas()[sel]
-                                .sort_values(
-                                    ["host", "utility_tier",
-                                     "refresh_deadline", "crawl_key"],
-                                    kind="mergesort",
-                                )
-                            )
-                            rank = d.groupby("host", sort=False).cumcount()
-                            lim = d["host"].map(b).fillna(0).astype("int64")
-                            contender[d.index[(rank < lim).to_numpy()]] = True
+                            d = t.select(
+                                ["host", "utility_tier",
+                                 "refresh_deadline", "crawl_key"]
+                            ).to_pandas()[sel]
+                            contender[d.index[
+                                rank_within_budget(d, ray.get(_b))
+                            ]] = True
                         return t.append_column(
                             "admitted", pa.array(~sel)
                         ).append_column("contender", pa.array(contender))
@@ -823,10 +816,13 @@ class CrawlJob:
                     # reading anything when every hot host is budget-0
                     over_budget_sum = sum(budgets.get(h, 0) for h in over)
                     if over_budget_sum > 0:
-                        # contender volume is a-priori bounded: each block
-                        # contributes <= budget(h) contenders per hot host,
-                        # so total <= read_blocks x sum(over budgets)
-                        contender_bound = read_blocks * over_budget_sum
+                        # a-priori bound on contender rows: a host cannot
+                        # contribute more contenders than its pending count.
+                        # (blocks x budget is NOT a sound bound — Ray's
+                        # dynamic block splitting makes _tag run once per
+                        # ~target_max_block_size block, not once per read
+                        # task, so the block count is unknowable up front)
+                        contender_bound = sum(pending_n[h] for h in over)
                         if contender_bound <= cfg.frontier_driver_threshold:
                             # driver admit (no shuffle): pull only the
                             # contender rows (pushdown scan, sized by the
@@ -839,16 +835,7 @@ class CrawlJob:
                                 .drop_columns(["contender", "admitted"])
                                 .to_pandas()
                             )
-                            cont = cont.sort_values(
-                                ["host", "utility_tier",
-                                 "refresh_deadline", "crawl_key"],
-                                kind="mergesort",
-                            )
-                            crank = cont.groupby("host", sort=False).cumcount()
-                            clim = (
-                                cont["host"].map(budgets).fillna(0).astype("int64")
-                            )
-                            cont["admitted"] = (crank < clim).to_numpy()
+                            cont["admitted"] = rank_within_budget(cont, budgets)
                             ct = pa.Table.from_pandas(
                                 cont.reset_index(drop=True), preserve_index=False
                             )

@@ -93,6 +93,26 @@ class SeenFilterStage:
         return batch.filter(pa.array(~seen))
 
 
+def rank_within_budget(df: pd.DataFrame, budgets: dict[str, int]) -> np.ndarray:
+    """Boolean mask (aligned to df's row order): rows whose (utility_tier,
+    refresh_deadline, crawl_key) rank WITHIN their host is < budget(host).
+
+    The single definition of the admission priority rule — used by the
+    crawl gate's per-block contender prune AND its driver contender admit
+    (admit_group applies the same sort per host group), so the sites cannot
+    drift from the sequential oracle's ordering."""
+    order = df.sort_values(
+        ["host", "utility_tier", "refresh_deadline", "crawl_key"],
+        kind="mergesort",
+    )
+    rank = order.groupby("host", sort=False).cumcount()
+    # Series.map(dict) is a C-speed hash join; hosts absent from the budget
+    # map default to 0 admitted
+    lim = order["host"].map(budgets).fillna(0).astype("int64")
+    win = pd.Series((rank < lim).to_numpy(), index=order.index)
+    return win.reindex(df.index).to_numpy()
+
+
 def admit_group(group: pd.DataFrame, *, budgets: dict[str, int]) -> pd.DataFrame:
     """Politeness admission for one host: sort pending URLs by the scheduler
     priority (utility_tier, refresh_deadline, crawl_key) and admit the first

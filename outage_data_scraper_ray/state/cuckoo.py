@@ -187,7 +187,13 @@ class SeenShard:
         driver, and the n_shards writes run in parallel instead of a serial
         driver loop. Same file format as the driver-side dump path (the
         atomic tmp+rename keeps a crash mid-write from leaving a torn file
-        that a later resume would np.load)."""
+        that a later resume would np.load).
+
+        Assumes the checkpoint dir is reachable from the actor's node —
+        i.e. a shared filesystem on a multi-node cluster. That is the same
+        assumption every write_parquet sink in this engine already makes
+        for the epoch directories; a deployment without shared storage
+        would point the workdir at an object-store mount."""
         d = self.dump()
         tmp = path + ".tmp"
         np.savez(

@@ -48,8 +48,10 @@ def canonical_url(url: str) -> str:
 
 
 # non-greedy scheme = everything before the FIRST "://" (matches the scalar
-# split); host = up to the next "/"; path = the rest including its slash
-_CANON_RE = r"^(.*?)://([^/]*)(.*)$"
+# split); host = up to the next "/"; path = the rest including its slash.
+# (?s) so '.' crosses newlines: without it a URL containing '\n' extracts
+# all-NaN and every such URL collapses to ONE shared canonical hash
+_CANON_RE = r"(?s)^(.*?)://([^/]*)(.*)$"
 
 
 def canonical_urls(urls) -> "pd.Series":

@@ -307,8 +307,6 @@ def test_dedupe_frontier_keeps_min_priority_row(ray_session):
         assert len(out) == 2
         a = out[out["canonical_hash"] == 11].iloc[0]
         assert a["utility_tier"] == 0 and a["crawl_key"] == 10
-        shutil.rmtree(os.path.join(workdir, "ep-00000", "frontier_raw"),
-                      ignore_errors=True)
 
 
 def test_seed_registry_urls_distinct_at_any_scale():
@@ -444,12 +442,14 @@ def test_canonical_urls_matches_scalar():
         "://weird",
         "https://h.example/a://b/c#f#g",
         "ftp://MIXED.Case/Path/No/Slash",
+        "https://h.example/line\nbreak",
+        "pre\nfix://Host/p",
     ]
     got = canonical_urls(fixed).tolist()
     assert got == [canonical_url(u) for u in fixed]
 
     url_chars = st.text(
-        alphabet="abcXYZ019/:#?.-_", min_size=0, max_size=40
+        alphabet="abcXYZ019/:#?.-_\n", min_size=0, max_size=40
     )
 
     @settings(max_examples=300, deadline=None)
