@@ -56,7 +56,6 @@ from ..stages.fetch import (
     FetchParseStage,
     SeenFilterStage,
     add_hash_columns,
-    admit_group,
     children_to_frontier,
     rank_within_budget,
 )
@@ -766,9 +765,6 @@ class CrawlJob:
                     budgets_ref = ray.put(budgets)
                     over_ref = ray.put(over)
 
-                    def _admit(g, _ref=budgets_ref):
-                        return admit_group(g, budgets=ray.get(_ref))
-
                     def _tag(t, _s=_seed, _o=over_ref, _b=budgets_ref):
                         """ONE tagged pass over the frontier: robots filter +
                         admission marks in a single stream. (The previous
@@ -848,20 +844,36 @@ class CrawlJob:
                                 os.path.join(contender_path, "driver-0.parquet"),
                             )
                         else:
-                            (
-                                # filter pushed into the arrow fragment scan:
-                                # non-contender rows (the vast majority)
-                                # never become blocks at all
-                                rd.read_parquet(
-                                    gated_path, filter=pc.field("contender")
+                            # distributed admit: ONE hash-shuffle on host
+                            # co-locates each host's contenders, then the
+                            # same vectorized rank-vs-budget runs once per
+                            # BLOCK (co-location makes the per-host
+                            # cumcount global). The groupby(host).map_groups
+                            # first cut paid the sort-based groupby
+                            # machinery and was 5-10x slower at 2M pending.
+                            def _admit_block(df, _ref=budgets_ref):
+                                df = df.copy()
+                                df["admitted"] = rank_within_budget(
+                                    df, ray.get(_ref)
                                 )
-                                .drop_columns(["contender", "admitted"])
-                                .groupby("host")
-                                .map_groups(_admit, batch_format="pandas")
+                                return df
+
+                            (
+                                hash_partitioned_map_batches(
+                                    # filter pushed into the arrow fragment
+                                    # scan: non-contender rows (the vast
+                                    # majority) never become blocks at all
+                                    rd.read_parquet(
+                                        gated_path,
+                                        filter=pc.field("contender"),
+                                    ).drop_columns(["contender", "admitted"]),
+                                    ["host"],
+                                    _admit_block,
+                                )
                                 .map_batches(
-                                    # strip the b'pandas' footer the
-                                    # map_groups round trip adds (unhashable
-                                    # schema kills unify_schemas' early exit
+                                    # strip the b'pandas' footer the pandas
+                                    # round trip adds (unhashable schema
+                                    # kills unify_schemas' early exit
                                     # downstream)
                                     lambda t: t.replace_schema_metadata(None),
                                     batch_format="pyarrow",
