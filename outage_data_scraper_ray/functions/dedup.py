@@ -257,45 +257,45 @@ def _lsh_candidate_pairs(
     # Stateless tasks with process-cached permutation params: the params are
     # a pure function of (n_perm, seed), so an lru_cache per worker gives
     # init-once economics without paying actor-pool spin-up on small corpora.
-    # Distributed corpora band on a 64-bit id HASH instead of the doc id
-    # itself: ids can be long strings (crawl doc ids), and the band
-    # explosion is the widest shuffle of the pipeline (n_bands rows per
-    # doc) — uint64 keys cut its wall time ~40% on a 500k string-id corpus
-    # (measured 53 s -> 33 s forced-distributed) and its bytes ~2.5x. Real
-    # ids are resolved afterwards by _resolve_pair_ids, bounded by the
-    # candidate count; a 64-bit collision only creates an extra candidate
-    # pair, which the exact verify downstream rejects. The driver-combine
-    # path keeps real ids end to end — there is no shuffle to shrink, and
-    # skipping the hash avoids _resolve_pair_ids' extra id-column pass
-    # over the (possibly derived) docs pipeline.
-    n_docs = docs.count() if row_hint is None else row_hint
-    hash_ids = n_docs > driver_threshold
-
-    def _sigs(
-        batch: pd.DataFrame, _np=n_perm, _k=shingle_k, _h=hash_ids
-    ) -> pd.DataFrame:
+    # Band rows carry a 64-bit id HASH instead of the doc id itself: ids
+    # can be long strings (crawl doc ids), and the band frame is n_bands
+    # rows per doc — uint64 keys keep the driver combine inside the
+    # module's driver-memory contract (a 200k-doc string-id corpus would
+    # otherwise put 3.2M Python strings on the driver) and cut the
+    # distributed shuffle's bytes ~2.5x / wall ~40% (measured 53 s ->
+    # 33 s forced-distributed at 500k string-id docs). Real ids are
+    # resolved afterwards by _resolve_pair_ids via one id-column scan
+    # bounded by the candidate count (the price of the contract on a
+    # derived docs pipeline: one extra upstream execution projecting the
+    # id column); a 64-bit collision only creates an extra candidate
+    # pair, which the exact verify downstream rejects.
+    def _sigs(batch: pd.DataFrame, _np=n_perm, _k=shingle_k) -> pd.DataFrame:
         a, b = _minhash_params_cached(_np)
         sigs = np.empty((len(batch), _np), dtype=np.uint64)
         for i, text in enumerate(batch["text"].fillna("")):
             sigs[i] = minhash_signature(_shingles(text, _k), a, b)
-        ids = batch["doc_id"].to_numpy()
-        if _h:
-            ids = pd.util.hash_array(ids, categorize=False)
-        out = pd.DataFrame({"doc_id": ids})
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.util.hash_array(
+                    batch["doc_id"].to_numpy(), categorize=False
+                )
+            }
+        )
         out["sig"] = list(sigs)
         return out
 
     sigs = docs.map_batches(_sigs, batch_format="pandas", batch_size=2048)
     bands = sigs.map_batches(lambda b: _band_rows(b, n_bands), batch_format="pandas")
 
-    # band rows are (id-or-hash, band, band_hash) triples — n_bands scalars
-    # per doc, never text. Under the threshold, pair generation is a driver
-    # combine (no shuffle); above it, the hash-partitioned path runs.
-    if not hash_ids:
+    # band rows are (id_hash, band, band_hash) triples — n_bands scalars
+    # per doc, never text or ids. Under the threshold, pair generation is a
+    # driver combine (no shuffle); above it, the hash-partitioned path runs.
+    n_docs = docs.count() if row_hint is None else row_hint
+    if n_docs <= driver_threshold:
         bp = bands.to_pandas()
         if not len(bp):
             return pd.DataFrame(_EMPTY_PAIRS)
-        return _pairs_from_band_frame(bp, pair_mode)
+        return _resolve_pair_ids(docs, _pairs_from_band_frame(bp, pair_mode))
 
     # bucket cardinality is O(n_docs x n_bands) — nearly one group per row —
     # so a groupby().map_groups would pay a Python call per bucket. Instead:

@@ -819,6 +819,36 @@ class CrawlJob:
                         # ~target_max_block_size block, not once per read
                         # task, so the block count is unknowable up front)
                         contender_bound = sum(pending_n[h] for h in over)
+                        if contender_bound > cfg.frontier_driver_threshold:
+                            # the pending bound is loose (a 10^7-pending
+                            # hot host prunes to ~blocks x budget actual
+                            # contenders): replace it with the EXACT count
+                            # via one distributed single-column scan of
+                            # the gated file, so the cheap driver admit
+                            # stays reachable at scale without ever
+                            # breaking its memory contract
+                            contender_bound = int(
+                                rd.read_parquet(
+                                    gated_path, columns=["contender"]
+                                )
+                                .map_batches(
+                                    lambda t: pa.table(
+                                        {
+                                            "n": [
+                                                int(
+                                                    pc.sum(
+                                                        t.column("contender")
+                                                    ).as_py()
+                                                    or 0
+                                                )
+                                            ]
+                                        }
+                                    ),
+                                    batch_format="pyarrow",
+                                )
+                                .to_pandas()["n"]
+                                .sum()
+                            )
                         if contender_bound <= cfg.frontier_driver_threshold:
                             # driver admit (no shuffle): pull only the
                             # contender rows (pushdown scan, sized by the

@@ -114,16 +114,13 @@ def rank_within_budget(df: pd.DataFrame, budgets: dict[str, int]) -> np.ndarray:
 
 
 def admit_group(group: pd.DataFrame, *, budgets: dict[str, int]) -> pd.DataFrame:
-    """Politeness admission for one host: sort pending URLs by the scheduler
-    priority (utility_tier, refresh_deadline, crawl_key) and admit the first
-    ``budget`` of them. Runs inside ``groupby("host").map_groups`` — the
-    per-host partitioning IS the politeness isolation; determinism comes from
-    the sort + the virtual-clock budgets."""
-    g = group.sort_values(
-        ["utility_tier", "refresh_deadline", "crawl_key"], kind="mergesort"
-    ).reset_index(drop=True)
-    b = budgets.get(g["host"].iloc[0], 0)
-    g["admitted"] = np.arange(len(g)) < b
+    """Politeness admission for one host group (the reference's per-scraper
+    serving order, app/main.py:21): admit the first budget(host) rows by
+    (utility_tier, refresh_deadline, crawl_key). A thin wrapper over
+    rank_within_budget — the engine-wide single definition of that rule —
+    kept as the per-group API for callers partitioning by host."""
+    g = group.reset_index(drop=True)
+    g["admitted"] = rank_within_budget(g, budgets)
     return g
 
 
