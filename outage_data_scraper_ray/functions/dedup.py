@@ -321,7 +321,13 @@ def _resolve_pair_ids(docs: rd.Dataset, cand: pd.DataFrame) -> pd.DataFrame:
     candidate doc count, never the corpus. A 64-bit hash collision makes
     the merge expand to every (a, b) doc combination; normalizing a < b and
     dropping a == b keeps those extra pairs well-formed, and the exact
-    verify downstream rejects the false ones."""
+    verify downstream rejects the false ones.
+
+    CONTRACT: this re-EXECUTES `docs`, so a derived pipeline must be
+    re-execution-deterministic in its doc_id content — a nondeterministic
+    doc_id (random ids, wall-clock stamps) would leave candidate hashes
+    unmatched and the inner joins would silently drop those pairs. A
+    shortfall is detected and warned on below."""
     if not len(cand):
         return pd.DataFrame(_EMPTY_PAIRS)
     want = np.unique(
@@ -341,6 +347,17 @@ def _resolve_pair_ids(docs: rd.Dataset, cand: pd.DataFrame) -> pd.DataFrame:
         .to_pandas()
         .drop_duplicates()
     )
+    n_resolved = im["idh"].nunique()
+    if n_resolved < len(want):
+        import warnings
+
+        warnings.warn(
+            f"_resolve_pair_ids: {len(want) - n_resolved} of {len(want)} "
+            "candidate id-hashes did not resolve to a doc_id on re-execution "
+            "— the docs pipeline appears non-deterministic in doc_id; the "
+            "affected candidate pairs are dropped (see docstring contract)",
+            RuntimeWarning,
+        )
     ab = cand.astype({"a": "uint64", "b": "uint64"}).merge(
         im.rename(columns={"idh": "a", "doc_id": "da"}), on="a"
     ).merge(im.rename(columns={"idh": "b", "doc_id": "db"}), on="b")

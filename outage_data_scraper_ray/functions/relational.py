@@ -74,7 +74,14 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
             [("qty_c", "sum"), ("price_c", "sum"), ("disc_price_c", "sum"),
              ("qty_c", "count")]
         )
-        return g.rename_columns(
+        # select by the aggregate's NAME before renaming: the key-vs-aggregate
+        # column order of TableGroupBy.aggregate has flipped across pyarrow
+        # majors, so a positional rename would silently mislabel every column
+        # on an upgrade
+        return g.select(
+            ["l_returnflag", "l_linestatus", "qty_c_sum", "price_c_sum",
+             "disc_price_c_sum", "qty_c_count"]
+        ).rename_columns(
             ["l_returnflag", "l_linestatus", "qty_c", "price_c",
              "disc_price_c", "n"]
         )
@@ -148,9 +155,13 @@ def grouped_sum(sf_dir: str) -> pd.DataFrame:
     def _partial(t: pa.Table) -> pa.Table:
         qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
         tt = pa.table({"l_returnflag": t["l_returnflag"], "qty_c": qty_c})
+        # name-based select before rename: aggregate column order is not
+        # stable across pyarrow majors (see q1_pricing)
         return tt.group_by("l_returnflag").aggregate(
             [("qty_c", "sum"), ("qty_c", "count")]
-        ).rename_columns(["l_returnflag", "qty_c", "n"])
+        ).select(["l_returnflag", "qty_c_sum", "qty_c_count"]).rename_columns(
+            ["l_returnflag", "qty_c", "n"]
+        )
 
     partials = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
         _partial, batch_format="pyarrow"
@@ -964,6 +975,8 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
         return (
             tt.group_by("window_start_s")
             .aggregate([("cents", "sum"), ("cents", "count")])
+            # name-based select before rename (see q1_pricing)
+            .select(["window_start_s", "cents_sum", "cents_count"])
             .rename_columns(["window_start_s", "cents", "n"])
         )
 

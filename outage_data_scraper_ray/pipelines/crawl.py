@@ -1013,112 +1013,122 @@ class CrawlJob:
                 commit_thread.start()
             _t3 = _time.perf_counter()
 
-            # 4. next frontier = deferred ∪ discovered children.
-            # With every host under budget there are no deferred rows at all
-            # — skip the gated re-read entirely.
-            nxt = None
-            if over:
-                # deferred = gated rows that are neither admitted nor
-                # contenders, plus contenders the exact admission rejected
-                nxt = rd.read_parquet(
-                    gated_path,
-                    filter=~pc.field("admitted") & ~pc.field("contender"),
-                ).drop_columns(["admitted", "contender"])
-                if self._parquet_num_rows(contender_path):
-                    nxt = nxt.union(
-                        rd.read_parquet(
-                            contender_path, filter=~pc.field("admitted")
-                        ).drop_columns(["admitted"])
-                    )
-            if os.path.exists(self._docs_path(e)):
-                # an epoch that admitted nothing writes no docs dir at all
-                children = rd.read_parquet(
-                    self._docs_path(e),
-                    columns=[
-                        "doc_id", "emc", "state", "crawl_key",
-                        "utility_tier", "refresh_deadline", "child_urls",
-                    ],
-                ).map_batches(
-                    partial(children_to_frontier, depth=1), batch_format="pyarrow"
-                )
-                children = children.map_batches(
-                    partial(add_hash_columns, salt=cfg.hash_salt),
-                    batch_format="pyarrow",
-                )
-                # deferred rows need no re-hash: they entered this epoch's
-                # frontier WITH a real canonical_hash (seed-boundary stamp /
-                # child-discovery stamp) and the gated round trip preserves
-                # the column — measured 24s -> 2s on the 500k-deferred
-                # hot-host rehearsal
-                if not cfg.dedupe_frontier:
-                    nxt = children if nxt is None else nxt.union(children)
-                else:
-                    # discovery can introduce the same URL from two parents
-                    # (or collide with a deferred row); keep the row the
-                    # sequential oracle would serve first. Inductively the
-                    # frontier stays URL-unique, which is what lets the seen
-                    # filter be read-only within an epoch.
-                    # deferred <= pending; children <= fan-out x epoch docs
-                    child_bound = MAX_CHILDREN_PER_DOC * self._parquet_num_rows(
-                        self._docs_path(e)
-                    )
-                    bound = total_pending + child_bound
-                    _td0 = _time.perf_counter()
-                    if (
-                        nxt is not None
-                        and bound > cfg.frontier_driver_threshold
-                        and child_bound <= cfg.frontier_driver_threshold
-                    ):
-                        # small-discovery regime: resolve collisions against
-                        # a driver-bounded children set; the deferred mass
-                        # streams to the write with NO all-to-all shuffle
-                        defer_keys = rd.read_parquet(
-                            gated_path,
-                            columns=["canonical_hash", *self._PRIORITY],
-                            filter=~pc.field("admitted") & ~pc.field("contender"),
-                        )
-                        if self._parquet_num_rows(contender_path):
-                            defer_keys = defer_keys.union(
-                                rd.read_parquet(
-                                    contender_path,
-                                    columns=["canonical_hash", *self._PRIORITY],
-                                    filter=~pc.field("admitted"),
-                                )
-                            )
-                        nxt = self._merge_children_broadcast(
-                            nxt, defer_keys, children
-                        )
-                    elif nxt is None:
-                        # children-only epoch: the bound is the child bound
-                        nxt = self._dedupe_frontier(children, e, child_bound)
-                    else:
-                        nxt = self._dedupe_frontier(
-                            nxt.union(children), e, bound
-                        )
-                    if _dbg:
-                        print(
-                            f"[epoch {e}]   dedupe={_time.perf_counter()-_td0:.2f}s",
-                            file=sys.stderr,
-                        )
-            if nxt is not None:
-                _tw0 = _time.perf_counter()
-                nxt.write_parquet(self._frontier_next_path(e))
-                if _dbg:
-                    print(
-                        f"[epoch {e}]   frontier_write={_time.perf_counter()-_tw0:.2f}s",
-                        file=sys.stderr,
-                    )
+            # 4. next frontier = deferred ∪ discovered children. The whole
+            # step runs under try/finally: if the frontier build raises, the
+            # background commit thread is still joined before the exception
+            # propagates — the epoch never exits with a commit in flight
+            # (the seen actors would otherwise be half-marked while the
+            # thread races resume()'s restore).
+            try:
+              nxt = None
+              if over:
+                  # deferred = gated rows that are neither admitted nor
+                  # contenders, plus contenders the exact admission rejected
+                  nxt = rd.read_parquet(
+                      gated_path,
+                      filter=~pc.field("admitted") & ~pc.field("contender"),
+                  ).drop_columns(["admitted", "contender"])
+                  if self._parquet_num_rows(contender_path):
+                      nxt = nxt.union(
+                          rd.read_parquet(
+                              contender_path, filter=~pc.field("admitted")
+                          ).drop_columns(["admitted"])
+                      )
+              if os.path.exists(self._docs_path(e)):
+                  # an epoch that admitted nothing writes no docs dir at all
+                  children = rd.read_parquet(
+                      self._docs_path(e),
+                      columns=[
+                          "doc_id", "emc", "state", "crawl_key",
+                          "utility_tier", "refresh_deadline", "child_urls",
+                      ],
+                  ).map_batches(
+                      partial(children_to_frontier, depth=1), batch_format="pyarrow"
+                  )
+                  children = children.map_batches(
+                      partial(add_hash_columns, salt=cfg.hash_salt),
+                      batch_format="pyarrow",
+                  )
+                  # deferred rows need no re-hash: they entered this epoch's
+                  # frontier WITH a real canonical_hash (seed-boundary stamp /
+                  # child-discovery stamp) and the gated round trip preserves
+                  # the column — measured 24s -> 2s on the 500k-deferred
+                  # hot-host rehearsal
+                  if not cfg.dedupe_frontier:
+                      nxt = children if nxt is None else nxt.union(children)
+                  else:
+                      # discovery can introduce the same URL from two parents
+                      # (or collide with a deferred row); keep the row the
+                      # sequential oracle would serve first. Inductively the
+                      # frontier stays URL-unique, which is what lets the seen
+                      # filter be read-only within an epoch.
+                      # deferred <= pending; children <= fan-out x epoch docs
+                      child_bound = MAX_CHILDREN_PER_DOC * self._parquet_num_rows(
+                          self._docs_path(e)
+                      )
+                      bound = total_pending + child_bound
+                      _td0 = _time.perf_counter()
+                      if (
+                          nxt is not None
+                          and bound > cfg.frontier_driver_threshold
+                          and child_bound <= cfg.frontier_driver_threshold
+                      ):
+                          # small-discovery regime: resolve collisions against
+                          # a driver-bounded children set; the deferred mass
+                          # streams to the write with NO all-to-all shuffle
+                          defer_keys = rd.read_parquet(
+                              gated_path,
+                              columns=["canonical_hash", *self._PRIORITY],
+                              filter=~pc.field("admitted") & ~pc.field("contender"),
+                          )
+                          if self._parquet_num_rows(contender_path):
+                              defer_keys = defer_keys.union(
+                                  rd.read_parquet(
+                                      contender_path,
+                                      columns=["canonical_hash", *self._PRIORITY],
+                                      filter=~pc.field("admitted"),
+                                  )
+                              )
+                          nxt = self._merge_children_broadcast(
+                              nxt, defer_keys, children
+                          )
+                      elif nxt is None:
+                          # children-only epoch: the bound is the child bound
+                          nxt = self._dedupe_frontier(children, e, child_bound)
+                      else:
+                          nxt = self._dedupe_frontier(
+                              nxt.union(children), e, bound
+                          )
+                      if _dbg:
+                          print(
+                              f"[epoch {e}]   dedupe={_time.perf_counter()-_td0:.2f}s",
+                              file=sys.stderr,
+                          )
+              if nxt is not None:
+                  _tw0 = _time.perf_counter()
+                  nxt.write_parquet(self._frontier_next_path(e))
+                  if _dbg:
+                      print(
+                          f"[epoch {e}]   frontier_write={_time.perf_counter()-_tw0:.2f}s",
+                          file=sys.stderr,
+                      )
+            finally:
+                # best-effort join on the error path (commit/robots errors
+                # are surfaced below on the normal path; here a step-4
+                # exception is already propagating and takes precedence)
+                if commit_thread is not None:
+                    commit_thread.join()
+                if robots_thread is not None:
+                    robots_thread.join()
             _t4 = _time.perf_counter()
 
             # 5. finalize epoch. Join the commit BEFORE the checkpoint: the
             # checkpoint dumps the seen actors, so every mark of this epoch
             # must have landed for resume to restore a complete seen set.
             if commit_thread is not None:
-                commit_thread.join()
                 if "error" in _commit_err:
                     raise _commit_err["error"]
             if robots_thread is not None:
-                robots_thread.join()
                 if "error" in _robots_cnt:
                     raise _robots_cnt["error"]
                 if _robots_cnt.get("skipped"):

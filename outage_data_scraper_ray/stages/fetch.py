@@ -101,7 +101,13 @@ def rank_within_budget(df: pd.DataFrame, budgets: dict[str, int]) -> np.ndarray:
     crawl gate's per-block contender prune AND its driver contender admit
     (admit_group applies the same sort per host group), so the sites cannot
     drift from the sequential oracle's ordering."""
-    order = df.sort_values(
+    # positional alignment (reset_index + scatter by the sort permutation):
+    # index-label reindexing would raise or misalign on a caller frame with
+    # duplicate index labels — this helper is the engine-wide single
+    # definition of the admission rule, so it must not depend on the
+    # caller's index hygiene
+    g = df.reset_index(drop=True)
+    order = g.sort_values(
         ["host", "utility_tier", "refresh_deadline", "crawl_key"],
         kind="mergesort",
     )
@@ -109,8 +115,9 @@ def rank_within_budget(df: pd.DataFrame, budgets: dict[str, int]) -> np.ndarray:
     # Series.map(dict) is a C-speed hash join; hosts absent from the budget
     # map default to 0 admitted
     lim = order["host"].map(budgets).fillna(0).astype("int64")
-    win = pd.Series((rank < lim).to_numpy(), index=order.index)
-    return win.reindex(df.index).to_numpy()
+    win = np.zeros(len(g), dtype=bool)
+    win[order.index.to_numpy()] = (rank < lim).to_numpy()
+    return win
 
 
 def admit_group(group: pd.DataFrame, *, budgets: dict[str, int]) -> pd.DataFrame:
