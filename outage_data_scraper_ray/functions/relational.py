@@ -24,6 +24,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..shuffle import hash_partitioned_map_batches
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     """Pruned parquet read, footer metadata stripped (io.read_parquet_clean)."""
@@ -191,14 +193,22 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # A2: grouped window max broadcast back to rows (pipeline.py:112)
 
 def window_end_ts(sf_dir: str) -> rd.Dataset:
+    # user_id cardinality grows with the data, so groupby().map_groups would
+    # pay a Python dispatch per user (shuffle.py doctrine). Instead: ONE
+    # hash-shuffle co-locates each user's rows, then a single vectorized
+    # transform('max') per BLOCK — co-location makes the per-block group max
+    # the global window max.
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["end_ts"] = g["ts"].max()
-        return g
+    def _per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["end_ts"] = (
+            df["ts"] if df.empty  # keep the dtype on empty shuffle blocks
+            else df.groupby("user_id", sort=False)["ts"].transform("max")
+        )
+        return df
 
-    return ds.groupby("user_id").map_groups(_per_user, batch_format="pandas")
+    return hash_partitioned_map_batches(ds, ["user_id"], _per_block)
 
 
 WINDOW_SQL = """
@@ -211,15 +221,18 @@ FROM events
 # A4: min-idx dedup (step1_threshold.py:385-388)
 
 def minidx_dedup(sf_dir: str) -> rd.Dataset:
+    # (user_id, event_type) cardinality is ~data-proportional: hash-shuffle
+    # once, then one vectorized sort + drop_duplicates per BLOCK (equivalent
+    # to per-group head(1) after the (value, event_id) sort, but O(blocks)
+    # Python calls instead of O(groups)).
     ds = _read(sf_dir, "events")
 
-    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], kind="mergesort")
-        return g.head(1)
+    def _keep_min_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["value", "event_id"], kind="mergesort"
+        ).drop_duplicates(subset=["user_id", "event_type"], keep="first")
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        _keep_min, batch_format="pandas"
-    )
+    return hash_partitioned_map_batches(ds, ["user_id", "event_type"], _keep_min_block)
 
 
 MINIDX_SQL = """
@@ -235,35 +248,51 @@ QUALIFY row_number() OVER (
 # onto the events table: group = user_id, timestamp = ts, affected = value.
 
 def outage_metrics(sf_dir: str) -> rd.Dataset:
+    # user_id cardinality is data-proportional, so the per-group metric block
+    # runs as ONE vectorized grouped pass per hash-shuffled BLOCK (first /
+    # last / sum / max over the (ts, event_id)-sorted frame), not a Python
+    # callable per group. Integer-cents + the exact same float op ORDER as
+    # the scalar version keep the doubles bit-identical vs the DuckDB oracle
+    # (numpy elementwise IEEE ops == the former per-group Python ops).
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def _metrics(g: pd.DataFrame) -> pd.DataFrame:
-        # integer-cents + fixed op order => bit-identical doubles vs the
-        # DuckDB oracle (no ROUND: python rounds half-even, duckdb half-up)
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.rint(g["value"].to_numpy() * 100).astype("int64")
-        start, end = g["ts"].iloc[0], g["ts"].max()
+    def _metrics_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "user_id", "duration", "duration_max", "duration_mean",
+            "customer_affected_mean", "total_customer_outage_time",
+            "total_customer_outage_time_max", "total_customer_outage_time_mean",
+        ]
+        if df.empty:
+            out = pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+            return out.astype({"user_id": df["user_id"].dtype})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df.assign(cents=np.rint(df["value"].to_numpy() * 100).astype("int64"))
+        g = df.groupby("user_id", sort=False)
         # duckdb's epoch() rounds each timestamp to double seconds BEFORE the
         # subtraction; mirror that op order for bit-identical durations
-        duration = ((end.value // 1000) / 1e6 - (start.value // 1000) / 1e6) / 60.0
-        tcot = 15.0 * ((cents.sum() - cents[0]) / 100.0)
-        last_v = cents[-1] / 100.0
+        start_us = g["ts"].first().to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+        end_us = g["ts"].max().to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+        duration = (end_us / 1e6 - start_us / 1e6) / 60.0
+        sum_c = g["cents"].sum().to_numpy()
+        cnt = g.size().to_numpy()
+        first_c = g["cents"].first().to_numpy()
+        last_c = g["cents"].last().to_numpy()
+        tcot = 15.0 * ((sum_c - first_c) / 100.0)
+        last_v = last_c / 100.0
         return pd.DataFrame(
-            [
-                {
-                    "user_id": g["user_id"].iloc[0],
-                    "duration": duration,
-                    "duration_max": duration + 15.0,
-                    "duration_mean": duration + 7.5,
-                    "customer_affected_mean": cents.sum() / 100.0 / len(cents),
-                    "total_customer_outage_time": tcot,
-                    "total_customer_outage_time_max": tcot + 15.0 * last_v,
-                    "total_customer_outage_time_mean": tcot + 7.5 * last_v,
-                }
-            ]
+            {
+                "user_id": g["user_id"].first().to_numpy(),
+                "duration": duration,
+                "duration_max": duration + 15.0,
+                "duration_mean": duration + 7.5,
+                "customer_affected_mean": sum_c / 100.0 / cnt,
+                "total_customer_outage_time": tcot,
+                "total_customer_outage_time_max": tcot + 15.0 * last_v,
+                "total_customer_outage_time_mean": tcot + 7.5 * last_v,
+            }
         )
 
-    return ds.groupby("user_id").map_groups(_metrics, batch_format="pandas")
+    return hash_partitioned_map_batches(ds, ["user_id"], _metrics_block)
 
 
 METRICS_SQL = """
