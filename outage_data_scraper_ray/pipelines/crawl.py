@@ -278,12 +278,11 @@ class CrawlJob:
             # one threaded dataset read over the whole docs dir — a per-file
             # Python loop here is serial driver time that caps scaling
             t = pq.read_table(
-                self._docs_path(e), columns=["doc_id", "status", "n_spans"]
+                self._docs_path(e), columns=["canonical_hash", "status", "n_spans"]
             )
-            h = np.array(
-                [int(d[1:], 16) for d in t.column("doc_id").to_pylist()],
-                dtype=np.uint64,
-            )
+            # docs carry the frontier's uint64 canonical_hash column — no
+            # per-row doc_id hex parse on the commit path
+            h = t.column("canonical_hash").to_numpy().astype(np.uint64, copy=False)
             route = shard_of(h, n_sh)
             refs = [
                 seen_actors[s].mark.remote(h[route == s])
@@ -305,9 +304,9 @@ class CrawlJob:
             return
 
         def _commit(t: pa.Table, _a=seen_actors, _n=n_sh) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            # doc_id == f"d{canonical_hash:016x}" (stages/fetch.py)
-            h = np.array([int(d[1:], 16) for d in ids], dtype=np.uint64)
+            # docs carry the frontier's uint64 canonical_hash — vectorized
+            # routing, no per-row hex parse
+            h = t.column("canonical_hash").to_numpy().astype(np.uint64, copy=False)
             route = shard_of(h, _n)
             refs = []
             for s in range(_n):
@@ -322,9 +321,9 @@ class CrawlJob:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         parts = (
             # pruned read: three scalar columns, never the spans payload;
-            # coalesced blocks — the work per row is one hash parse + RPC
+            # coalesced blocks — the work per row is one route + RPC
             rd.read_parquet(
-                self._docs_path(e), columns=["doc_id", "status", "n_spans"],
+                self._docs_path(e), columns=["canonical_hash", "status", "n_spans"],
                 override_num_blocks=max(4, cpus // 4),
             )
             .map_batches(_commit, batch_format="pyarrow")

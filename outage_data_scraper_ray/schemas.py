@@ -52,6 +52,10 @@ FRONTIER = pa.schema(
 DOCS = pa.schema(
     [
         ("doc_id", pa.string()),
+        # the URL's canonical 64-bit hash carried through from the frontier:
+        # the commit pass routes seen-marks straight off this uint64 column
+        # (doc_id == f"d{canonical_hash:016x}" — no per-row hex re-parse)
+        ("canonical_hash", pa.uint64()),
         ("url", pa.string()),
         ("emc", pa.string()),
         ("state", pa.string()),

@@ -17,12 +17,13 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import KERNELS
 from ..kernels.common import SCRAPE_TS_FORMAT
 from ..schemas import SPAN_STRUCT
 from ..state.cuckoo import shard_of
-from ..synth import SyntheticWeb, canonical_url, canonical_urls, host_of
+from ..synth import SyntheticWeb, canonical_urls
 
 # virtual scrape timestamp injected for determinism (reference stamps
 # wall-clock at parse time, util.py:92-93)
@@ -214,6 +215,9 @@ class FetchParseStage:
 
         cols: dict[str, Any] = {
             "doc_id": pa.array(doc_ids, type=pa.string()),
+            # carried through so the commit pass can route seen-marks off a
+            # uint64 column instead of re-parsing the doc_id hex per row
+            "canonical_hash": batch.column("canonical_hash"),
             "url": batch.column("url"),
             "emc": batch.column("emc"),
             "state": batch.column("state"),
@@ -234,45 +238,60 @@ def children_to_frontier(batch: pa.Table, *, depth: int) -> pa.Table:
     """Flatten discovered child URLs into new frontier rows (S9/S10 discovery
     feedback). Child priority inherits the parent EMC's tier/deadline;
     crawl_key = (1<<40) + parent_key*64 + ordinal keeps global order keys
-    unique and deterministic."""
-    rows: dict[str, list] = {k: [] for k in (
-        "url", "host", "emc", "state", "layout", "seed_index",
-        "utility_tier", "refresh_deadline", "depth", "parent_doc_id", "crawl_key",
-    )}
-    child_lists = batch.column("child_urls").to_pylist()
-    for i, children in enumerate(child_lists):
-        if not children:
-            continue
-        emc = batch.column("emc")[i].as_py()
-        state = batch.column("state")[i].as_py()
-        pkey = batch.column("crawl_key")[i].as_py()
-        pdoc = batch.column("doc_id")[i].as_py()
-        tier = batch.column("utility_tier")[i].as_py() if "utility_tier" in batch.column_names else 0
-        deadline = batch.column("refresh_deadline")[i].as_py() if "refresh_deadline" in batch.column_names else 0
-        for j, cu in enumerate(children):
-            rows["url"].append(cu)
-            rows["host"].append(host_of(cu))
-            rows["emc"].append(emc)
-            rows["state"].append(state)
-            rows["layout"].append("kubra_report")
-            rows["seed_index"].append(-1)
-            rows["utility_tier"].append(tier)
-            rows["refresh_deadline"].append(deadline)
-            rows["depth"].append(depth)
-            rows["parent_doc_id"].append(pdoc)
-            rows["crawl_key"].append((1 << 40) + pkey * 64 + j)
+    unique and deterministic.
+
+    Fully vectorized (the explode_spans pattern, accumulate.py): one
+    list_flatten + list_parent_indices + take — this sits on the discovery
+    path of every epoch, so a per-row Python loop here would be
+    O(children) driver-adjacent work per batch."""
+    ch = batch.column("child_urls")
+    if isinstance(ch, pa.ChunkedArray):
+        ch = ch.combine_chunks()
+    flat = pc.list_flatten(ch)
+    parents = pc.list_parent_indices(ch)
+    n = len(flat)
+    # per-child ordinal within its parent list: arange - exclusive-cumsum of
+    # the per-parent lengths (slice-offset-proof, unlike raw .offsets)
+    lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if len(lengths) else np.empty(0, np.int64)
+    pidx = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    ordinal = np.arange(n, dtype=np.int64) - starts[pidx]
+
+    if n == 0:
+        urls = pd.Series([], dtype=object)
+        hosts = urls
+    else:
+        urls = flat.to_pandas()
+        rest = urls.str.split("://", n=1).str[-1]
+        hosts = rest.str.partition("/")[0].str.lower()
+
+    def _take(col: str) -> pa.Array:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.take(parents)
+
+    pkey = _take("crawl_key").to_numpy(zero_copy_only=False).astype(np.int64)
+    has_tier = "utility_tier" in batch.column_names
+    has_deadline = "refresh_deadline" in batch.column_names
     return pa.table(
         {
-            "url": pa.array(rows["url"], pa.string()),
-            "host": pa.array(rows["host"], pa.string()),
-            "emc": pa.array(rows["emc"], pa.string()),
-            "state": pa.array(rows["state"], pa.string()),
-            "layout": pa.array(rows["layout"], pa.string()),
-            "seed_index": pa.array(rows["seed_index"], pa.int32()),
-            "utility_tier": pa.array(rows["utility_tier"], pa.int32()),
-            "refresh_deadline": pa.array(rows["refresh_deadline"], pa.timestamp("ms")),
-            "depth": pa.array(rows["depth"], pa.int32()),
-            "parent_doc_id": pa.array(rows["parent_doc_id"], pa.string()),
-            "crawl_key": pa.array(rows["crawl_key"], pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "emc": _take("emc"),
+            "state": _take("state"),
+            "layout": pa.array(np.full(n, "kubra_report", dtype=object), pa.string()),
+            "seed_index": pa.array(np.full(n, -1, dtype=np.int32)),
+            "utility_tier": (
+                _take("utility_tier") if has_tier
+                else pa.array(np.zeros(n, dtype=np.int32))
+            ),
+            "refresh_deadline": (
+                _take("refresh_deadline") if has_deadline
+                else pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("ms"))
+            ),
+            "depth": pa.array(np.full(n, depth, dtype=np.int32)),
+            "parent_doc_id": _take("doc_id"),
+            "crawl_key": pa.array((1 << 40) + pkey * 64 + ordinal, pa.int64()),
         }
     )
