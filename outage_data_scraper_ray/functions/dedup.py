@@ -32,6 +32,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -472,12 +473,21 @@ def _verify_pairs_distributed(
     return out.astype({"jaccard": "float64"})
 
 
-def _label_dataset(
-    ids_ds: rd.Dataset, id_col: str, verified_pairs: list[tuple[int, int]]
-) -> rd.Dataset:
-    """Union-find over the (tiny) verified pairs; broadcast only the
-    NON-IDENTITY labels (sized by the duplicate count, not the corpus) and
-    label with a vectorized map.
+# Label-application combine sites (the module's standard gate shape):
+# non-identity labels up to _LABEL_BROADCAST_MAX broadcast as one ray.put
+# pandas Series and apply via a vectorized isin+map per batch; above it —
+# the high-duplication regime, where driver memory and broadcast bytes
+# would grow with the DUP COUNT — labels become a Dataset and apply via a
+# distributed left-outer hash join. Pair graphs beyond
+# _PAIR_GRAPH_DRIVER_MAX edges skip driver union-find entirely for a
+# bounded distributed min-label propagation.
+_LABEL_BROADCAST_MAX = 200_000
+_PAIR_GRAPH_DRIVER_MAX = 2_000_000
+
+
+def _labels_nonidentity(verified_pairs: list[tuple]) -> dict:
+    """Driver union-find over verified pairs -> {id: component_min} for
+    NON-IDENTITY members only (sized by the duplicate count).
 
     Labels are canonicalized to each component's MINIMUM member id, so the
     output is a pure function of the verified-pair graph (independent of
@@ -489,21 +499,298 @@ def _label_dataset(
     for i, r in label.items():
         if r not in root_min or i < root_min[r]:
             root_min[r] = i
-    label = {i: root_min[r] for i, r in label.items() if i != root_min[r]}
-    label_ref = ray.put(label)
+    return {i: root_min[r] for i, r in label.items() if i != root_min[r]}
+
+
+def _apply_labels_broadcast(
+    ids_ds: rd.Dataset, id_col: str, label: dict
+) -> rd.Dataset:
+    """Small-side label apply: ONE ray.put of a pandas Series keyed by id,
+    then a C-speed isin + map per batch (no per-row Python). Exact for
+    64-bit ints: only matched rows go through map, so no NaN and no
+    float64 round-trip; string ids work unchanged."""
+    s = pd.Series(list(label.values()), index=list(label.keys()))
+    label_ref = ray.put(s)
 
     def _label(batch: pd.DataFrame, _ref=label_ref, _c=id_col) -> pd.DataFrame:
         lab = ray.get(_ref)
-        # dict.get over native Python values: exact for 64-bit ints (a
-        # pandas map+fillna would round-trip through float64 and corrupt
-        # ids >= 2^53) and works for string ids unchanged
+        batch = batch.copy()
         ids = batch[_c]
-        grp = pd.Series(
-            [lab.get(i, i) for i in ids.tolist()], index=ids.index, dtype=ids.dtype
-        )
-        return pd.DataFrame({_c: ids, "dup_group": grp})
+        # numpy positional assignment: a pandas masked setitem would promote
+        # through float64 and corrupt int ids >= 2^53 (regression-tested)
+        vals = ids.to_numpy(copy=True)
+        m = ids.isin(lab.index).to_numpy()
+        if m.any():
+            vals[m] = ids[m].map(lab).to_numpy()
+        batch["dup_group"] = pd.Series(vals, index=ids.index, dtype=ids.dtype)
+        return batch
 
     return ids_ds.map_batches(_label, batch_format="pandas")
+
+
+def _strip_meta(ds: rd.Dataset) -> rd.Dataset:
+    """Strip b'pandas' schema metadata before a hash join/shuffle: blocks
+    that round-tripped through pandas carry it, which makes pa.Schema
+    unhashable — the shuffle aggregator then logs a hash failure per block
+    merge and loses unify_schemas' early exit (same issue shuffle.py fixes
+    for repartition)."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
+def _apply_labels_join(
+    ids_ds: rd.Dataset, id_col: str, labels: rd.Dataset
+) -> rd.Dataset:
+    """Large-side label apply: distributed left join of the ids stream
+    against a (``__lab_id``, ``__lab``) labels Dataset — no driver dict, no
+    broadcast. Both sides are tagged to one schema, unioned, and hash-
+    shuffled ONCE on the id key; each co-located block then runs a plain
+    in-memory arrow left join. (Not Dataset.join: Ray 2.49's join operator
+    feeds acero a column-less right table for label-empty partitions and a
+    left_outer join raises 'no match for FieldRef' — label-empty partitions
+    are the NORM here, since labels are sized by the dup count while ids
+    span the corpus. Arrow end to end: a pandas pass would widen the
+    nullable int64 __lab column to float64 and corrupt ids >= 2^53.)
+    Unlabeled rows coalesce dup_group to their own id."""
+    import pyarrow.compute as pc
+
+    def _tag_ids(t: pa.Table, _c=id_col) -> pa.Table:
+        t = t.append_column("__key", t.column(_c))
+        t = t.append_column("__lab", pa.nulls(t.num_rows, type=t.column(_c).type))
+        return t.append_column(
+            "__is_lab", pa.array(np.zeros(t.num_rows, dtype=bool))
+        )
+
+    ids_schema = _strip_meta(ids_ds).schema().base_schema
+
+    def _tag_labels(t: pa.Table, _sch=ids_schema) -> pa.Table:
+        cols = {f.name: pa.nulls(t.num_rows, type=f.type) for f in _sch}
+        cols["__key"] = t.column("__lab_id")
+        cols["__lab"] = t.column("__lab")
+        cols["__is_lab"] = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    tagged = _strip_meta(ids_ds).map_batches(
+        _tag_ids, batch_format="pyarrow"
+    ).union(_strip_meta(labels).map_batches(_tag_labels, batch_format="pyarrow"))
+
+    def _merge_block(t: pa.Table, _c=id_col) -> pa.Table:
+        is_lab = t.column("__is_lab")
+        if isinstance(is_lab, pa.ChunkedArray):
+            is_lab = is_lab.combine_chunks()
+        labs = t.filter(is_lab)
+        rows = t.filter(pc.invert(is_lab)).drop_columns(["__lab", "__is_lab"])
+        if labs.num_rows == 0:
+            grp = rows.column("__key")
+            if isinstance(grp, pa.ChunkedArray):
+                grp = grp.combine_chunks()
+            return rows.drop_columns(["__key"]).append_column("dup_group", grp)
+        lab_tbl = labs.select(["__key", "__lab"]).rename_columns(
+            ["__lab_id", "__lab"]
+        )
+        j = rows.join(
+            lab_tbl, keys=["__key"], right_keys=["__lab_id"],
+            join_type="left outer",
+        )
+        grp = pc.coalesce(j.column("__lab"), j.column("__key"))
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        return j.drop_columns(["__key", "__lab"]).append_column("dup_group", grp)
+
+    return hash_partitioned_map_batches(
+        tagged, ["__key"], _merge_block, batch_format="pyarrow"
+    )
+
+
+def _labels_dataset_from_dict(label: dict) -> rd.Dataset:
+    """Non-identity label dict -> a sharded labels Dataset (the dict already
+    lives on the driver because union-find ran there; sharding the blocks
+    here keeps any single object-store put bounded)."""
+    df = pd.DataFrame({"__lab_id": list(label.keys()), "__lab": list(label.values())})
+    t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    step = 1 << 18
+    if t.num_rows <= step:
+        return rd.from_arrow(t)
+    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+
+
+def _labels_by_propagation(
+    pairs: rd.Dataset, *, max_iters: int = 30
+) -> rd.Dataset:
+    """Distributed connected components over a pair Dataset via iterative
+    min-label propagation — the fallback when the verified-pair graph is too
+    large for driver union-find. Returns a (``__lab_id``, ``__lab``)
+    Dataset with __lab = component minimum, NON-IDENTITY rows only.
+
+    Each round: every node takes min(own label, neighbors' labels) — two
+    hash shuffles with vectorized per-block kernels (message generation
+    co-locates edges-by-nbr with labels-by-node and runs one in-memory
+    arrow inner join per block; the min step is one pandas groupby-min per
+    block). No Dataset.join anywhere: Ray 2.49's join operator feeds acero
+    a column-less table for row-empty partitions, which a sparse labels
+    side hits routinely. Converges in O(component diameter) rounds
+    (near-dup clusters are shallow in practice); bounded by max_iters with
+    a loud failure rather than a silent wrong answer. Everything here is
+    sized by the PAIR GRAPH, never the corpus."""
+    import pyarrow.compute as pc
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_part = max(8, cpus)
+
+    def _bidir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "nbr": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+
+    edges = _strip_meta(
+        pairs.map_batches(_bidir, batch_format="pandas")
+    ).materialize()
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": df["node"], "__lab": df["node"]})
+        g = df.groupby("node", as_index=False)["nbr"].min()
+        return pd.DataFrame(
+            {"node": g["node"], "__lab": np.minimum(g["node"], g["nbr"])}
+        )
+
+    labels = _strip_meta(
+        hash_partitioned_map_batches(edges, ["node"], _init, num_blocks=n_part)
+    ).materialize()
+
+    # ---- per-round kernels (all arrow-typed, empty-block-safe) ----------
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        return pa.table(
+            {
+                "key": t.column("nbr"),
+                "node": node,
+                "__lab": pa.nulls(t.num_rows, type=node.type),
+                "__is_lab": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def _tag_lab(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        return pa.table(
+            {
+                "key": node,
+                "node": pa.nulls(t.num_rows, type=node.type),
+                "__lab": t.column("__lab"),
+                "__is_lab": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def _msgs_block(t: pa.Table) -> pa.Table:
+        is_lab = t.column("__is_lab")
+        if isinstance(is_lab, pa.ChunkedArray):
+            is_lab = is_lab.combine_chunks()
+        labs = t.filter(is_lab).select(["key", "__lab"])
+        eds = t.filter(pc.invert(is_lab)).select(["key", "node"])
+        if labs.num_rows == 0 or eds.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.nulls(0, type=t.column("node").type),
+                    "__lab": pa.nulls(0, type=t.column("__lab").type),
+                }
+            )
+        j = eds.join(labs, keys=["key"], join_type="inner")
+        return j.select(["node", "__lab"])
+
+    def _min_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"node": df["node"], "__lab": df["__lab"],
+                 "__chg": pd.Series(dtype="int64")}
+            )
+        new = df.groupby("node")["__lab"].min()
+        old = df.loc[df["__old"], ["node", "__lab"]].set_index("node")["__lab"]
+        # every node has exactly one old-label row (labels are node-unique
+        # by the previous round's groupby; messages only target edge
+        # endpoints, all of which carry labels)
+        chg = (new < old.reindex(new.index)).astype("int64")
+        return pd.DataFrame(
+            {"node": new.index.to_numpy(), "__lab": new.to_numpy(),
+             "__chg": chg.to_numpy()}
+        )
+
+    def _tag_old(t: pa.Table, old: bool) -> pa.Table:
+        flag = np.ones if old else np.zeros
+        return t.select(["node", "__lab"]).append_column(
+            "__old", pa.array(flag(t.num_rows, dtype=bool))
+        )
+
+    for _ in range(max_iters):
+        tagged = edges.map_batches(_tag_edge, batch_format="pyarrow").union(
+            labels.map_batches(_tag_lab, batch_format="pyarrow")
+        )
+        msgs = hash_partitioned_map_batches(
+            tagged, ["key"], _msgs_block, batch_format="pyarrow",
+            num_blocks=n_part,
+        )
+        u2 = labels.map_batches(
+            _fpartial(_tag_old, old=True), batch_format="pyarrow"
+        ).union(msgs.map_batches(_fpartial(_tag_old, old=False), batch_format="pyarrow"))
+        new_labels = _strip_meta(
+            hash_partitioned_map_batches(
+                u2, ["node"], _min_block, num_blocks=n_part
+            )
+        ).materialize()
+        n_changed = int(new_labels.sum("__chg") or 0)
+        labels = new_labels.select_columns(["node", "__lab"]).materialize()
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds — "
+            "component diameter exceeds the bound; raise max_iters"
+        )
+
+    def _nonidentity(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["node"] != df["__lab"]]
+        return pd.DataFrame({"__lab_id": out["node"], "__lab": out["__lab"]})
+
+    return labels.map_batches(_nonidentity, batch_format="pandas")
+
+
+def _label_dataset(
+    ids_ds: rd.Dataset,
+    id_col: str,
+    verified_pairs: list[tuple],
+    *,
+    label_broadcast_threshold: int = _LABEL_BROADCAST_MAX,
+    pair_graph_driver_max: int = _PAIR_GRAPH_DRIVER_MAX,
+) -> rd.Dataset:
+    """Cluster verified pairs and stamp every row of ids_ds with dup_group
+    (= min id of its duplicate cluster; identity for non-duplicates).
+
+    Combine sites, gated like every other driver path in this module:
+    - pairs <= pair_graph_driver_max: driver union-find (exact, O(pairs));
+      then the NON-IDENTITY labels apply via ray.put broadcast when they fit
+      label_broadcast_threshold, else via a distributed hash join — driver
+      memory and broadcast bytes stay bounded even at 30-50% duplication.
+    - pairs above the bound: distributed min-label propagation; labels never
+      exist as a driver dict at all."""
+    if len(verified_pairs) > pair_graph_driver_max:
+        pairs_df = pd.DataFrame(verified_pairs, columns=["a", "b"])
+        t = pa.Table.from_pandas(
+            pairs_df, preserve_index=False
+        ).replace_schema_metadata(None)
+        step = 1 << 18
+        pairs_ds = rd.from_arrow(
+            [t.slice(i, step) for i in range(0, max(t.num_rows, 1), step)]
+        )
+        return _apply_labels_join(
+            ids_ds, id_col, _labels_by_propagation(pairs_ds)
+        )
+    label = _labels_nonidentity(verified_pairs)
+    if len(label) <= label_broadcast_threshold:
+        return _apply_labels_broadcast(ids_ds, id_col, label)
+    return _apply_labels_join(ids_ds, id_col, _labels_dataset_from_dict(label))
 
 
 def minhash_lsh_dedup(
@@ -515,13 +802,18 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     driver_threshold: int = 200_000,
     row_hint: int | None = None,
+    label_broadcast_threshold: int = _LABEL_BROADCAST_MAX,
+    pair_graph_driver_max: int = _PAIR_GRAPH_DRIVER_MAX,
 ) -> rd.Dataset:
     """Near-dup clustering: returns (doc_id, dup_group).
 
     Candidate pairs and verified pairs are the ONLY driver-side materials
     (tiny by LSH design); shingling, banding, and exact-Jaccard verification
     all run distributed — corpus text never reaches the driver. Anchor-pair
-    candidates suffice: union-find connects every bucket through its anchor."""
+    candidates suffice: union-find connects every bucket through its anchor.
+    Label application is gated too (see _label_dataset): in the high-dup
+    regime the labels join distributed instead of broadcasting a driver
+    dict sized by the duplicate count."""
     cand = _lsh_candidate_pairs(
         docs, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
         driver_threshold=driver_threshold, row_hint=row_hint,
@@ -535,7 +827,11 @@ def minhash_lsh_dedup(
         for a, b, j in zip(scored["a"].tolist(), scored["b"].tolist(), scored["jaccard"])
         if j >= jaccard_threshold
     ]
-    return _label_dataset(docs.select_columns(["doc_id"]), "doc_id", verified)
+    return _label_dataset(
+        docs.select_columns(["doc_id"]), "doc_id", verified,
+        label_broadcast_threshold=label_broadcast_threshold,
+        pair_graph_driver_max=pair_graph_driver_max,
+    )
 
 
 def _union_find_labels(ids, pairs) -> dict:
@@ -611,13 +907,20 @@ def _simhash_pairs_block(block: pd.DataFrame, _maxh: int = 3) -> pd.DataFrame:
     return pd.concat([runs, cross], ignore_index=True)
 
 
-def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
+def simhash_dedup(
+    docs: rd.Dataset,
+    *,
+    max_hamming: int = 3,
+    label_broadcast_threshold: int = _LABEL_BROADCAST_MAX,
+    pair_graph_driver_max: int = _PAIR_GRAPH_DRIVER_MAX,
+) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band buckets -> candidates + Hamming verify
     in ONE vectorized pass per hash-shuffled block (signatures are co-located
     with the bucket, so only band rows shuffle and nothing but verified pairs
     reaches the driver; bucket cardinality is up to 4x2^16, so a per-group
     callable would pay ~262k Python dispatches). Returns
-    (doc_id, simhash, dup_group)."""
+    (doc_id, simhash, dup_group). Label application shares _label_dataset's
+    gated combine sites (broadcast / distributed join / propagation)."""
 
     def _sig(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -656,24 +959,13 @@ def simhash_dedup(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
         verified_pd = pd.DataFrame(_EMPTY_PAIRS)
     verified_pd = verified_pd.drop_duplicates()
     verified = list(zip(verified_pd["a"].tolist(), verified_pd["b"].tolist()))
-
-    pair_ids = sorted({i for p in verified for i in p})
-    label = _union_find_labels(pair_ids, verified)
-    label = {i: r for i, r in label.items() if i != r}
-    label_ref = ray.put(label)
-
-    def _label(batch: pd.DataFrame, _ref=label_ref) -> pd.DataFrame:
-        lab = ray.get(_ref)
-        batch = batch.copy()
-        ids = batch["doc_id"]
-        # dict.get over native values: exact for 64-bit ids (no float
-        # round-trip) and type-agnostic
-        batch["dup_group"] = pd.Series(
-            [lab.get(i, i) for i in ids.tolist()], index=ids.index, dtype=ids.dtype
-        )
-        return batch
-
-    return sigs.map_batches(_label, batch_format="pandas")
+    # the union-find here uses union-by-min, so the raw root already equals
+    # the component minimum — _label_dataset's canonicalization is identical
+    return _label_dataset(
+        sigs, "doc_id", verified,
+        label_broadcast_threshold=label_broadcast_threshold,
+        pair_graph_driver_max=pair_graph_driver_max,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -736,6 +1028,8 @@ def ngram_jaccard_pairs(
 def embedding_dedup(
     emb: rd.Dataset, *, threshold: float = 0.95, n_planes: int = 16, seed: int = 99,
     n_tables: int = 2,
+    label_broadcast_threshold: int = _LABEL_BROADCAST_MAX,
+    pair_graph_driver_max: int = _PAIR_GRAPH_DRIVER_MAX,
 ) -> rd.Dataset:
     """Near-dup by cosine similarity over an embedding column: sign-LSH
     buckets (n_tables independent hyperplane sets — a missed collision in
@@ -803,4 +1097,8 @@ def embedding_dedup(
     verified = [
         (min(a, b), max(a, b)) for a, b in zip(cand["a"].tolist(), cand["b"].tolist())
     ]
-    return _label_dataset(emb.select_columns(["vec_id"]), "vec_id", verified)
+    return _label_dataset(
+        emb.select_columns(["vec_id"]), "vec_id", verified,
+        label_broadcast_threshold=label_broadcast_threshold,
+        pair_graph_driver_max=pair_graph_driver_max,
+    )
