@@ -79,8 +79,13 @@ class CrawlConfig:
     politeness_rate: float = 64.0   # tokens/sec per host
     politeness_burst: float = 64.0
     politeness_dt: float = 1.0      # virtual seconds per epoch
-    n_seen_shards: int = 4
-    n_sched_shards: int = 2
+    # state-actor shard counts: None = derive from the cluster at CrawlJob
+    # construction (CPUs/8 seen shards, CPUs/16 scheduler shards, floors 4/2)
+    # so the seen/scheduler RPC fan-in scales with the cluster instead of
+    # funneling a 4N-node cluster into fixed constants. Resume re-routes
+    # checkpointed state across a DIFFERENT shard count (see _restore_state).
+    n_seen_shards: int | None = None
+    n_sched_shards: int | None = None
     seen_capacity: int = 1 << 20
     exact_seen: bool = False        # exact per-shard sets for conformance tests
     # epochs whose docs row count exceeds this commit marks/counters via the
@@ -149,16 +154,22 @@ class CrawlJob:
         os.makedirs(self.workdir, exist_ok=True)
         _install_schema_warning_filter()
         # state actors are bookkeeping, not compute: num_cpus=0 so they never
-        # compete with (or deadlock against) the Data execution pool
+        # compete with (or deadlock against) the Data execution pool.
+        # Shard counts default from cluster size (shard routing only
+        # distributes state — admission/seen semantics are count-invariant,
+        # which is what makes resume-across-counts sound).
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_seen = cfg.n_seen_shards or max(4, cpus // 8)
+        n_sched = cfg.n_sched_shards or max(2, cpus // 16)
         self.seen = [
             ray.remote(num_cpus=0)(SeenShard).remote(cfg.seen_capacity, cfg.exact_seen)
-            for _ in range(cfg.n_seen_shards)
+            for _ in range(n_seen)
         ]
         self.sched = [
             ray.remote(num_cpus=0)(HostScheduler).remote(
                 cfg.politeness_rate, cfg.politeness_burst, cfg.politeness_dt, cfg.seed
             )
-            for _ in range(cfg.n_sched_shards)
+            for _ in range(n_sched)
         ]
         self.counters = ray.remote(num_cpus=0)(CrawlCounters).remote()
 
@@ -221,25 +232,117 @@ class CrawlJob:
         return e
 
     def _restore_state(self, e: int) -> None:
+        import glob as _glob
+
         with open(self._manifest_path(e)) as f:
             manifest = json.load(f)
         state_dir = os.path.join(self._epoch_dir(e), "state")
-        for i, shard in enumerate(self.seen):
-            z = np.load(os.path.join(state_dir, f"seen_{i}.npz"), allow_pickle=False)
-            state = {
-                "table": z["table"],
-                "count": int(z["count"]),
-                "bucket_size": int(z["bucket_size"]),
-                "exact": bool(z["exact"]),
-                "exact_set": z["exact_set"] if z["exact"] else None,
-                "stash": z["stash"] if "stash" in z.files else None,
-                "kick_failures": int(z["kick_failures"]) if "kick_failures" in z.files else 0,
-            }
-            ray.get(shard.load.remote(state))
-        for i, shard in enumerate(self.sched):
-            with open(os.path.join(state_dir, f"sched_{i}.json")) as f:
-                ray.get(shard.load.remote(json.load(f)))
+        seen_files = sorted(_glob.glob(os.path.join(state_dir, "seen_*.npz")))
+        sched_files = sorted(_glob.glob(os.path.join(state_dir, "sched_*.json")))
+        if len(seen_files) == len(self.seen):
+            for shard, path in zip(self.seen, seen_files):
+                z = np.load(path, allow_pickle=False)
+                state = {
+                    "table": z["table"],
+                    "count": int(z["count"]),
+                    "bucket_size": int(z["bucket_size"]),
+                    "exact": bool(z["exact"]),
+                    "exact_set": z["exact_set"] if z["exact"] else None,
+                    "stash": z["stash"] if "stash" in z.files else None,
+                    "kick_failures": int(z["kick_failures"]) if "kick_failures" in z.files else 0,
+                }
+                ray.get(shard.load.remote(state))
+        else:
+            self._reshard_seen(e, seen_files)
+        if len(sched_files) == len(self.sched):
+            for shard, path in zip(self.sched, sched_files):
+                with open(path) as f:
+                    ray.get(shard.load.remote(json.load(f)))
+        else:
+            self._reshard_sched(sched_files)
         ray.get(self.counters.load.remote(manifest["counters"]))
+
+    def _reshard_sched(self, sched_files: list[str]) -> None:
+        """Resume across a different scheduler shard count: merge the dumped
+        (host -> tokens/robots) maps and re-route every host by hash into
+        the new shard layout. Budgets are per-host pure state, so the
+        admission sequence is bit-identical to an un-resharded resume."""
+        per: list[dict] = [{"tokens": {}, "robots": {}} for _ in self.sched]
+        n = len(self.sched)
+        for path in sched_files:
+            with open(path) as f:
+                d = json.load(f)
+            for h, t in d.get("tokens", {}).items():
+                per[scheduler_shard_of(h, n)]["tokens"][h] = t
+            for h, r in d.get("robots", {}).items():
+                per[scheduler_shard_of(h, n)]["robots"][h] = r
+        ray.get([s.load.remote(d) for s, d in zip(self.sched, per)])
+
+    def _reshard_seen(self, e: int, seen_files: list[str]) -> None:
+        """Resume across a different seen-shard count: re-route the dumped
+        segments by hash.
+
+        Exact dumps carry the raw uint64 hashes — re-route those directly.
+        Filter-only dumps are not invertible (a cuckoo table stores 16-bit
+        fingerprints), so the seen set is rebuilt from its system of
+        record: the canonical_hash column of every finalized epoch's docs
+        parquet — exactly the stream _commit_epoch marked in the first
+        place (and the same idempotent mark() call). Small lineages replay
+        on the driver; large ones via the distributed commit-style pass."""
+        exact_sets = []
+        all_exact = True
+        for path in seen_files:
+            z = np.load(path, allow_pickle=False)
+            if bool(z["exact"]):
+                exact_sets.append(z["exact_set"])
+            else:
+                all_exact = False
+                break
+        if all_exact and exact_sets:
+            hashes = np.concatenate(exact_sets).astype(np.uint64)
+            self._mark_hashes(hashes)
+            return
+        # rebuild from docs lineage (epochs 0..e)
+        for ep in range(e + 1):
+            docs = self._docs_path(ep)
+            if not os.path.exists(docs):
+                continue
+            if self._parquet_num_rows(docs) <= self.cfg.commit_driver_threshold:
+                t = pq.read_table(docs, columns=["canonical_hash"])
+                self._mark_hashes(
+                    t.column("canonical_hash").to_numpy().astype(np.uint64, copy=False)
+                )
+            else:
+                seen_actors = self.seen
+                n_sh = len(seen_actors)
+
+                def _mark(t: pa.Table, _a=seen_actors, _n=n_sh) -> pa.Table:
+                    h = t.column("canonical_hash").to_numpy().astype(np.uint64, copy=False)
+                    route = shard_of(h, _n)
+                    refs = [
+                        _a[s].mark.remote(h[route == s])
+                        for s in range(_n)
+                        if (route == s).any()
+                    ]
+                    ray.get(refs)
+                    return pa.table({"n": [t.num_rows]})
+
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+                rd.read_parquet(
+                    docs, columns=["canonical_hash"],
+                    override_num_blocks=max(4, cpus // 4),
+                ).map_batches(_mark, batch_format="pyarrow").to_pandas()
+
+    def _mark_hashes(self, hashes: np.ndarray) -> None:
+        n = len(self.seen)
+        route = shard_of(hashes, n)
+        refs = [
+            self.seen[s].mark.remote(hashes[route == s])
+            for s in range(n)
+            if (route == s).any()
+        ]
+        if refs:
+            ray.get(refs)
 
     def _checkpoint(self, e: int, extra: dict[str, Any]) -> None:
         state_dir = os.path.join(self._epoch_dir(e), "state")
@@ -704,7 +807,7 @@ class CrawlJob:
                 by_shard: dict[int, list[str]] = {}
                 for h in hosts:
                     by_shard.setdefault(
-                        scheduler_shard_of(h, cfg.n_sched_shards), []
+                        scheduler_shard_of(h, len(self.sched)), []
                     ).append(h)
                 ray.get([sh.tick.remote() for sh in self.sched])
                 budget_parts = ray.get(
@@ -738,7 +841,7 @@ class CrawlJob:
                 for h, n in admitted_n.items():
                     if n:
                         consume_by_shard.setdefault(
-                            scheduler_shard_of(h, cfg.n_sched_shards), {}
+                            scheduler_shard_of(h, len(self.sched)), {}
                         )[h] = n
                 ray.get(
                     [self.sched[i].consume.remote(d) for i, d in consume_by_shard.items()]

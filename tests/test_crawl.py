@@ -600,3 +600,69 @@ def test_broadcast_merge_branch_matches_oracle(ray_session, monkeypatch):
             want[e] = set(fresh)
     assert got == want
     assert job.seen_hashes() == sim.seen_hashes
+
+
+def test_resume_across_shard_counts(ray_session):
+    """Reshard on resume (VERDICT r3 #7): a checkpoint written under one
+    (seen, sched) shard layout restores into a job with a DIFFERENT layout
+    — exact dumps re-route by hash — and the resumed crawl matches the
+    uninterrupted run exactly."""
+    full_dir, part_dir = "/tmp/odsr_crawl_full_rs", "/tmp/odsr_crawl_part_rs"
+    for d in (full_dir, part_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    full_job = CrawlJob(_cfg(full_dir))
+    full_job.run()
+    full_docs = full_job.docs_dataset().to_pandas()
+
+    part_job = CrawlJob(_cfg(part_dir, max_epochs=2))  # 3 seen / 2 sched
+    part_job.run()
+    assert part_job.last_complete_epoch() == 1
+
+    # resume with 5 seen shards / 3 scheduler shards
+    resumed = CrawlJob(_cfg(part_dir, n_seen_shards=5, n_sched_shards=3))
+    resumed.run(resume=True)
+    resumed_docs = resumed.docs_dataset().to_pandas()
+
+    assert resumed.seen_hashes() == full_job.seen_hashes()
+    key = ["epoch", "url"]
+    got = resumed_docs.sort_values(key).reset_index(drop=True)
+    want = full_docs.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["epoch", "url", "status", "crawl_key"]],
+        want[["epoch", "url", "status", "crawl_key"]],
+    )
+
+
+def test_resume_reshard_filter_only_rebuilds_from_lineage(ray_session):
+    """Filter-only (non-exact) checkpoints cannot be re-routed — a cuckoo
+    table holds 16-bit fingerprints, not hashes — so a resharded resume
+    rebuilds the seen set from the docs lineage's canonical_hash column
+    (the commit pass's own system of record). The resumed crawl must not
+    refetch any URL fetched before the kill."""
+    part_dir = "/tmp/odsr_crawl_part_rsf"
+    shutil.rmtree(part_dir, ignore_errors=True)
+
+    part_job = CrawlJob(_cfg(part_dir, exact_seen=False, max_epochs=2))
+    part_job.run()
+    pre = part_job.docs_dataset().to_pandas()
+    assert len(pre)
+
+    resumed = CrawlJob(_cfg(part_dir, exact_seen=False, n_seen_shards=5))
+    resumed.run(resume=True)
+    docs = resumed.docs_dataset().to_pandas()
+    # every URL appears exactly once across the kill/resume boundary
+    assert docs["url"].is_unique
+    # the pre-kill epochs' docs are still the same rows (not refetched)
+    assert set(pre["url"]).issubset(set(docs["url"]))
+
+
+def test_auto_shard_counts_scale_with_cluster(ray_session):
+    """Default shard counts derive from ray.cluster_resources() with floors
+    4/2 — the fixed-constant funnel flagged in VERDICT r3 #7."""
+    import ray as _ray
+
+    job = CrawlJob(CrawlConfig(workdir="/tmp/odsr_auto_shards"))
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    assert len(job.seen) == max(4, cpus // 8)
+    assert len(job.sched) == max(2, cpus // 16)
