@@ -1116,14 +1116,18 @@ def embedding_dedup(
     within-bucket candidate pairs -> exact-cosine verify on candidate
     members only -> components. Returns (vec_id, dup_group).
 
-    Shuffle shape (VERDICT r3 #5): bucket rows carry TWO scalars per
-    (vector, table) — a uint64 id-hash and the int64 bucket key — never
-    the vector itself (the previous shape shipped each normalized vector
-    n_tables x through the widest shuffle). Vectors are read again only
-    for candidate pair members (_verify_pairs_cosine), bounded by the
-    collision rate; under driver_threshold vectors the bucket rows
-    combine on the driver with no shuffle at all. Driver holds only
-    candidate/verified pairs + non-identity labels."""
+    Shuffle shape (VERDICT r3 #5): bucket rows carry a uint64 id-hash, the
+    int64 bucket key, and a FLOAT16-quantized copy of the normalized
+    vector — the half-precision copy exists only to kill false candidates
+    INSIDE the bucket (per-bucket matmul with a quantization margin), so
+    the pairs that leave the shuffle are sized by the true-duplicate rate.
+    (The r3 shape shipped full fp32 vectors n_tables x; a pure id-only
+    shape was tried and discarded: with bucket occupancy ~8 at 500k
+    vectors, unfiltered within-bucket all-pairs explode into millions of
+    false candidates whose exact verify costs far more than the f16 bytes
+    save.) Final similarity is re-checked on EXACT fp32 vectors for the
+    f16-survivors only (_verify_pairs_cosine, candidate-bounded). Driver
+    holds only candidate/verified pairs + non-identity labels."""
     first = emb.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
@@ -1132,44 +1136,64 @@ def embedding_dedup(
         for _ in range(n_tables)
     ]
     planes_ref = ray.put(planes)
+    # f16 rounding error on a unit-vector dot is ~dim * 2^-11 / sqrt(dim);
+    # 0.01 covers dims up to ~400 with 4x headroom
+    margin = 0.01
 
     def _bucket(batch: pd.DataFrame, _ref=planes_ref) -> pd.DataFrame:
         ps = ray.get(_ref)
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        q = m.astype(np.float16)
         idh = pd.util.hash_array(batch["vec_id"].to_numpy(), categorize=False)
         frames = []
         for t, p in enumerate(ps):
             bits = (m @ p) > 0
             keys = (bits * (1 << np.arange(p.shape[1]))).sum(axis=1)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": idh,  # uint64 id-hash (the LSH band-row trick)
-                        "band": np.int64(t),
-                        # table id folded into the bucket key
-                        "band_hash": keys.astype(np.int64) * len(ps) + t,
-                    }
-                )
+            f = pd.DataFrame(
+                {
+                    "idh": idh,
+                    # table id folded into the bucket key
+                    "bucket": keys.astype(np.int64) * len(ps) + t,
+                }
             )
+            f["qvec"] = list(q)
+            frames.append(f)
         return pd.concat(frames, ignore_index=True)
 
     buckets = emb.map_batches(_bucket, batch_format="pandas")
-    n_vecs = emb.count() if row_hint is None else row_hint
-    if n_vecs <= driver_threshold:
-        bp = buckets.to_pandas()
-        cand = (
-            _pairs_from_band_frame(bp, "all") if len(bp)
-            else pd.DataFrame(_EMPTY_PAIRS)
-        )
-    else:
-        cand = hash_partitioned_map_batches(
-            buckets, ["band", "band_hash"],
-            _fpartial(_pairs_from_band_frame, pair_mode="all"),
-        ).to_pandas()
-        if "a" not in cand.columns:
-            cand = pd.DataFrame(_EMPTY_PAIRS)
-        cand = cand.drop_duplicates().reset_index(drop=True)
+
+    def _pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="uint64"), "b": pd.Series(dtype="uint64")}
+            )
+        sizes = block.groupby("bucket")["idh"].transform("size")
+        block = block[sizes >= 2]
+        frames = []
+        # the per-bucket matmul is the kernel; this loop runs only over
+        # multi-member buckets in this block (no per-group dispatch around it)
+        for _, g in block.groupby("bucket"):
+            m = np.stack([np.asarray(v) for v in g["qvec"].to_numpy()]).astype(
+                np.float32
+            )
+            sims = m @ m.T
+            ids = g["idh"].to_numpy()
+            ai, bi = np.where(np.triu(sims >= threshold - margin, k=1))
+            if ai.size:
+                frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="uint64"), "b": pd.Series(dtype="uint64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cand = hash_partitioned_map_batches(
+        buckets, ["bucket"], _pairs_block
+    ).to_pandas()
+    if "a" not in cand.columns:
+        cand = pd.DataFrame(_EMPTY_PAIRS)
+    cand = cand.drop_duplicates().reset_index(drop=True)
     cand = _resolve_pair_ids(emb, cand, id_col="vec_id")
     scored = _verify_pairs_cosine(
         emb, cand, threshold=threshold,

@@ -171,7 +171,7 @@ def cmd_embed() -> dict:
     agg = labeled.map_batches(_cnt, batch_format="pandas").to_pandas()
     sec = time.perf_counter() - t0
     out = {
-        "rehearsal": "embedding_dedup_forced_scalar_bucket_rows",
+        "rehearsal": "embedding_dedup_forced_f16_bucket_rows",
         "rows": n_rows, "ground_truth_dups": int(gt),
         "labeled_rows": int(agg["n"].sum()), "dups_found": int(agg["d"].sum()),
         "sec": round(sec, 1), "num_cpus": num_cpus,
