@@ -143,12 +143,18 @@ def run_bench() -> dict:
     # ---- relational battery over sf_dir --------------------------------
     from outage_data_scraper_ray.functions.relational import SQL_QUERIES
 
+    import ray.data as rd
+
     qtimes: dict[str, float] = {}
     for name, (fn, _sql) in SQL_QUERIES.items():
         t0 = time.perf_counter()
         res = fn(sf_dir)
-        # consume lazily-built datasets so we time real execution
-        if hasattr(res, "count") and not hasattr(res, "columns"):
+        # consume lazily-built datasets so we time real execution. (The
+        # r1-r3 guard `not hasattr(res, "columns")` was always False —
+        # Dataset.columns() exists — so Dataset-returning queries were
+        # never executed; their historical per-query numbers measured plan
+        # construction only. Fixed round 4; see BASELINE.md.)
+        if isinstance(res, rd.Dataset):
             res.count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
 

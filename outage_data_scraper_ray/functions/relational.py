@@ -36,6 +36,45 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     )
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers only — no Dataset execution."""
+    import glob
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+# Grouped-battery combine site: inputs bounded by this run the (identical)
+# vectorized kernel once on the driver — a 32-partition hash shuffle pays
+# ~seconds of aggregator-actor spin-up that dwarfs the work at test scale;
+# above it, ONE hash shuffle + the same kernel per co-located block (the
+# shuffle.py doctrine). 0 forces the distributed branch (tests).
+_GROUP_DRIVER_THRESHOLD = 500_000
+
+
+def _gated_grouped(
+    ds: rd.Dataset,
+    keys: list[str],
+    kernel,
+    n_rows: int,
+    driver_threshold: int,
+) -> rd.Dataset:
+    """Apply a per-block grouped kernel either on the driver (small input,
+    whole frame = one block — the kernel is correct for any union of
+    complete key groups, so one frame is trivially correct) or after one
+    hash shuffle on the keys."""
+    if n_rows <= driver_threshold:
+        out = kernel(ds.to_pandas())
+        t = pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False
+        ).replace_schema_metadata(None)
+        return rd.from_arrow(t)
+    return hash_partitioned_map_batches(ds, keys, kernel)
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: per-batch partial aggregation (combine before the
 # shuffle, ray_guide "Aggregation at scale") then a tiny groupby of partials.
@@ -192,12 +231,15 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # ---------------------------------------------------------------------------
 # A2: grouped window max broadcast back to rows (pipeline.py:112)
 
-def window_end_ts(sf_dir: str) -> rd.Dataset:
+def window_end_ts(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset:
     # user_id cardinality grows with the data, so groupby().map_groups would
     # pay a Python dispatch per user (shuffle.py doctrine). Instead: ONE
     # hash-shuffle co-locates each user's rows, then a single vectorized
     # transform('max') per BLOCK — co-location makes the per-block group max
-    # the global window max.
+    # the global window max. Small inputs run the same kernel once on the
+    # driver (_gated_grouped).
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def _per_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +250,10 @@ def window_end_ts(sf_dir: str) -> rd.Dataset:
         )
         return df
 
-    return hash_partitioned_map_batches(ds, ["user_id"], _per_block)
+    return _gated_grouped(
+        ds, ["user_id"], _per_block, _table_rows(sf_dir, "events"),
+        driver_threshold,
+    )
 
 
 WINDOW_SQL = """
@@ -220,11 +265,14 @@ FROM events
 # ---------------------------------------------------------------------------
 # A4: min-idx dedup (step1_threshold.py:385-388)
 
-def minidx_dedup(sf_dir: str) -> rd.Dataset:
+def minidx_dedup(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset:
     # (user_id, event_type) cardinality is ~data-proportional: hash-shuffle
     # once, then one vectorized sort + drop_duplicates per BLOCK (equivalent
     # to per-group head(1) after the (value, event_id) sort, but O(blocks)
-    # Python calls instead of O(groups)).
+    # Python calls instead of O(groups)). Small inputs run the same kernel
+    # once on the driver (_gated_grouped).
     ds = _read(sf_dir, "events")
 
     def _keep_min_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -232,7 +280,10 @@ def minidx_dedup(sf_dir: str) -> rd.Dataset:
             ["value", "event_id"], kind="mergesort"
         ).drop_duplicates(subset=["user_id", "event_type"], keep="first")
 
-    return hash_partitioned_map_batches(ds, ["user_id", "event_type"], _keep_min_block)
+    return _gated_grouped(
+        ds, ["user_id", "event_type"], _keep_min_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
 
 
 MINIDX_SQL = """
@@ -247,13 +298,16 @@ QUALIFY row_number() OVER (
 # A1: the order-sensitive per-group metric block (pipeline.py:79-98), mapped
 # onto the events table: group = user_id, timestamp = ts, affected = value.
 
-def outage_metrics(sf_dir: str) -> rd.Dataset:
+def outage_metrics(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset:
     # user_id cardinality is data-proportional, so the per-group metric block
     # runs as ONE vectorized grouped pass per hash-shuffled BLOCK (first /
     # last / sum / max over the (ts, event_id)-sorted frame), not a Python
     # callable per group. Integer-cents + the exact same float op ORDER as
     # the scalar version keep the doubles bit-identical vs the DuckDB oracle
     # (numpy elementwise IEEE ops == the former per-group Python ops).
+    # Small inputs run the same kernel once on the driver (_gated_grouped).
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def _metrics_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -292,7 +346,10 @@ def outage_metrics(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return hash_partitioned_map_batches(ds, ["user_id"], _metrics_block)
+    return _gated_grouped(
+        ds, ["user_id"], _metrics_block, _table_rows(sf_dir, "events"),
+        driver_threshold,
+    )
 
 
 METRICS_SQL = """
@@ -827,14 +884,33 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 # J2-style large-side hash join (Dataset.join, hash-partitioned on the key)
 
-def hash_join(sf_dir: str) -> rd.Dataset:
+def hash_join(
+    sf_dir: str, *, build_broadcast_threshold: int = 1_000_000
+) -> rd.Dataset:
+    # Small build sides broadcast (ray.put once, C-speed merge per batch —
+    # no shuffle, no join-aggregator actors); a customer table that grows
+    # past the threshold falls back to the distributed hash join, which
+    # shuffles both sides once.
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    if _table_rows(sf_dir, "customer") <= build_broadcast_threshold:
+        import ray
+
+        cust_ref = ray.put(cust.to_pandas())
+
+        def _merge(batch: pd.DataFrame, _r=cust_ref) -> pd.DataFrame:
+            return batch.merge(
+                ray.get(_r), left_on="o_custkey", right_on="c_custkey",
+                how="inner",
+            )[cols]
+
+        return orders.map_batches(_merge, batch_format="pandas")
     joined = orders.join(
         cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
     )
-    return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+    return joined.select_columns(cols)
 
 
 HASH_JOIN_SQL = """

@@ -1,8 +1,11 @@
 """Text analysis operators over a documents table.
 
 All operators are vectorized ``map_batches`` bodies (pandas string kernels /
-numpy), stateful ones (compiled regexes, stopword tables) are callable
-classes -> actor pools. Semantics are chosen to be DuckDB-expressible where
+numpy); the stateful one (compiled regexes, stopword tables) is a callable
+class instantiated once per worker process via lru_cache — init-once
+economics without actor-pool spin-up (a true heavyweight state, e.g. a
+model, would use the actor-pool form instead: multimodal.py does).
+Semantics are chosen to be DuckDB-expressible where
 possible so the driver's oracle gate can verify them:
 
 - token_count: number of ``\\S+`` runs (oracle: length(regexp_extract_all)).
@@ -92,9 +95,25 @@ def token_counts(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(_count, batch_format="pandas")
 
 
-def text_features(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=1)
+def _features_instance() -> TextFeatures:
+    return TextFeatures()
+
+
+def text_features(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    """Stateless tasks with a process-cached TextFeatures instance: the
+    state is a pure function of nothing (compiled regexes + frozen stopword
+    tables), so an lru_cache per worker process gives init-once economics
+    without paying actor-pool spin-up seconds on small corpora (the
+    _minhash_params_cached precedent, dedup.py). `concurrency` caps the
+    task pool when given; default lets the streaming executor size it."""
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     return docs.map_batches(
-        TextFeatures, batch_format="pandas", batch_size=4096, concurrency=concurrency
+        lambda b: _features_instance()(b),
+        batch_format="pandas", batch_size=4096, **kw,
     )
 
 

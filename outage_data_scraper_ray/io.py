@@ -30,9 +30,18 @@ def read_parquet_clean(
     make pa.Schema unhashable, so every downstream block merge logs "Failed
     to hash the schemas" and loses unify_schemas' early exit. One driver
     footer read builds a metadata-free (projected) schema instead."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    sch = pq.read_schema(path).remove_metadata()
+    schema_src = path
+    if os.path.isdir(path):
+        # directory datasets (one file per shard/copy): schema from the
+        # first footer — all shards share it by construction
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if files:
+            schema_src = files[0]
+    sch = pq.read_schema(schema_src).remove_metadata()
     if columns is not None:
         sch = pa.schema([sch.field(c) for c in columns])
     return rd.read_parquet(

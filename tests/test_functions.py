@@ -150,9 +150,10 @@ def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
     """Scale contract: on the forced-distributed path (driver_threshold=0)
     the near-dedup family may bring only PAIR-sized frames to the driver —
     never corpus text, signatures, shingle arrays, or embedding vectors.
-    (Under default thresholds the verify step may pull candidate members'
-    shingle rows, bounded by 2 x _VERIFY_DRIVER_PAIRS_MAX pairs — that
-    fast-path contract is asserted separately below.)"""
+    (Under default thresholds the verify steps may pull candidate members'
+    shingle rows ('sh') / normalized vectors ('vec'), bounded by 2 rows per
+    candidate pair up to _VERIFY_DRIVER_PAIRS_MAX — that fast-path contract
+    is asserted separately below.)"""
     heavy = {"text", "sig", "sh", "vec", "embedding", "simhash_full"}
     orig = rd.Dataset.to_pandas
 
@@ -181,7 +182,11 @@ def test_near_dedup_no_driver_corpus_materialization(ray_session, monkeypatch):
     vecs = rng.standard_normal((30, 16)).astype(np.float32)
     vecs[21] = vecs[20] + 1e-4
     df = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
-    out = embedding_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
+    # driver_threshold=0 forces the distributed cosine verify — no 'vec'
+    # pull may reach the driver on the forced path
+    out = embedding_dedup(
+        rd.from_pandas(df), threshold=0.99, driver_threshold=0
+    ).to_pandas()
     lab = dict(zip(out["vec_id"], out["dup_group"]))
     assert lab[21] == lab[20] == 20
 
@@ -494,3 +499,38 @@ def test_label_propagation_chain_component(ray_session):
     lab = dict(zip(out["doc_id"], out["dup_group"]))
     assert all(lab[f"d{i:03d}"] == "d000" for i in range(n))
     assert lab["zzz"] == "zzz"  # unlabeled rows coalesce to self
+
+
+def test_battery_trio_forced_distributed_matches_driver(ray_session):
+    """_gated_grouped combine sites: forcing the hash-shuffle branch
+    (driver_threshold=0) must reproduce the driver branch bit-exactly."""
+    from outage_data_scraper_ray.functions.relational import (
+        minidx_dedup,
+        outage_metrics,
+        window_end_ts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn, key in (
+        (window_end_ts, ["event_id"]),
+        (minidx_dedup, ["event_id"]),
+        (outage_metrics, ["user_id"]),
+    ):
+        a = fn(sf).to_pandas().sort_values(key).reset_index(drop=True)
+        b = fn(sf, driver_threshold=0).to_pandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_hash_join_broadcast_matches_distributed(ray_session):
+    from outage_data_scraper_ray.functions.relational import hash_join
+
+    sf = "/root/testdata/sf0.001"
+    key = ["o_orderkey"]
+    a = hash_join(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        hash_join(sf, build_broadcast_threshold=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
