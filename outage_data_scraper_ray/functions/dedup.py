@@ -315,7 +315,11 @@ def _lsh_candidate_pairs(
 
 
 def _resolve_pair_ids(
-    docs: rd.Dataset, cand: pd.DataFrame, id_col: str = "doc_id"
+    docs: rd.Dataset,
+    cand: pd.DataFrame,
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+    mark_ambiguous: bool = False,
 ) -> pd.DataFrame:
     """Map candidate (a, b) id-HASH pairs back to real doc ids.
 
@@ -364,7 +368,15 @@ def _resolve_pair_ids(
     ab = cand.astype({"a": "uint64", "b": "uint64"}).merge(
         im.rename(columns={"idh": "a", "doc_id": "da"}), on="a"
     ).merge(im.rename(columns={"idh": "b", "doc_id": "db"}), on="b")
-    out = pd.DataFrame({"a": ab["da"], "b": ab["db"]})
+    out = pd.DataFrame(
+        {"a": ab["da"].to_numpy(), "b": ab["db"].to_numpy(),
+         **{c: ab[c].to_numpy() for c in keep_cols}}
+    )
+    if mark_ambiguous:
+        # a 64-bit hash collision expands one hash pair into several id
+        # pairs; callers that ACCEPT pairs without an exact verify must
+        # re-verify those (everything else rejects them downstream anyway)
+        out["__ambiguous"] = ab.duplicated(subset=["a", "b"], keep=False).to_numpy()
     if not len(out):
         return pd.DataFrame(_EMPTY_PAIRS)
     swap = (out["a"] > out["b"]).to_numpy()
@@ -1118,16 +1130,19 @@ def embedding_dedup(
 
     Shuffle shape (VERDICT r3 #5): bucket rows carry a uint64 id-hash, the
     int64 bucket key, and a FLOAT16-quantized copy of the normalized
-    vector — the half-precision copy exists only to kill false candidates
-    INSIDE the bucket (per-bucket matmul with a quantization margin), so
-    the pairs that leave the shuffle are sized by the true-duplicate rate.
-    (The r3 shape shipped full fp32 vectors n_tables x; a pure id-only
-    shape was tried and discarded: with bucket occupancy ~8 at 500k
-    vectors, unfiltered within-bucket all-pairs explode into millions of
-    false candidates whose exact verify costs far more than the f16 bytes
-    save.) Final similarity is re-checked on EXACT fp32 vectors for the
-    f16-survivors only (_verify_pairs_cosine, candidate-bounded). Driver
-    holds only candidate/verified pairs + non-identity labels."""
+    vector (half the r3 shape's shuffle bytes, which shipped fp32 vectors
+    n_tables x). Candidates are filtered INSIDE the bucket on the f16
+    copy; pairs whose f16 similarity clears threshold + margin are
+    accepted outright (margin = 10x the worst-case f16 dot error on unit
+    vectors, so the exact fp32 similarity provably clears threshold), and
+    ONLY boundary-band pairs — |sim_f16 - threshold| < margin, typically
+    zero — plus id-hash-collision-ambiguous pairs pay an exact fp32
+    verify scan (_verify_pairs_cosine, candidate-bounded, skipped when
+    empty). A pure id-only row shape was tried and discarded: with bucket
+    occupancy ~8 at 500k vectors, unfiltered within-bucket all-pairs
+    explode into millions of false candidates whose exact verify costs
+    far more than the f16 bytes save. Driver holds only candidate /
+    verified pairs + non-identity labels."""
     first = emb.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
@@ -1164,10 +1179,12 @@ def embedding_dedup(
     buckets = emb.map_batches(_bucket, batch_format="pandas")
 
     def _pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="uint64"), "b": pd.Series(dtype="uint64"),
+             "sure": pd.Series(dtype="bool")}
+        )
         if block.empty:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="uint64"), "b": pd.Series(dtype="uint64")}
-            )
+            return empty
         sizes = block.groupby("bucket")["idh"].transform("size")
         block = block[sizes >= 2]
         frames = []
@@ -1181,27 +1198,58 @@ def embedding_dedup(
             ids = g["idh"].to_numpy()
             ai, bi = np.where(np.triu(sims >= threshold - margin, k=1))
             if ai.size:
-                frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[ai], "b": ids[bi],
+                            # f16 similarity clear of the error band: the
+                            # exact fp32 similarity is provably >= threshold
+                            # — accepted without a re-verify scan
+                            "sure": sims[ai, bi] >= threshold + margin,
+                        }
+                    )
+                )
         if not frames:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="uint64"), "b": pd.Series(dtype="uint64")}
-            )
+            return empty
         return pd.concat(frames, ignore_index=True)
 
     cand = hash_partitioned_map_batches(
         buckets, ["bucket"], _pairs_block
     ).to_pandas()
     if "a" not in cand.columns:
-        cand = pd.DataFrame(_EMPTY_PAIRS)
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    cand = _resolve_pair_ids(emb, cand, id_col="vec_id")
-    scored = _verify_pairs_cosine(
-        emb, cand, threshold=threshold,
-        driver_threshold=min(driver_threshold, _VERIFY_DRIVER_PAIRS_MAX),
+        cand = pd.DataFrame(_EMPTY_PAIRS).assign(sure=pd.Series(dtype="bool"))
+    # the same pair can surface sure in one table, boundary in another
+    cand = cand.groupby(["a", "b"], as_index=False)["sure"].max()
+    cand = _resolve_pair_ids(
+        emb, cand, id_col="vec_id", keep_cols=("sure",), mark_ambiguous=True
+    )
+    if len(cand):
+        # collision-expanded pairs lose their direct-accept (their f16
+        # evidence belongs to a different id pair)
+        cand["sure"] = cand["sure"] & ~cand["__ambiguous"]
+        cand = cand.groupby(["a", "b"], as_index=False)["sure"].max()
+        sure = cand[cand["sure"]]
+        boundary = cand[~cand["sure"]][["a", "b"]].reset_index(drop=True)
+    else:
+        sure = cand
+        boundary = pd.DataFrame(_EMPTY_PAIRS)
+    # only boundary-band (|sim_f16 - threshold| < margin) and ambiguous
+    # pairs pay the exact-verify corpus scan — typically zero rows, so the
+    # scan is skipped entirely on most runs
+    scored = (
+        _verify_pairs_cosine(
+            emb, boundary, threshold=threshold,
+            driver_threshold=min(driver_threshold, _VERIFY_DRIVER_PAIRS_MAX),
+        )
+        if len(boundary)
+        else pd.DataFrame(_EMPTY_PAIRS)
     )
     verified = [
         (min(a, b), max(a, b))
-        for a, b in zip(scored["a"].tolist(), scored["b"].tolist())
+        for a, b in zip(
+            list(sure["a"]) + list(scored["a"]),
+            list(sure["b"]) + list(scored["b"]),
+        )
     ]
     return _label_dataset(
         emb.select_columns(["vec_id"]), "vec_id", verified,
