@@ -32,16 +32,23 @@ GROUP_KEYS = ["UtilityName", "StateName", "CountyName", "CityName"]
 # A4: exact dedup keeping the min-CustomersOut row per (keys, RecordDateTime)
 
 def dedup_min_customers_out(ds: rd.Dataset) -> rd.Dataset:
-    """groupby(keys + RecordDateTime) keep the row with minimal CustomersOut
-    (step1_threshold.py:385-388): the hash-partition + per-group-min exact
-    dedup pattern."""
+    """Keep the row with minimal CustomersOut per (keys, RecordDateTime)
+    (step1_threshold.py:385-388 idxmin). The key is near-unique (one group
+    per timestamp), so a groupby().map_groups would pay a Python dispatch
+    per ROW; instead one hash-shuffle co-locates each key's rows and a
+    single vectorized stable-sort + drop_duplicates runs per BLOCK
+    (mergesort keeps block order among equal CustomersOut, matching
+    idxmin's first-minimum tie-break within the co-located group)."""
+    from ..shuffle import hash_partitioned_map_batches
 
-    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g["CustomersOut"].idxmin()]]
+    keys = GROUP_KEYS + ["RecordDateTime"]
 
-    return ds.groupby(GROUP_KEYS + ["RecordDateTime"]).map_groups(
-        _keep_min, batch_format="pandas"
-    )
+    def _keep_min_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("CustomersOut", kind="mergesort").drop_duplicates(
+            subset=keys, keep="first"
+        )
+
+    return hash_partitioned_map_batches(ds, keys, _keep_min_block)
 
 
 # ---------------------------------------------------------------------------
@@ -278,11 +285,22 @@ def sessionize(
 ) -> rd.Dataset:
     """Full bluefire step1: optional idxmin dedup, then per-group
     sessionization; events with duration == 0 are dropped
-    (step1_threshold.py:420)."""
-    if dedup:
-        ds = dedup_min_customers_out(ds)
+    (step1_threshold.py:420).
+
+    The dedup is FUSED into the per-group pass: its key
+    (GROUP_KEYS + RecordDateTime) refines the sessionizer's GROUP_KEYS, so
+    once a group is co-located the per-timestamp keep-min is local — one
+    groupby shuffle total instead of two (and no mixing of the standalone
+    dedup's hash-shuffle plan with this sort-based groupby: a keyed
+    repartition pins its plan's shuffle strategy, see shuffle.py)."""
 
     def _per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if dedup:
+            # step1_threshold.py:385-388 idxmin, local within the group:
+            # stable sort keeps first-minimum tie-break
+            g = g.sort_values("CustomersOut", kind="mergesort").drop_duplicates(
+                subset=GROUP_KEYS + ["RecordDateTime"], keep="first"
+            )
         g = g.sort_values("RecordDateTime", kind="mergesort")
         events: list[dict[str, Any]] = []
         for run in _split_runs(g):

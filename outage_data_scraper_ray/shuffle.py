@@ -41,6 +41,17 @@ def hash_partitioned_map_batches(
     blocks — so any per-key logic inside `fn` (drop_duplicates, groupby,
     pair enumeration) sees each key's complete row set. `fn` must be
     correct for an arbitrary UNION of complete key groups.
+
+    DOWNSTREAM contract: the returned dataset's PLAN is pinned to
+    HASH_SHUFFLE (a keyed repartition refuses to execute under the sort
+    strategy, and one plan has one context), so every later wide op on the
+    same plan also runs hash-shuffled. Chaining more
+    hash_partitioned_map_batches / unions / map_batches is fine (the dedup
+    label-propagation loop does exactly that); a later SORT-BASED
+    `groupby().map_groups` on this plan is NOT — under HASH_SHUFFLE it
+    spawns its aggregator fleet per groupby and stalls small sessions
+    (observed: unbounded worker spawn at 4-16 CPUs). Either fuse the
+    per-key work into `fn`, or break the plan first (write/materialize).
     """
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))

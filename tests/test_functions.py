@@ -534,3 +534,29 @@ def test_hash_join_broadcast_matches_distributed(ray_session):
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
+
+
+def test_hash_partitioned_chain_composes(ray_session):
+    """shuffle.py downstream contract: chaining a SECOND
+    hash_partitioned_map_batches (plus unions/map_batches) on a shuffled
+    plan works — the pattern the dedup label-propagation loop relies on.
+    (A sort-based groupby downstream of the same plan is documented as
+    unsupported; see shuffle.py.)"""
+    from outage_data_scraper_ray.shuffle import hash_partitioned_map_batches
+
+    df = pd.DataFrame({"k": np.arange(500) % 7, "j": np.arange(500) % 3,
+                       "v": np.arange(500)})
+    first = hash_partitioned_map_batches(
+        rd.from_pandas(df), ["k"],
+        lambda b: b.assign(kmax=b.groupby("k")["v"].transform("max")),
+    )
+    second = hash_partitioned_map_batches(
+        first, ["j"],
+        lambda b: b.assign(jmin=b.groupby("j")["v"].transform("min")) if len(b) else b,
+    )
+    out = second.to_pandas()
+    assert len(out) == 500
+    want_k = df.groupby("k")["v"].max()
+    want_j = df.groupby("j")["v"].min()
+    assert (out["kmax"].to_numpy() == want_k.loc[out["k"]].to_numpy()).all()
+    assert (out["jmin"].to_numpy() == want_j.loc[out["j"]].to_numpy()).all()
