@@ -657,6 +657,28 @@ def test_resume_reshard_filter_only_rebuilds_from_lineage(ray_session):
     assert set(pre["url"]).issubset(set(docs["url"]))
 
 
+def test_resume_reshard_lineage_rebuild_distributed_branch(ray_session):
+    """commit_driver_threshold=0 forces the lineage rebuild's DISTRIBUTED
+    mark pass (the branch that runs when an epoch's docs exceed driver
+    bounds); the resumed crawl must still never refetch."""
+    part_dir = "/tmp/odsr_crawl_part_rsd"
+    shutil.rmtree(part_dir, ignore_errors=True)
+
+    part_job = CrawlJob(_cfg(part_dir, exact_seen=False, max_epochs=2))
+    part_job.run()
+    pre = part_job.docs_dataset().to_pandas()
+    assert len(pre)
+
+    resumed = CrawlJob(
+        _cfg(part_dir, exact_seen=False, n_seen_shards=5,
+             commit_driver_threshold=0)
+    )
+    resumed.run(resume=True)
+    docs = resumed.docs_dataset().to_pandas()
+    assert docs["url"].is_unique
+    assert set(pre["url"]).issubset(set(docs["url"]))
+
+
 def test_auto_shard_counts_scale_with_cluster(ray_session):
     """Default shard counts derive from ray.cluster_resources() with floors
     4/2 — the fixed-constant funnel flagged in VERDICT r3 #7."""
