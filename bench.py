@@ -146,7 +146,11 @@ def run_bench() -> dict:
     import ray.data as rd
 
     qtimes: dict[str, float] = {}
-    for name, (fn, _sql) in SQL_QUERIES.items():
+    # --scaling trials set GRAFT_BENCH_BATTERY=0: the efficiency math uses
+    # the headline `value` only, and the honestly-consumed battery would
+    # add minutes per 1-CPU trial for no signal
+    run_battery = os.environ.get("GRAFT_BENCH_BATTERY", "1") != "0"
+    for name, (fn, _sql) in SQL_QUERIES.items() if run_battery else []:
         t0 = time.perf_counter()
         res = fn(sf_dir)
         # consume lazily-built datasets so we time real execution. (The
@@ -227,6 +231,7 @@ def run_scaling() -> None:
     os.environ.setdefault("GRAFT_BENCH_SEEDS", "40000")
     os.environ.setdefault("GRAFT_BENCH_MAX_ROWS", "160")
     os.environ.setdefault("GRAFT_BENCH_HOT_URLS", "0")  # headline-only trials
+    os.environ.setdefault("GRAFT_BENCH_BATTERY", "0")
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
     out = {}
     for ncpu in (lo, hi):
