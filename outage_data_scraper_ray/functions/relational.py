@@ -1113,6 +1113,40 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# grouped top-k: top-k rows per group by a sort key (the per-group variant
+# of sort_topk — a training-data staple: top documents per domain, top
+# orders per customer). Group cardinality is data-proportional, so the
+# shape is the battery-standard gated grouped kernel: one hash shuffle +
+# one vectorized sort + groupby.head per block (groupby.head is a cython
+# kernel, one call per BLOCK, not per group).
+
+def grouped_topk(
+    sf_dir: str, k: int = 3, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("o_custkey", sort=False).head(k)
+
+    return _gated_grouped(
+        ds, ["o_custkey"], _topk_block, _table_rows(sf_dir, "orders"),
+        driver_threshold,
+    )
+
+
+GROUPED_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -1141,4 +1175,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "tz_convert": (tz_convert, TZ_SQL),
     "asof_join": (asof_join, ASOF_SQL),
     "tumbling_window": (tumbling_window, TUMBLING_SQL),
+    "grouped_topk": (grouped_topk, GROUPED_TOPK_SQL),
 }

@@ -560,3 +560,18 @@ def test_hash_partitioned_chain_composes(ray_session):
     want_j = df.groupby("j")["v"].min()
     assert (out["kmax"].to_numpy() == want_k.loc[out["k"]].to_numpy()).all()
     assert (out["jmin"].to_numpy() == want_j.loc[out["j"]].to_numpy()).all()
+
+
+def test_grouped_topk_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import grouped_topk
+
+    sf = "/root/testdata/sf0.001"
+    key = ["o_custkey", "o_orderkey"]
+    a = grouped_topk(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        grouped_topk(sf, driver_threshold=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
+    # every group contributes at most k rows
+    assert a.groupby("o_custkey").size().max() <= 3
