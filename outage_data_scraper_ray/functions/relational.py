@@ -1113,6 +1113,68 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# sliding-window aggregate (width 600 s, step 300 s => every row lands in
+# exactly width/step = 2 windows): the same per-batch integer-cents partial
+# shape as tumbling_window, with the window assignment EXPLODED inside the
+# partial (tile the batch's window keys, never the rows) — the combine is
+# still O(n_windows + n_blocks) driver-side partial rows, no shuffle.
+
+def sliding_window(sf_dir: str) -> pd.DataFrame:
+    width_s, step_s = 600, 300
+    k = width_s // step_s  # windows per row
+
+    def _partial(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        base = pc.multiply(pc.floor(pc.divide(epoch_s, step_s)), step_s)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        base_np = pc.cast(base, pa.int64()).to_numpy()
+        cents_np = cents.to_numpy()
+        # k window keys per row: start offsets 0, -step, ... (row at ts is
+        # inside window [start, start + width) for each)
+        wins = np.concatenate([base_np - j * step_s for j in range(k)])
+        tt = pa.table(
+            {
+                "window_start_s": pa.array(wins, pa.int64()),
+                "cents": pa.array(np.tile(cents_np, k), pa.int64()),
+            }
+        )
+        return (
+            tt.group_by("window_start_s")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            # name-based select before rename (see q1_pricing)
+            .select(["window_start_s", "cents_sum", "cents_count"])
+            .rename_columns(["window_start_s", "cents", "n"])
+        )
+
+    partials = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    out = (
+        partials.to_pandas()
+        .groupby("window_start_s", as_index=False)
+        .agg(cents=("cents", "sum"), n_events=("n", "sum"))
+    )
+    out["window_start"] = pd.to_datetime(out.pop("window_start_s"), unit="s")
+    out["sum_value"] = out.pop("cents") / 100.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["window_start", "sum_value", "n_events"]].sort_values(
+        "window_start"
+    ).reset_index(drop=True)
+
+
+# width = 2 x step, so each row belongs to exactly two windows (k = 0, 1)
+# with no boundary condition: floor(ts/step)*step - k*step <= ts <
+# floor(ts/step)*step - k*step + width holds identically for k in {0, 1}.
+SLIDING_SQL = """
+SELECT to_timestamp(FLOOR(epoch(ts) / 300) * 300 - k * 300)::TIMESTAMP AS window_start,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       COUNT(*) AS n_events
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # grouped top-k: top-k rows per group by a sort key (the per-group variant
 # of sort_topk — a training-data staple: top documents per domain, top
 # orders per customer). Group cardinality is data-proportional, so the
@@ -1175,5 +1237,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "tz_convert": (tz_convert, TZ_SQL),
     "asof_join": (asof_join, ASOF_SQL),
     "tumbling_window": (tumbling_window, TUMBLING_SQL),
+    "sliding_window": (sliding_window, SLIDING_SQL),
     "grouped_topk": (grouped_topk, GROUPED_TOPK_SQL),
 }

@@ -575,3 +575,21 @@ def test_grouped_topk_forced_distributed_matches_driver(ray_session):
     pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
     # every group contributes at most k rows
     assert a.groupby("o_custkey").size().max() <= 3
+
+
+def test_sliding_window_covers_tumbling(ray_session):
+    """Every 600s sliding window's sum equals the sum of its two 300s
+    tumbling halves — the structural invariant of the width=2*step shape."""
+    from outage_data_scraper_ray.functions.relational import (
+        sliding_window,
+        tumbling_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = tumbling_window(sf).set_index("window_start")
+    s = sliding_window(sf)
+    for _, r in s.iterrows():
+        w0 = r["window_start"]
+        halves = [w0, w0 + pd.Timedelta(seconds=300)]
+        want = sum(float(t.loc[h, "sum_value"]) for h in halves if h in t.index)
+        assert abs(float(r["sum_value"]) - want) < 1e-9, w0
