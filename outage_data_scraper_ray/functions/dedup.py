@@ -1151,9 +1151,12 @@ def embedding_dedup(
         for _ in range(n_tables)
     ]
     planes_ref = ray.put(planes)
-    # f16 rounding error on a unit-vector dot is ~dim * 2^-11 / sqrt(dim);
-    # 0.01 covers dims up to ~400 with 4x headroom
-    margin = 0.01
+    # Worst-case f16 rounding error on a unit-vector dot is
+    # ~sqrt(dim) * 2^-11 (per-component relative error 2^-11 accumulating
+    # over dim terms of magnitude ~1/sqrt(dim)). A fixed 0.01 margin runs
+    # out of headroom at dim~400, so scale it with dim at 4x worst-case;
+    # the floor keeps small dims on the same band r4 measured.
+    margin = max(0.01, 4.0 * np.sqrt(dim) * 2.0**-11)
 
     def _bucket(batch: pd.DataFrame, _ref=planes_ref) -> pd.DataFrame:
         ps = ray.get(_ref)

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import re
 import shutil
 import sys
 from dataclasses import dataclass, field
@@ -237,8 +238,20 @@ class CrawlJob:
         with open(self._manifest_path(e)) as f:
             manifest = json.load(f)
         state_dir = os.path.join(self._epoch_dir(e), "state")
-        seen_files = sorted(_glob.glob(os.path.join(state_dir, "seen_*.npz")))
-        sched_files = sorted(_glob.glob(os.path.join(state_dir, "sched_*.json")))
+        # Checkpoint filenames carry an unpadded shard index, so a plain
+        # lexicographic sort mis-orders at >=11 shards (seen_10 before
+        # seen_2) and the positional zip below would hand every actor
+        # another shard's state — hash-routed lookups would miss and the
+        # resumed crawl would refetch. Sort numerically by the index.
+        def _shard_idx(p: str) -> int:
+            return int(re.search(r"_(\d+)\.", os.path.basename(p)).group(1))
+
+        seen_files = sorted(
+            _glob.glob(os.path.join(state_dir, "seen_*.npz")), key=_shard_idx
+        )
+        sched_files = sorted(
+            _glob.glob(os.path.join(state_dir, "sched_*.json")), key=_shard_idx
+        )
         if len(seen_files) == len(self.seen):
             for shard, path in zip(self.seen, seen_files):
                 z = np.load(path, allow_pickle=False)

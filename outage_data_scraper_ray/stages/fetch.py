@@ -252,7 +252,15 @@ def children_to_frontier(batch: pa.Table, *, depth: int) -> pa.Table:
     n = len(flat)
     # per-child ordinal within its parent list: arange - exclusive-cumsum of
     # the per-parent lengths (slice-offset-proof, unlike raw .offsets)
-    lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False).astype(np.int64)
+    # A null child_urls entry makes list_value_length yield null -> NaN ->
+    # garbage int64 that silently corrupts ordinals/crawl_keys for every
+    # subsequent child; treat null lists as empty (the old per-row loop's
+    # behavior for falsy entries).
+    lengths = (
+        pc.fill_null(pc.list_value_length(ch), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if len(lengths) else np.empty(0, np.int64)
     pidx = parents.to_numpy(zero_copy_only=False).astype(np.int64)
     ordinal = np.arange(n, dtype=np.int64) - starts[pidx]

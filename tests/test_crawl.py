@@ -147,6 +147,44 @@ def test_resume_matches_uninterrupted(ray_session):
     assert got_spans.tolist() == want_spans.tolist()
 
 
+def test_children_to_frontier_null_list_rows():
+    """A kernel returning a NULL child_urls list must behave like an empty
+    list (the old per-row loop skipped falsy entries): before the fix,
+    list_value_length's null became NaN -> garbage int64 start offsets that
+    silently corrupted ordinals/crawl_keys for every LATER child (ADVICE
+    r4, low)."""
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.stages.fetch import children_to_frontier
+
+    batch = pa.table(
+        {
+            "child_urls": pa.array(
+                [["http://a.example/x", "http://a.example/y"], None,
+                 ["http://b.example/z"]],
+                pa.list_(pa.string()),
+            ),
+            "crawl_key": pa.array([10, 11, 12], pa.int64()),
+            "emc": pa.array(["e0", "e1", "e2"]),
+            "state": pa.array(["ga", "tx", "ca"]),
+            "doc_id": pa.array(["d0", "d1", "d2"]),
+            "utility_tier": pa.array([1, 2, 3], pa.int32()),
+            "refresh_deadline": pa.array([100, 200, 300], pa.timestamp("ms")),
+        }
+    )
+    out = children_to_frontier(batch, depth=1)
+    assert out.num_rows == 3
+    df = out.to_pandas()
+    assert df["url"].tolist() == [
+        "http://a.example/x", "http://a.example/y", "http://b.example/z"
+    ]
+    assert df["parent_doc_id"].tolist() == ["d0", "d0", "d2"]
+    # ordinals restart per parent: keys = (1<<40) + parent_key*64 + ordinal
+    assert df["crawl_key"].tolist() == [
+        (1 << 40) + 10 * 64 + 0, (1 << 40) + 10 * 64 + 1, (1 << 40) + 12 * 64 + 0
+    ]
+
+
 def test_epoch_capacity_priority_heap(ray_session):
     """With a global per-epoch fetch cap, hosts are served in
     (utility_tier, refresh_deadline, crawl_key) order — distributed run and
@@ -624,6 +662,41 @@ def test_resume_across_shard_counts(ray_session):
     resumed.run(resume=True)
     resumed_docs = resumed.docs_dataset().to_pandas()
 
+    assert resumed.seen_hashes() == full_job.seen_hashes()
+    key = ["epoch", "url"]
+    got = resumed_docs.sort_values(key).reset_index(drop=True)
+    want = full_docs.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["epoch", "url", "status", "crawl_key"]],
+        want[["epoch", "url", "status", "crawl_key"]],
+    )
+
+
+def test_resume_same_layout_many_shards(ray_session):
+    """Resume with >=11 shards on the SAME layout (the positional-zip load
+    path): checkpoint filenames carry unpadded indices, so a lexicographic
+    glob sort puts seen_10.npz before seen_2.npz and every actor would
+    load another shard's state — hash-routed lookups then miss and the
+    resumed crawl refetches (ADVICE r4, high). Numeric-index sort must
+    keep resume identical to the uninterrupted run."""
+    full_dir, part_dir = "/tmp/odsr_crawl_full_11", "/tmp/odsr_crawl_part_11"
+    for d in (full_dir, part_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    shards = dict(n_seen_shards=12, n_sched_shards=12)
+
+    full_job = CrawlJob(_cfg(full_dir, **shards))
+    full_job.run()
+    full_docs = full_job.docs_dataset().to_pandas()
+
+    part_job = CrawlJob(_cfg(part_dir, max_epochs=2, **shards))
+    part_job.run()
+    assert part_job.last_complete_epoch() == 1
+
+    resumed = CrawlJob(_cfg(part_dir, **shards))
+    resumed.run(resume=True)
+    resumed_docs = resumed.docs_dataset().to_pandas()
+
+    assert resumed_docs["url"].is_unique  # misrouted state would refetch
     assert resumed.seen_hashes() == full_job.seen_hashes()
     key = ["epoch", "url"]
     got = resumed_docs.sort_values(key).reset_index(drop=True)

@@ -234,6 +234,45 @@ def test_embedding_dedup_recall_vs_bruteforce(ray_session):
     assert got / len(want_pairs) >= 0.9
 
 
+def test_embedding_dedup_high_dim_margin(ray_session):
+    """ADVICE r4 (medium): at dim=1024 the worst-case f16 unit-dot error
+    (~sqrt(dim)*2^-11 ~= 0.016) exceeds the old fixed 0.01 margin, so the
+    'sure' f16 accept could admit sub-threshold pairs and the candidate cut
+    could drop true pairs. With the dim-scaled margin, borderline pairs on
+    BOTH sides of the threshold land in the exact-fp32 verify band and must
+    be decided correctly."""
+    dim, threshold = 1024, 0.95
+    rng = np.random.default_rng(11)
+
+    def _pair(c: float) -> tuple[np.ndarray, np.ndarray]:
+        v = rng.standard_normal(dim).astype(np.float32)
+        v /= np.linalg.norm(v)
+        u = rng.standard_normal(dim).astype(np.float32)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        return v, (c * v + np.sqrt(1 - c * c) * u).astype(np.float32)
+
+    vecs, below, above = [], [], []
+    for i in range(10):  # exact cosine 0.93 — must NOT merge
+        a, b = _pair(0.93)
+        below.append((len(vecs), len(vecs) + 1))
+        vecs += [a, b]
+    for i in range(10):  # exact cosine 0.97 — must merge
+        a, b = _pair(0.97)
+        above.append((len(vecs), len(vecs) + 1))
+        vecs += [a, b]
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    # 8 planes x 8 tables: near-certain bucket collision for 0.97-cosine
+    # pairs, so any miss below is a MARGIN bug, not LSH recall variance
+    out = embedding_dedup(
+        rd.from_pandas(df), threshold=threshold, n_planes=8, n_tables=8
+    ).to_pandas()
+    lab = dict(zip(out["vec_id"], out["dup_group"]))
+    assert all(lab[a] != lab[b] for a, b in below)  # precision
+    merged = sum(1 for a, b in above if lab[a] == lab[b])
+    assert merged / len(above) >= 0.9  # recall
+
+
 def test_exact_dedup_distributed_path(ray_session):
     """Force the hash-partitioned keep-min path (broadcast_threshold=0) and
     require identical keepers to the broadcast path."""
