@@ -868,11 +868,33 @@ def _union_find_labels(ids, pairs) -> dict:
 # ---------------------------------------------------------------------------
 # SimHash
 
+def _word_poly_hashes(words: list[str]) -> np.ndarray:
+    """uint64 polynomial hash per word (base _FNV_PRIME over utf8 bytes,
+    mod 2^64 by wrap) — the SAME family _shingles uses, chosen so DuckDB
+    reproduces every word hash bit-exactly in HUGEINT arithmetic (the
+    simhash value-oracle, VERDICT r4 #2; the previous SipHash family was
+    not SQL-recomputable). Vectorized across the word list: words are
+    LEFT-padded with NUL to equal width (leading zeros don't change a
+    polynomial started at 0), then one fused multiply-add per column."""
+    enc = [w.encode("utf8") for w in words]
+    width = max(len(w) for w in enc)
+    buf = b"".join(w.rjust(width, b"\0") for w in enc)
+    codes = (
+        np.frombuffer(buf, dtype=np.uint8)
+        .reshape(len(enc), width)
+        .astype(np.uint64)
+    )
+    h = np.zeros(len(enc), dtype=np.uint64)
+    for j in range(width):
+        h = h * _FNV_PRIME + codes[:, j]  # wraps mod 2^64 by design
+    return h
+
+
 def _simhash64(text: str) -> np.uint64:
     words = _WORD_RE.findall(text.lower())
     if not words:
         return np.uint64(0)
-    hs = pd.util.hash_array(np.array(words, dtype=object), categorize=False)
+    hs = _word_poly_hashes(words)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)
     mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[v > 0]

@@ -6,12 +6,16 @@ training-data pipeline needs for real media: a deterministic synthetic
 media table (binary payload + metadata), and decode / feature / resize
 stages shaped as actor-pool map_batches over Arrow binary columns.
 
-Image/audio codecs are NOT in this container, so the actual decode is
+Image/audio codecs are NOT in this container, so the default decode is
 stubbed: DecodeStage(fake=True) parses our deterministic 16-byte header
-(magic, width, height, channels) instead; DecodeStage(fake=False) raises
-NotImplementedError("no image codec in sandbox"). Everything around the
-stub — schema, batch sizing, actor signature, output layout — is real and
-tested.
+(magic, width, height, channels) instead. The REAL slot (fake=False) takes
+a pluggable ``codec`` object — decode(bytes) -> (H, W, C) uint8 array,
+encode(array) -> bytes (the PIL/libav seam); PPMCodec (plain P6 PPM,
+pure numpy) ships as the in-sandbox instance, so the real path is
+executed and tested here, and a production codec drops in without
+touching the stages. fake=False with no codec still raises
+NotImplementedError. Everything around the codec — schema, batch sizing,
+actor signature, output layout — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -23,6 +27,32 @@ import pyarrow as pa
 import ray.data as rd
 
 _MAGIC = b"SYNI"
+
+
+class PPMCodec:
+    """Pure-python P6 PPM codec: the injectable real-slot codec for this
+    sandbox (no PIL/libav available). Deterministic, byte-exact round trip
+    for uint8 RGB arrays."""
+
+    def encode(self, arr: np.ndarray) -> bytes:
+        a = np.ascontiguousarray(arr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        h, w, _c = a.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + a[:, :, :3].tobytes()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(b"P6"):
+            raise ValueError("not a P6 PPM payload")
+        # header: magic, whitespace-separated w h maxval, single whitespace
+        parts = payload.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        body = parts[3]
+        return (
+            np.frombuffer(body[: w * h * 3], dtype=np.uint8)
+            .reshape(h, w, 3)
+            .copy()
+        )
 
 
 def synth_media(n: int = 200, seed: int = 42) -> pa.Table:
@@ -52,15 +82,19 @@ def synth_media(n: int = 200, seed: int = 42) -> pa.Table:
 
 
 class DecodeStage:
-    """Actor-pool decode: one codec 'session' per actor.
+    """Actor-pool decode: one codec 'session' per actor (built once in
+    __init__, the ST1 init-once economics).
 
-    fake=True parses the deterministic synthetic header; fake=False is the
-    real-codec slot (PIL/libav) and raises in this sandbox."""
+    fake=True parses the deterministic synthetic header; fake=False runs
+    the REAL path through the injected ``codec`` (decode -> pixel array ->
+    dims) and raises NotImplementedError when none is available — never a
+    silent fake."""
 
-    def __init__(self, fake: bool = True):
-        if not fake:
+    def __init__(self, fake: bool = True, codec=None):
+        if not fake and codec is None:
             raise NotImplementedError("no image/audio codec available in this sandbox")
         self.fake = fake
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -68,7 +102,13 @@ class DecodeStage:
         heights = np.empty(len(payloads), dtype=np.int32)
         ok = np.empty(len(payloads), dtype=bool)
         for i, p in enumerate(payloads):
-            if p[:4] == _MAGIC:
+            if not self.fake:
+                try:
+                    arr = self.codec.decode(p)
+                    heights[i], widths[i], ok[i] = arr.shape[0], arr.shape[1], True
+                except Exception:
+                    widths[i], heights[i], ok[i] = 0, 0, False
+            elif p[:4] == _MAGIC:
                 w, h, _c = np.frombuffer(p[4:16], dtype=np.uint32)
                 widths[i], heights[i], ok[i] = w, h, True
             else:
@@ -104,12 +144,16 @@ class ResizeStage:
     bytes (a real codec resamples pixels; the Ray-side contract — binary in,
     smaller binary out, dims in the header — is identical)."""
 
-    def __init__(self, max_side: int = 64, fake: bool = True):
-        if not fake:
+    def __init__(self, max_side: int = 64, fake: bool = True, codec=None):
+        if not fake and codec is None:
             raise NotImplementedError("no image codec available in this sandbox")
         self.max_side = max_side
+        self.fake = fake
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._real(batch)
         payloads = batch.column("payload").to_pylist()
         out_payloads: list[bytes] = []
         out_w = np.empty(len(payloads), dtype=np.int32)
@@ -135,13 +179,37 @@ class ResizeStage:
             .append_column("height", pa.array(out_h))
         )
 
+    def _real(self, batch: pa.Table) -> pa.Table:
+        """Real path through the injected codec: decode -> nearest-neighbor
+        resample on the actual pixel grid -> re-encode."""
+        payloads = batch.column("payload").to_pylist()
+        out_payloads: list[bytes] = []
+        out_w = np.empty(len(payloads), dtype=np.int32)
+        out_h = np.empty(len(payloads), dtype=np.int32)
+        for i, p in enumerate(payloads):
+            arr = self.codec.decode(p)
+            h, w = arr.shape[0], arr.shape[1]
+            scale = min(1.0, self.max_side / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            rows = (np.arange(nh) * h // nh).astype(np.intp)
+            cols = (np.arange(nw) * w // nw).astype(np.intp)
+            out_payloads.append(self.codec.encode(arr[rows][:, cols]))
+            out_w[i], out_h[i] = nw, nh
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("payload", pa.array(out_payloads, type=pa.binary()))
+            .append_column("width", pa.array(out_w))
+            .append_column("height", pa.array(out_h))
+        )
+
 
 def resize_media(
-    media: rd.Dataset, max_side: int = 64, concurrency: int = 2
+    media: rd.Dataset, max_side: int = 64, concurrency: int = 2,
+    fake: bool = True, codec=None,
 ) -> rd.Dataset:
     return media.map_batches(
         ResizeStage,
-        fn_constructor_kwargs={"max_side": max_side, "fake": True},
+        fn_constructor_kwargs={"max_side": max_side, "fake": fake, "codec": codec},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
@@ -182,12 +250,14 @@ def frame_sample(media: rd.Dataset, every: int = 4) -> rd.Dataset:
     return media.map_batches(_sample, batch_format="pyarrow", batch_size=64)
 
 
-def decode_media(media: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+def decode_media(
+    media: rd.Dataset, concurrency: int = 2, fake: bool = True, codec=None
+) -> rd.Dataset:
     """Binary payloads are large: small batch_size so batch x concurrency
     stays inside a worker heap (ray_guide memory note)."""
     return media.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"fake": True},
+        fn_constructor_kwargs={"fake": fake, "codec": codec},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,

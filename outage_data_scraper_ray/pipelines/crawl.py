@@ -603,7 +603,14 @@ class CrawlJob:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     # ---- the loop --------------------------------------------------------
-    def run(self, resume: bool = False) -> dict[str, Any]:
+    def run(
+        self,
+        resume: bool = False,
+        epoch_callback: Any | None = None,
+    ) -> dict[str, Any]:
+        """Drive the crawl. ``epoch_callback(e)``, if given, fires after each
+        epoch's checkpoint lands (endurance/instrumentation hook — it runs on
+        the driver and must be cheap)."""
         cfg = self.cfg
         start_epoch = 0
         if resume:
@@ -1260,6 +1267,8 @@ class CrawlJob:
                     f"ckpt={_time.perf_counter()-_t4:.1f}s fast={fast_path}",
                     file=sys.stderr,
                 )
+            if epoch_callback is not None:
+                epoch_callback(e)
             e += 1
 
         seen_sizes = ray.get([s.size.remote() for s in self.seen])

@@ -14,11 +14,12 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
-# simhash_dedup / ivf_knn carry INPUT-SPECIFIC determinism pins generated at
-# the driver gate's scale (sf0.01) — the mirror must feed them the same input
-# the driver will (the other queries run at sf0.001 purely for test speed).
+# Queries run at sf0.001 purely for test speed; every oracle is now a real
+# DuckDB reformulation or a golden table that is scale-independent, so no
+# query needs the driver gate's sf0.01 input anymore. The hook stays for
+# any future input-specific pin.
 SF001 = "/root/testdata/sf0.01"
-SF001_QUERIES = {"simhash_dedup", "ivf_knn"}
+SF001_QUERIES: set = set()
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -134,8 +134,86 @@ def test_media_decode_roundtrip(ray_session):
 
 
 def test_media_decode_real_codec_stubbed():
+    # the real slot with NO codec still refuses honestly
     with pytest.raises(NotImplementedError):
         DecodeStage(fake=False)
+
+
+def _ppm_media(n: int, seed: int) -> "pa.Table":
+    """Media table whose payloads are real P6 PPM images (pure-python
+    codec territory — no synthetic header)."""
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.functions.multimodal import PPMCodec
+
+    rng = np.random.default_rng(seed)
+    codec = PPMCodec()
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 128)), int(rng.integers(8, 128))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ids.append(f"p{i:04d}")
+        payloads.append(codec.encode(arr))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width_meta": pa.array(ws, type=pa.int32()),
+            "height_meta": pa.array(hs, type=pa.int32()),
+        }
+    )
+
+
+def test_media_decode_real_codec_injected(ray_session):
+    """VERDICT r4 #6: the fake=False slot runs green with an injected
+    pure-python codec — real decode path, real dims."""
+    from outage_data_scraper_ray.functions.multimodal import PPMCodec
+
+    media = rd.from_arrow(_ppm_media(30, 5))
+    out = decode_media(media, fake=False, codec=PPMCodec()).to_pandas()
+    assert out["decoded_ok"].all()
+    assert (out["width"] == out["width_meta"]).all()
+    assert (out["height"] == out["height_meta"]).all()
+
+
+def test_media_resize_real_codec_injected(ray_session):
+    """Real resize path: decode -> nearest-neighbor resample -> re-encode;
+    the output payload is itself decodable and matches the index-sampled
+    pixel grid exactly."""
+    from outage_data_scraper_ray.functions.multimodal import (
+        PPMCodec,
+        resize_media,
+    )
+
+    codec = PPMCodec()
+    table = _ppm_media(20, 9)
+    out = resize_media(
+        rd.from_arrow(table), max_side=32, fake=False, codec=codec
+    ).to_pandas()
+    src = {m: p for m, p in zip(table["media_id"].to_pylist(),
+                                table["payload"].to_pylist())}
+    assert (out[["width", "height"]].max(axis=1) <= 32).all()
+    for _, r in out.iterrows():
+        arr = codec.decode(r["payload"])
+        assert arr.shape[:2] == (r["height"], r["width"])
+        orig = codec.decode(src[r["media_id"]])
+        h, w = orig.shape[:2]
+        rows = (np.arange(r["height"]) * h // r["height"]).astype(np.intp)
+        cols = (np.arange(r["width"]) * w // r["width"]).astype(np.intp)
+        assert np.array_equal(arr, orig[rows][:, cols])
+
+
+def test_ppm_codec_roundtrip():
+    from outage_data_scraper_ray.functions.multimodal import PPMCodec
+
+    codec = PPMCodec()
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(codec.decode(codec.encode(arr)), arr)
+    with pytest.raises(ValueError):
+        codec.decode(b"JUNKPAYLOAD")
 
 
 def test_media_features_shape(ray_session):
