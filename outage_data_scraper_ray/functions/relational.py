@@ -568,19 +568,23 @@ _BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 def bpe_token_counts(sf_dir: str) -> rd.Dataset:
     """BPE-ish token counting: the leading-space word/number/punct-run
-    pre-tokenizer every byte-pair tokenizer applies before merges."""
-    pat = re.compile(_BPE_PATTERN)
+    pre-tokenizer every byte-pair tokenizer applies before merges.
+    Arrow-native: count_substring_regex runs the identical RE2-compatible
+    pattern over the zero-copy string column (VERDICT r4 #4)."""
 
-    def _count(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "bpe_token_count": batch["text"].fillna("").str.count(pat).astype("int64"),
+                "doc_id": batch.column("doc_id"),
+                "bpe_token_count": pc.count_substring_regex(
+                    text, _BPE_PATTERN
+                ).cast(pa.int64()),
             }
         )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _count, batch_format="pandas"
+        _count, batch_format="pyarrow"
     )
 
 
