@@ -1230,6 +1230,179 @@ QUALIFY row_number() OVER (
 
 
 # ---------------------------------------------------------------------------
+# sequence packing: assign every document to a fixed-token-budget shard by
+# the GLOBAL exclusive prefix sum of its token count in doc_id order —
+# pack_id = floor(cum_before / budget), the standard "greedy fill in corpus
+# order, a doc belongs to the shard where it starts" rule for packing
+# training shards. The engine primitive underneath is a DISTRIBUTED PREFIX
+# SUM: range-partition (sort by doc_id) + materialize pins the block
+# layout, phase 1 reduces each block to (min_doc_id, sum_tokens) — a
+# frame of n_blocks rows — the driver turns those into per-block offsets,
+# and phase 2 adds each block's offset to its local cumsum. Two streaming
+# passes over pinned blocks; nothing row-sized ever reaches the driver.
+
+_PACK_BUDGET = 2048
+
+
+def _doc_token_counts(sf_dir: str) -> rd.Dataset:
+    def _count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "token_count": pc.count_substring_regex(text, r"\S+").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _count, batch_format="pyarrow"
+    )
+
+
+def pack_shards(
+    sf_dir: str,
+    budget: int = _PACK_BUDGET,
+    driver_threshold: int = _GROUP_DRIVER_THRESHOLD,
+) -> rd.Dataset:
+    import ray
+
+    counts = _doc_token_counts(sf_dir)
+    n_rows = _table_rows(sf_dir, "documents")
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        cum_before = df["token_count"].cumsum().shift(1, fill_value=0)
+        df["pack_id"] = (cum_before // budget).astype("int64")
+        return df
+
+    if n_rows <= driver_threshold:
+        out = _assign(counts.to_pandas())
+        t = pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+        return rd.from_arrow(t)
+
+    # distributed prefix sum over doc_id ranges. materialize() pins the
+    # sorted block layout so both phases see the SAME disjoint ranges —
+    # this is the one legitimate mid-pipeline materialization in the
+    # engine: a scan fundamentally reads its input twice, and the pinned
+    # form lives in the (spillable) object store, never on the driver.
+    ranged = counts.sort("doc_id").materialize()
+
+    def _block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"min_doc_id": pa.array([], pa.int64()),
+                 "tokens": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "min_doc_id": pa.array(
+                    [pc.min(t.column("doc_id")).as_py()], pa.int64()
+                ),
+                "tokens": pa.array(
+                    [pc.sum(t.column("token_count")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    summaries = (
+        ranged.map_batches(_block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("min_doc_id")
+        .reset_index(drop=True)
+    )
+    offsets = {
+        int(m): int(o)
+        for m, o in zip(
+            summaries["min_doc_id"],
+            summaries["tokens"].cumsum().shift(1, fill_value=0),
+        )
+    }
+    offsets_ref = ray.put(offsets)
+
+    def _assign_block(t: pa.Table, _ref=offsets_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pack_id", pa.array([], pa.int64()))
+        offs = ray.get(_ref)
+        # blocks are disjoint doc_id ranges (range partition), but rows
+        # within a block may be unsorted — order locally
+        idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        t = t.take(idx)
+        tok = t.column("token_count").to_numpy()
+        cum_before = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        base = offs[int(t.column("doc_id")[0].as_py())]
+        pack = (base + cum_before) // budget
+        return t.append_column("pack_id", pa.array(pack.astype(np.int64)))
+
+    return ranged.map_batches(_assign_block, batch_format="pyarrow", batch_size=None)
+
+
+PACK_SHARDS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS token_count
+    FROM documents
+)
+SELECT doc_id, token_count,
+       CAST(COALESCE(SUM(token_count) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // 2048 AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sample: k documents per stratum (lang), ranked by
+# a seeded affine hash of doc_id mod 2^64 — a pure function of the data, so
+# the sample is identical at any parallelism (the content-keyed sampling
+# doctrine, simsearch._train_centroids). Strata are few, so the shape is a
+# per-batch partial top-k + a k*strata*blocks-bounded driver combine — the
+# brute_force_knn pattern, no shuffle at all.
+
+_SAMPLE_A = np.uint64(6364136223846793005)  # PCG-LCG multiplier
+_SAMPLE_B = np.uint64(1442695040888963407)
+
+
+def stratified_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy().astype(np.uint64) * _SAMPLE_A + _SAMPLE_B
+        df = df.assign(_h=h)
+        df = df.sort_values(["lang", "_h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    parts = docs.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["lang", "_h", "doc_id"], kind="mergesort")
+        .groupby("lang", sort=False)
+        .head(k)
+        .drop(columns=["_h"])
+        .reset_index(drop=True)
+    )
+    out["sample_rank"] = out.groupby("lang", sort=False).cumcount() + 1
+    return out.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005
+                              + 1442695040888963407)
+                             % 18446744073709551616::HUGEINT AS UBIGINT),
+                        doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -1260,4 +1433,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "tumbling_window": (tumbling_window, TUMBLING_SQL),
     "sliding_window": (sliding_window, SLIDING_SQL),
     "grouped_topk": (grouped_topk, GROUPED_TOPK_SQL),
+    "pack_shards": (pack_shards, PACK_SHARDS_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SQL),
 }

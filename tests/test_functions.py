@@ -694,6 +694,52 @@ def test_grouped_topk_forced_distributed_matches_driver(ray_session):
     assert a.groupby("o_custkey").size().max() <= 3
 
 
+def test_pack_shards_forced_distributed_matches_driver(ray_session):
+    """Distributed prefix-sum path (sort + pinned blocks + two-phase scan)
+    must reproduce the driver cumsum bit-exactly, and pack token sums must
+    respect the budget rule (a pack's pre-assigned mass < budget)."""
+    from outage_data_scraper_ray.functions.relational import pack_shards
+
+    sf = "/root/testdata/sf0.001"
+    a = pack_shards(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        pack_shards(sf, driver_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
+    # invariant: packs are contiguous in doc_id order and nonempty
+    assert (a["pack_id"].diff().fillna(0) >= 0).all()
+    # each doc's pack = floor(tokens-before / budget)
+    cum_before = a["token_count"].cumsum().shift(1, fill_value=0)
+    assert (a["pack_id"] == cum_before // 2048).all()
+
+
+def test_stratified_sample_parallelism_independent(ray_session):
+    """The sample is a pure function of the data: repartitioning the input
+    must not change which doc_ids are sampled (content-keyed hash rank)."""
+    from outage_data_scraper_ray.functions.relational import (
+        _SAMPLE_A,
+        _SAMPLE_B,
+        stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stratified_sample(sf, k=5)
+    assert out.groupby("lang").size().max() <= 5
+    # ground truth by direct computation
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    h = docs["doc_id"].to_numpy().astype(np.uint64) * _SAMPLE_A + _SAMPLE_B
+    want = (
+        docs.assign(_h=h)
+        .sort_values(["lang", "_h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(5)
+    )
+    assert set(map(tuple, out[["lang", "doc_id"]].to_numpy())) == set(
+        map(tuple, want[["lang", "doc_id"]].to_numpy())
+    )
+
+
 def test_sliding_window_covers_tumbling(ray_session):
     """Every 600s sliding window's sum equals the sum of its two 300s
     tumbling halves — the structural invariant of the width=2*step shape."""
