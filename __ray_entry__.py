@@ -7,7 +7,7 @@
 ``queries()`` — one callable per implemented operator family from
                 SURVEY.md section 2 plus the scale operators (dedup /
                 similarity / text / multimodal / crawl / sessionize).
-``oracle_sql()`` — a value-oracle for every query: 39 real DuckDB
+``oracle_sql()`` — a value-oracle for every query: 43 real DuckDB
                 reformulations (incl. exact shingle-Jaccard pair /
                 clustering / simhash-Hamming / winnowing-fingerprint /
                 cosine-component oracles that recompute the polynomial
@@ -257,6 +257,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, jaccard_threshold=0.8,
             label_broadcast_threshold=0, pair_graph_driver_max=0,
         )
+
+    def decontaminate_q(sf_dir: str):
+        """Train/eval decontamination: train = docs with doc_id % 17 != 0,
+        eval = the rest PLUS exact copies of five train texts (ids
+        1,2,18,35,52 re-labeled +1e6 — the corpus's planted dups all land
+        inside train, so without the copies the anti-join would be vacuous;
+        DuckDB reproduces the augmentation verbatim, the embedding_dedup
+        precedent). Drops every train doc whose exact content hash appears
+        in eval; oracle recomputes the same md5 anti-join
+        (DECONTAMINATE_SQL)."""
+        from outage_data_scraper_ray.functions.dedup import decontaminate
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        train = docs.map_batches(
+            lambda b: b[b["doc_id"] % 17 != 0], batch_format="pandas"
+        )
+        planted = (1, 2, 18, 35, 52)
+
+        def _eval_part(b: pd.DataFrame) -> pd.DataFrame:
+            ev = b[b["doc_id"] % 17 == 0]
+            copies = b[b["doc_id"].isin(planted)].copy()
+            copies["doc_id"] = copies["doc_id"] + 1_000_000
+            return pd.concat([ev, copies], ignore_index=True)
+
+        eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
+        return decontaminate(train, eval_ds)
 
     def simhash_dedup_q(sf_dir: str):
         """SimHash near-dup clustering. Value-oracle: SIMHASH_DEDUP_SQL
@@ -520,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_dedup": minhash_dedup,
             "minhash_dedup_distlabel": minhash_dedup_distlabel,
             "minhash_dedup_labelprop": minhash_dedup_labelprop,
+            "decontaminate": decontaminate_q,
             "simhash_dedup": simhash_dedup_q,
             "embedding_dedup": embedding_dedup_q,
             "ngram_jaccard": ngram_jaccard_q,
@@ -730,6 +760,22 @@ SELECT doc_id,
 FROM small WHERE rn <= 4 GROUP BY doc_id
 """
 
+# Decontamination oracle: the same md5 content-hash anti-join of the
+# doc_id % 17 train/eval split (+ the five planted train-text copies in
+# eval), recomputed with DuckDB's md5().
+DECONTAMINATE_SQL = """
+WITH ev AS (
+    SELECT DISTINCT md5(COALESCE(text, '')) AS h
+    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN (1, 2, 18, 35, 52)
+), tr AS (
+    SELECT doc_id, md5(COALESCE(text, '')) AS h
+    FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT tr.doc_id, tr.h AS text_md5
+FROM tr LEFT JOIN ev ON tr.h = ev.h
+WHERE ev.h IS NULL
+"""
+
 # IVF k-NN oracle: reproduces the planted-neighbor augmentation (same f64
 # arithmetic order as the wrapper, per-element CAST to FLOAT replicating the
 # stored f32 rounding), then the EXACT double-precision cosine top-5 per
@@ -863,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_dedup"] = EMBEDDING_DEDUP_SQL
     out["simhash_dedup"] = SIMHASH_DEDUP_SQL
     out["ivf_knn"] = IVF_KNN_SQL
+    out["decontaminate"] = DECONTAMINATE_SQL
     # golden VALUES oracles; absent files -> rows-only check. The first two
     # pin the EXECUTED REFERENCE's output on the seeded gate inputs; the
     # determinism pins record the (cross-session, cross-parallelism

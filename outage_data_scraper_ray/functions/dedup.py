@@ -129,6 +129,71 @@ def exact_dedup(
     )
 
 
+def decontaminate(
+    train: rd.Dataset,
+    eval_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    broadcast_threshold: int = 200_000,
+    eval_rows: int | None = None,
+) -> rd.Dataset:
+    """Training-data decontamination: drop every train document whose exact
+    content hash appears in an eval corpus (the train/eval overlap scrub —
+    eval contamination is the canonical LLM-pipeline failure the reference's
+    disabled drop_duplicates, util.py:42, never addressed).
+
+    Scale shape, small eval (<= broadcast_threshold rows): reduce eval to
+    its distinct md5 set — one string per UNIQUE eval text — broadcast once
+    via ray.put, and anti-filter train statelessly per batch (no shuffle at
+    all; the standard case, eval sets are tiny next to train). Large eval:
+    tag both sides, ONE hash shuffle on text_md5 co-locates each hash's
+    train and eval rows, and a vectorized per-block anti-join keeps train
+    rows whose hash has no eval row — only (id, md5) scalars move, never
+    text. Returns (id_col, text_md5) of the SURVIVING train docs."""
+    n_eval = eval_ds.count() if eval_rows is None else eval_rows
+
+    def _hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        return add_md5(batch)[[id_col, "text_md5"]]
+
+    train_h = train.map_batches(_hashes, batch_format="pandas")
+    if n_eval <= broadcast_threshold:
+
+        def _eval_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return add_md5(batch)[["text_md5"]].drop_duplicates()
+
+        eval_set = frozenset(
+            eval_ds.map_batches(_eval_partial, batch_format="pandas")
+            .to_pandas()["text_md5"]
+        )
+        eval_ref = ray.put(eval_set)
+
+        def _anti(batch: pd.DataFrame, _ref=eval_ref) -> pd.DataFrame:
+            banned = ray.get(_ref)
+            return batch[~batch["text_md5"].isin(banned)]
+
+        return train_h.map_batches(_anti, batch_format="pandas")
+
+    def _tag(side: int):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            b = add_md5(batch)[[id_col, "text_md5"]]
+            b["side"] = np.int8(side)
+            return b
+
+        return _t
+
+    tagged = train.map_batches(_tag(0), batch_format="pandas").union(
+        eval_ds.map_batches(_tag(1), batch_format="pandas")
+    )
+
+    def _anti_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return block[[id_col, "text_md5"]]
+        banned = block.loc[block["side"] == 1, "text_md5"]
+        keep = block[block["side"] == 0]
+        return keep.loc[~keep["text_md5"].isin(set(banned)), [id_col, "text_md5"]]
+
+    return hash_partitioned_map_batches(tagged, ["text_md5"], _anti_block)
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 

@@ -1403,6 +1403,182 @@ SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing: redact emails and US-style phone numbers, count redactions.
+# The raw corpus contains no PII, which would make the check vacuous, so the
+# gate input deterministically appends a synthetic contact line derived from
+# doc_id (email + phone) that DuckDB reproduces verbatim — the redaction
+# provably fires on every row. Arrow-native end to end: one element-wise
+# string join + RE2 count/replace kernels over the zero-copy column.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        aug = pc.binary_join_element_wise(
+            text,
+            " contact u", pa.array(d.astype(str)),
+            "@ex", pa.array((d % 7).astype(str)),
+            ".com or 555-", pa.array((d % 900 + 100).astype(str)),
+            "-", pa.array((d % 9000 + 1000).astype(str)),
+            "",
+        )
+        n_pii = pc.add(
+            pc.count_substring_regex(aug, _PII_EMAIL),
+            pc.count_substring_regex(aug, _PII_PHONE),
+        ).cast(pa.int64())
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "clean_text": clean, "n_pii": n_pii}
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+PII_SCRUB_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           COALESCE(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)
+             || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com or 555-'
+             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+             || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean_text,
+       CAST(length(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + length(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT)
+           AS n_pii
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# document chunking: split every document into fixed-size overlapping
+# character windows (chunk 500, stride 400 => 100 overlap) — the RAG/
+# context-window prep op. Embarrassingly parallel; the explode is
+# vectorized per CHUNK INDEX (one utf8_slice kernel over all docs that
+# have a k-th chunk), never per row.
+
+_CHUNK_SIZE = 500
+_CHUNK_STRIDE = 400
+
+
+def chunk_documents(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        # chunks per doc: ceil(len/stride), min 1 (empty doc -> one empty chunk)
+        n_chunks = np.maximum(1, (n + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE)
+        parts = []
+        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = pa.array(n_chunks > k)
+            sub = batch.filter(mask)
+            sub_text = pc.fill_null(sub.column("text"), "")
+            chunk = pc.utf8_slice_codeunits(
+                sub_text, start=k * _CHUNK_STRIDE,
+                stop=k * _CHUNK_STRIDE + _CHUNK_SIZE,
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_idx": pa.array(
+                            np.full(sub.num_rows, k, dtype=np.int64)
+                        ),
+                        "chunk": chunk,
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "chunk": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+CHUNK_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(COALESCE(text, ''), CAST(i * 400 + 1 AS BIGINT), 500) AS chunk
+FROM documents,
+     UNNEST(generate_series(0,
+         greatest(0, (length(COALESCE(text, '')) + 399) // 400 - 1))) t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# term document frequency: top-50 terms by the number of DISTINCT documents
+# containing them — the wordcount-with-preaggregation shape. Each batch
+# holds whole documents, so a per-batch distinct (term, doc) + count is a
+# correct partial (no doc spans two batches); partials are vocab-sized
+# (term, n) rows. The combine is gated: driver groupby under the row bound
+# (vocab x blocks partial rows, tiny), one hash shuffle on term above it.
+
+def term_doc_freq(
+    sf_dir: str, k: int = 50, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("term")).explode("term")
+        e = e.dropna().drop_duplicates()
+        return e.groupby("term", as_index=False).agg(n=("doc_id", "size"))
+
+    partials = docs.map_batches(_partial, batch_format="pandas")
+    n_rows = _table_rows(sf_dir, "documents")
+    if n_rows <= driver_threshold:
+        combined = (
+            partials.to_pandas().groupby("term", as_index=False).agg(
+                n_docs=("n", "sum")
+            )
+        )
+    else:
+        def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("term", as_index=False).agg(n_docs=("n", "sum"))
+
+        combined = hash_partitioned_map_batches(
+            partials, ["term"], _sum_block
+        ).to_pandas()
+    out = combined.sort_values(
+        ["n_docs", "term"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+TERM_DOC_FREQ_SQL = r"""
+WITH w AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM w GROUP BY term
+ORDER BY n_docs DESC, term
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -1435,4 +1611,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "grouped_topk": (grouped_topk, GROUPED_TOPK_SQL),
     "pack_shards": (pack_shards, PACK_SHARDS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_SQL),
+    "term_doc_freq": (term_doc_freq, TERM_DOC_FREQ_SQL),
 }

@@ -694,6 +694,32 @@ def test_grouped_topk_forced_distributed_matches_driver(ray_session):
     assert a.groupby("o_custkey").size().max() <= 3
 
 
+def test_decontaminate_broadcast_matches_distributed(ray_session):
+    """Both decontamination paths — broadcast eval-hash set and the
+    forced tagged-union hash-shuffle anti-join — drop exactly the train
+    docs whose text appears in eval."""
+    from outage_data_scraper_ray.functions.dedup import decontaminate
+
+    texts = [f"document body {i}" for i in range(40)]
+    train = pd.DataFrame({"doc_id": range(40), "text": texts})
+    # eval contains copies of train texts 3, 7, 11 plus unrelated docs
+    eval_df = pd.DataFrame(
+        {"doc_id": [100, 101, 102, 103],
+         "text": [texts[3], texts[7], texts[11], "unrelated"]}
+    )
+    want_ids = set(range(40)) - {3, 7, 11}
+    a = decontaminate(rd.from_pandas(train), rd.from_pandas(eval_df)).to_pandas()
+    b = decontaminate(
+        rd.from_pandas(train), rd.from_pandas(eval_df), broadcast_threshold=0
+    ).to_pandas()
+    assert set(a["doc_id"]) == want_ids
+    assert set(b["doc_id"]) == want_ids
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True).sort_index(axis=1),
+        b.sort_values("doc_id").reset_index(drop=True).sort_index(axis=1),
+    )
+
+
 def test_pack_shards_forced_distributed_matches_driver(ray_session):
     """Distributed prefix-sum path (sort + pinned blocks + two-phase scan)
     must reproduce the driver cumsum bit-exactly, and pack token sums must
