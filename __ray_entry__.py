@@ -7,7 +7,7 @@
 ``queries()`` — one callable per implemented operator family from
                 SURVEY.md section 2 plus the scale operators (dedup /
                 similarity / text / multimodal / crawl / sessionize).
-``oracle_sql()`` — a value-oracle for every query: 43 real DuckDB
+``oracle_sql()`` — a value-oracle for every query: 46 real DuckDB
                 reformulations (incl. exact shingle-Jaccard pair /
                 clustering / simhash-Hamming / winnowing-fingerprint /
                 cosine-component oracles that recompute the polynomial
@@ -287,6 +287,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
         return decontaminate(train, eval_ds)
 
+    def ngram_decontaminate_q(sf_dir: str):
+        """N-gram (5-word) decontamination over the same doc_id % 17
+        train/eval split as `decontaminate` (incl. the five planted
+        train-text copies in eval): a train doc is dropped if it shares
+        ANY word 5-gram with eval — the overlap scrub that also catches
+        eval excerpts embedded in longer train docs. Oracle rebuilds the
+        identical gram sets with string_split + list indexing
+        (NGRAM_DECONTAMINATE_SQL)."""
+        from outage_data_scraper_ray.functions.dedup import ngram_decontaminate
+        from outage_data_scraper_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        train = docs.map_batches(
+            lambda b: b[b["doc_id"] % 17 != 0], batch_format="pandas"
+        )
+        planted = (1, 2, 18, 35, 52)
+
+        def _eval_part(b: pd.DataFrame) -> pd.DataFrame:
+            ev = b[b["doc_id"] % 17 == 0]
+            copies = b[b["doc_id"].isin(planted)].copy()
+            copies["doc_id"] = copies["doc_id"] + 1_000_000
+            return pd.concat([ev, copies], ignore_index=True)
+
+        eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
+        return ngram_decontaminate(train, eval_ds)
+
     def simhash_dedup_q(sf_dir: str):
         """SimHash near-dup clustering. Value-oracle: SIMHASH_DEDUP_SQL
         recomputes every 64-bit simhash in HUGEINT (the word hash is the
@@ -550,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_dedup_distlabel": minhash_dedup_distlabel,
             "minhash_dedup_labelprop": minhash_dedup_labelprop,
             "decontaminate": decontaminate_q,
+            "ngram_decontaminate": ngram_decontaminate_q,
             "simhash_dedup": simhash_dedup_q,
             "embedding_dedup": embedding_dedup_q,
             "ngram_jaccard": ngram_jaccard_q,
@@ -776,6 +805,33 @@ FROM tr LEFT JOIN ev ON tr.h = ev.h
 WHERE ev.h IS NULL
 """
 
+# N-gram decontamination oracle: the same doc_id % 17 split (+ planted
+# copies — copies only ADD grams already counted from their originals, so
+# the eval side needs no re-labeling), eval's distinct word-5-gram set,
+# and an any-overlap anti-join; n_grams = words - 4 per surviving doc.
+NGRAM_DECONTAMINATE_SQL = """
+WITH tr AS (
+    SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+    FROM documents WHERE doc_id % 17 <> 0
+), ev AS (
+    SELECT string_split(COALESCE(text, ''), ' ') AS w
+    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN (1, 2, 18, 35, 52)
+), evg AS (
+    SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4] AS g
+    FROM ev, UNNEST(generate_series(1, len(w) - 4)) t(i)
+), trg AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4] AS g
+    FROM tr, UNNEST(generate_series(1, len(w) - 4)) t(i)
+), hit AS (
+    SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)
+)
+SELECT tr.doc_id, CAST(greatest(len(tr.w) - 4, 0) AS BIGINT) AS n_grams
+FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+WHERE hit.doc_id IS NULL
+"""
+
 # IVF k-NN oracle: reproduces the planted-neighbor augmentation (same f64
 # arithmetic order as the wrapper, per-element CAST to FLOAT replicating the
 # stored f32 rounding), then the EXACT double-precision cosine top-5 per
@@ -910,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_dedup"] = SIMHASH_DEDUP_SQL
     out["ivf_knn"] = IVF_KNN_SQL
     out["decontaminate"] = DECONTAMINATE_SQL
+    out["ngram_decontaminate"] = NGRAM_DECONTAMINATE_SQL
     # golden VALUES oracles; absent files -> rows-only check. The first two
     # pin the EXECUTED REFERENCE's output on the seeded gate inputs; the
     # determinism pins record the (cross-session, cross-parallelism

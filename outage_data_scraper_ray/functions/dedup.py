@@ -194,6 +194,123 @@ def decontaminate(
     return hash_partitioned_map_batches(tagged, ["text_md5"], _anti_block)
 
 
+def _word_ngrams(df: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_id, gram_string, grams_per_row) for a batch, fully vectorized:
+    explode words once, then the grams are n shifted views of the flat word
+    array joined elementwise, masked to rows (no per-row Python loop)."""
+    words = df["text"].fillna("").str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    rid = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    flat = (
+        np.concatenate([np.asarray(w, dtype=object) for w in words])
+        if len(df) and lens.sum()
+        else np.array([], dtype=object)
+    )
+    n_grams = np.maximum(lens - n + 1, 0)
+    if len(flat) < n:
+        return np.array([], dtype=np.int64), np.array([], dtype=object), n_grams
+    m = len(flat) - n + 1
+    valid = rid[:m] == rid[n - 1:]
+    g = flat[:m].copy()
+    for i in range(1, n):
+        g = g + " " + flat[i:m + i]
+    return rid[:m][valid], g[valid], n_grams
+
+
+def ngram_decontaminate(
+    train: rd.Dataset,
+    eval_ds: rd.Dataset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    broadcast_threshold: int = 200_000,
+    eval_rows: int | None = None,
+) -> rd.Dataset:
+    """N-gram decontamination: drop every train document that SHARES ANY
+    word n-gram with the eval corpus — the published train/eval scrub
+    (GPT-3 App. C / Dolma use 8-13-gram overlap; exact-hash
+    ``decontaminate`` misses eval excerpts embedded in longer train docs,
+    which this catches).
+
+    Scale shape, small eval (<= broadcast_threshold rows): eval reduces to
+    its distinct gram set, broadcast once via ray.put; train filters
+    statelessly per batch (any-hit -> drop), zero shuffles. Large eval:
+    both sides explode to (gram, id, side) rows, ONE hash shuffle on gram
+    co-locates each gram's rows, per-block emit of the train ids that meet
+    an eval gram; the hit-id set — sized by CONTAMINATED docs only — comes
+    back to the driver and anti-filters train via a broadcast isin. Returns
+    (id_col, n_grams) of the SURVIVING train docs."""
+    n_eval = eval_ds.count() if eval_rows is None else eval_rows
+
+    def _survivors(batch: pd.DataFrame, banned) -> pd.DataFrame:
+        rid, grams, n_g = _word_ngrams(batch, n)
+        hit_rid = np.unique(rid[pd.Series(grams).isin(banned).to_numpy()])
+        keep = np.ones(len(batch), dtype=bool)
+        keep[hit_rid] = False
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[keep],
+             "n_grams": n_g[keep].astype(np.int64)}
+        )
+
+    if n_eval <= broadcast_threshold:
+
+        def _eval_grams(batch: pd.DataFrame) -> pd.DataFrame:
+            _rid, grams, _ng = _word_ngrams(batch, n)
+            # typed even when empty — an object-dtype empty column becomes
+            # Arrow null and breaks block schema unification
+            return pd.DataFrame({"g": pd.Series(pd.unique(grams), dtype="string")})
+
+        banned = frozenset(
+            eval_ds.map_batches(_eval_grams, batch_format="pandas")
+            .to_pandas()["g"]
+        )
+        banned_ref = ray.put(banned)
+
+        def _anti(batch: pd.DataFrame, _ref=banned_ref) -> pd.DataFrame:
+            return _survivors(batch, ray.get(_ref))
+
+        return train.map_batches(_anti, batch_format="pandas")
+
+    def _gram_rows(side: int):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            rid, grams, _ng = _word_ngrams(batch, n)
+            out = pd.DataFrame(
+                {"g": pd.Series(grams, dtype="string"),
+                 id_col: batch[id_col].to_numpy()[rid]}
+            )
+            out["side"] = np.int8(side)
+            return out.drop_duplicates()
+
+        return _t
+
+    tagged = train.map_batches(_gram_rows(0), batch_format="pandas").union(
+        eval_ds.map_batches(_gram_rows(1), batch_format="pandas")
+    )
+
+    def _hits_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        ev = set(block.loc[block["side"] == 1, "g"])
+        tr = block[block["side"] == 0]
+        hit = tr.loc[tr["g"].isin(ev), [id_col]].drop_duplicates()
+        return hit
+
+    hit_ids = frozenset(
+        hash_partitioned_map_batches(tagged, ["g"], _hits_block)
+        .to_pandas()[id_col]
+    )
+    hit_ref = ray.put(hit_ids)
+
+    def _anti_ids(batch: pd.DataFrame, _ref=hit_ref) -> pd.DataFrame:
+        rid, _grams, n_g = _word_ngrams(batch, n)
+        keep = ~batch[id_col].isin(ray.get(_ref)).to_numpy()
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[keep],
+             "n_grams": n_g[keep].astype(np.int64)}
+        )
+
+    return train.map_batches(_anti_ids, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 

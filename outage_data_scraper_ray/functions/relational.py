@@ -1579,6 +1579,197 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# repetition filter: the Gopher-style within-document repetition quality
+# rules (Rae et al. 2021 §A1.1) adapted to the corpus's single-line word
+# streams — drop documents whose most frequent word exceeds 10% of tokens
+# or whose duplicate-bigram fraction exceeds 5% (both straddle the corpus
+# median, so the filter provably bites). Embarrassingly parallel, one pass;
+# the per-batch kernel is flat numpy over an exploded (row, word) layout —
+# no per-row Python. Fractions are single IEEE divisions in the same
+# operand order as the SQL, so the doubles hash-match bit-exactly.
+
+_REP_TOP_WORD_MAX = 0.10
+_REP_DUP_BIGRAM_MAX = 0.05
+
+
+def _explode_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_id, flat_word, words_per_row) for a batch, fully vectorized."""
+    words = df["text"].fillna("").str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    rid = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    flat = (
+        np.concatenate([np.asarray(w, dtype=object) for w in words])
+        if len(df) and lens.sum()
+        else np.array([], dtype=object)
+    )
+    return rid, flat, lens
+
+
+def repetition_filter(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _metrics(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "top_word_frac": pd.Series(dtype="float64"),
+                 "dup_bigram_frac": pd.Series(dtype="float64")}
+            )
+        rid, flat, lens = _explode_words(df)
+        counts = (
+            pd.DataFrame({"rid": rid, "w": flat})
+            .groupby(["rid", "w"], sort=False)
+            .size()
+        )
+        top = counts.groupby(level=0).max().reindex(
+            np.arange(len(df)), fill_value=0
+        ).to_numpy(np.float64)
+        top_word_frac = top / lens.astype(np.float64)
+        # bigrams: adjacent word pairs within a row (mask out row seams)
+        same = rid[:-1] == rid[1:]
+        bg = flat[:-1][same] + " " + flat[1:][same]
+        brid = rid[:-1][same]
+        n_bg = np.maximum(lens - 1, 0).astype(np.float64)
+        ndist = (
+            pd.DataFrame({"rid": brid, "b": bg})
+            .drop_duplicates()
+            .groupby("rid")
+            .size()
+            .reindex(np.arange(len(df)), fill_value=0)
+            .to_numpy(np.float64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_bigram_frac = np.where(n_bg > 0, 1.0 - ndist / n_bg, 0.0)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "top_word_frac": top_word_frac,
+             "dup_bigram_frac": dup_bigram_frac}
+        )
+        keep = (out["top_word_frac"] <= _REP_TOP_WORD_MAX) & (
+            out["dup_bigram_frac"] <= _REP_DUP_BIGRAM_MAX
+        )
+        return out[keep]
+
+    return docs.map_batches(_metrics, batch_format="pandas")
+
+
+REPETITION_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), wc AS (
+    SELECT doc_id, unnest(w) AS word FROM d
+), tw AS (
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+    FROM (SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY doc_id, word)
+    GROUP BY doc_id
+), bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS b, len(w) - 1 AS nb
+    FROM d, UNNEST(generate_series(1, len(w) - 1)) t(i)
+), db AS (
+    SELECT doc_id,
+           1.0 - CAST(COUNT(DISTINCT b) AS DOUBLE) / COUNT(*) AS dup_bigram_frac
+    FROM bg GROUP BY doc_id
+)
+SELECT d.doc_id, tw.top_word_frac,
+       COALESCE(db.dup_bigram_frac, 0.0) AS dup_bigram_frac
+FROM d JOIN tw USING (doc_id) LEFT JOIN db ON d.doc_id = db.doc_id
+WHERE tw.top_word_frac <= 0.10
+  AND COALESCE(db.dup_bigram_frac, 0.0) <= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: the classic two-pass corpus statistic. Pass 1 computes
+# per-term document frequency as vocab-sized per-batch partials (docs never
+# span batches) combined on the driver — the vocab is small by construction
+# (term_doc_freq measures it), so DF is a broadcast dict, never a shuffle.
+# Pass 2 scores every (doc, term) as tf * idf and keeps each doc's top-3;
+# per-batch top-k is exact for the same whole-docs-per-batch reason. The
+# idf is the LOG-FREE variant idf = N/df: both factors are single IEEE
+# divisions and the product one multiplication, the exact operand order the
+# SQL uses — no libm call whose last ulp could differ between DuckDB and
+# numpy (the oracle hash-compares raw doubles).
+
+def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _table_rows(sf_dir, "documents")
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rid, flat, _lens = _explode_words(df)
+        e = pd.DataFrame({"rid": rid, "term": flat}).drop_duplicates()
+        return e.groupby("term", as_index=False).agg(df_n=("rid", "size"))
+
+    df_map = (
+        docs.map_batches(_df_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .agg(df_n=("df_n", "sum"))
+    )
+    idf = dict(
+        zip(df_map["term"], float(n_docs) / df_map["df_n"].to_numpy(np.float64))
+    )
+    idf_ref = ray.put(idf)
+
+    def _score(df: pd.DataFrame, _ref=idf_ref) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "term": pd.Series(dtype="object"),
+                 "score": pd.Series(dtype="float64"),
+                 "tfidf_rank": pd.Series(dtype="int64")}
+            )
+        idf_m = ray.get(_ref)
+        rid, flat, lens = _explode_words(df)
+        cnt = (
+            pd.DataFrame({"rid": rid, "term": flat})
+            .groupby(["rid", "term"], sort=False, as_index=False)
+            .size()
+        )
+        tf = cnt["size"].to_numpy(np.float64) / lens[cnt["rid"]].astype(np.float64)
+        cnt["score"] = tf * cnt["term"].map(idf_m).to_numpy(np.float64)
+        cnt = cnt.sort_values(
+            ["rid", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        topk = cnt.groupby("rid", sort=False).head(k).copy()
+        topk["tfidf_rank"] = topk.groupby("rid", sort=False).cumcount() + 1
+        topk["doc_id"] = df["doc_id"].to_numpy()[topk["rid"]]
+        return topk[["doc_id", "term", "score", "tfidf_rank"]]
+
+    out = docs.map_batches(_score, batch_format="pandas").to_pandas()
+    out["tfidf_rank"] = out["tfidf_rank"].astype("int64")
+    return out.sort_values(["doc_id", "tfidf_rank"]).reset_index(drop=True)
+
+
+TFIDF_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY doc_id, term
+), nw AS (
+    SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id
+), dfq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df_n FROM w GROUP BY term
+), nn AS (
+    SELECT COUNT(*) AS nd FROM documents
+), s AS (
+    SELECT tf.doc_id, tf.term,
+           (CAST(tf.c AS DOUBLE) / nw.n) * (CAST(nn.nd AS DOUBLE) / dfq.df_n)
+               AS score
+    FROM tf JOIN nw USING (doc_id) JOIN dfq USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, score, CAST(rn AS BIGINT) AS tfidf_rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rn FROM s
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -1614,4 +1805,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),
     "term_doc_freq": (term_doc_freq, TERM_DOC_FREQ_SQL),
+    "repetition_filter": (repetition_filter, REPETITION_SQL),
+    "tfidf_topk": (tfidf_topk, TFIDF_SQL),
 }

@@ -720,6 +720,41 @@ def test_decontaminate_broadcast_matches_distributed(ray_session):
     )
 
 
+def test_ngram_decontaminate_broadcast_matches_distributed(ray_session):
+    """Both paths — broadcast eval-gram set and the forced gram-shuffle
+    hit-id collection — drop exactly the train docs sharing ANY word
+    5-gram with eval, including an eval doc that only EMBEDS a train
+    excerpt (the case exact-hash decontamination misses)."""
+    from outage_data_scraper_ray.functions.dedup import ngram_decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(30)]
+    train = pd.DataFrame({"doc_id": range(30), "text": texts})
+    # eval doc 100 embeds a 5-word excerpt of train doc 4 mid-sentence;
+    # eval doc 101 is an exact copy of train doc 9; 102 is unrelated
+    excerpt = " ".join(texts[4].split(" ")[6:11])
+    eval_df = pd.DataFrame(
+        {"doc_id": [100, 101, 102],
+         "text": [f"intro words here {excerpt} closing words", texts[9],
+                  "completely unrelated words only"]}
+    )
+    want_ids = set(range(30)) - {4, 9}
+    a = ngram_decontaminate(
+        rd.from_pandas(train), rd.from_pandas(eval_df)
+    ).to_pandas()
+    b = ngram_decontaminate(
+        rd.from_pandas(train), rd.from_pandas(eval_df), broadcast_threshold=0
+    ).to_pandas()
+    assert set(a["doc_id"]) == want_ids
+    assert set(b["doc_id"]) == want_ids
+    assert (a["n_grams"] == 16).all()  # 20 words -> 16 five-grams
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True).sort_index(axis=1),
+        b.sort_values("doc_id").reset_index(drop=True).sort_index(axis=1),
+    )
+
+
 def test_pack_shards_forced_distributed_matches_driver(ray_session):
     """Distributed prefix-sum path (sort + pinned blocks + two-phase scan)
     must reproduce the driver cumsum bit-exactly, and pack token sums must
