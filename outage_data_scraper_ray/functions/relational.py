@@ -1770,6 +1770,43 @@ SELECT doc_id, term, score, CAST(rn AS BIGINT) AS tfidf_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# mixture sampling: the data-mixture reweighting op — downsample each source
+# to a per-source rate (here rate = (src_num % 4 + 1)/5, so the 20 sources
+# get 0.2/0.4/0.6/0.8 and every branch provably fires). A doc survives iff
+# its seeded affine hash (the stratified_sample family) falls under
+# floor(rate * 2^64) — an EXACT integer threshold, so the sample is a pure
+# function of the data: identical at any parallelism, any batch size, and
+# in DuckDB (HUGEINT arithmetic). Stateless, zero-shuffle, one pass.
+
+def mixture_sample(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    # floor(k/5 * 2^64) for k = 1..4, exact
+    thresholds = np.array([(1 << 64) * k // 5 for k in range(1, 5)], dtype=np.uint64)
+
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = ids * _SAMPLE_A + _SAMPLE_B  # wrapping mod 2^64
+        k = df["source"].str.slice(3).astype(np.int64).to_numpy() % 4
+        return df[h < thresholds[k]]
+
+    return docs.map_batches(_sample, batch_format="pandas")
+
+
+MIXTURE_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005
+                 + 1442695040888963407)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS h,
+           CAST(regexp_extract(source, '\d+') AS BIGINT) % 4 + 1 AS k
+    FROM documents
+)
+SELECT doc_id, source FROM t
+WHERE h < CAST(18446744073709551616::HUGEINT * k // 5 AS UBIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -1807,4 +1844,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "term_doc_freq": (term_doc_freq, TERM_DOC_FREQ_SQL),
     "repetition_filter": (repetition_filter, REPETITION_SQL),
     "tfidf_topk": (tfidf_topk, TFIDF_SQL),
+    "mixture_sample": (mixture_sample, MIXTURE_SQL),
 }

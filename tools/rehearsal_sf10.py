@@ -44,7 +44,8 @@ def main() -> None:
     import __ray_entry__ as E
 
     qs = E.queries()
-    names = list(QUERIES)
+    override = os.environ.get("GRAFT_SF10_QUERIES")
+    names = override.split(",") if override else list(QUERIES)
     if os.environ.get("GRAFT_SF10_PAIRS") == "1":
         names.append("cosine_pairs_exact")
     res = {"num_cpus": num_cpus, "queries": {}}
