@@ -1773,6 +1773,61 @@ SELECT doc_id, term, score, CAST(rn AS BIGINT) AS tfidf_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# exact distributed percentiles WITHOUT a sort: per-doc word counts live in
+# a bounded integer domain, so each batch emits a (value, count) histogram
+# partial, the merged histogram is domain-sized (tiny) on the driver, and
+# the exact p-th percentile is the value at 1-based rank ceil(p*n/100) in
+# the cumulative counts — integer arithmetic end to end, no global sort, no
+# shuffle, one corpus pass. (The global-sort alternative moves every row;
+# this moves O(domain) scalars per block.)
+
+def token_percentiles(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+        v, c = np.unique(n_words, return_counts=True)
+        return pd.DataFrame({"v": v, "c": c})
+
+    hist = (
+        docs.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+
+    def _at(p: int) -> int:
+        rank = (p * n + 99) // 100  # ceil(p*n/100), exact
+        return int(vals[np.searchsorted(cum, rank)])
+
+    return pd.DataFrame(
+        {"n_docs": pd.array([n], dtype="int64"),
+         "p50": pd.array([_at(50)], dtype="int64"),
+         "p90": pd.array([_at(90)], dtype="int64"),
+         "p99": pd.array([_at(99)], dtype="int64")}
+    )
+
+
+TOKEN_PCTL_SQL = """
+WITH t AS (
+    SELECT len(string_split(COALESCE(text, ''), ' ')) AS v FROM documents
+), r AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+    FROM t
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT) AS p90,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # mixture sampling: the data-mixture reweighting op — downsample each source
 # to a per-source rate (here rate = (src_num % 4 + 1)/5, so the 20 sources
 # get 0.2/0.4/0.6/0.8 and every branch provably fires). A doc survives iff
@@ -1848,4 +1903,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "repetition_filter": (repetition_filter, REPETITION_SQL),
     "tfidf_topk": (tfidf_topk, TFIDF_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SQL),
+    "token_percentiles": (token_percentiles, TOKEN_PCTL_SQL),
 }
