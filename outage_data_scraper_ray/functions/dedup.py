@@ -160,9 +160,10 @@ def decontaminate(
         def _eval_partial(batch: pd.DataFrame) -> pd.DataFrame:
             return add_md5(batch)[["text_md5"]].drop_duplicates()
 
-        eval_set = frozenset(
-            eval_ds.map_batches(_eval_partial, batch_format="pandas")
-            .to_pandas()["text_md5"]
+        evp = eval_ds.map_batches(_eval_partial, batch_format="pandas").to_pandas()
+        # an all-empty eval dataset loses its schema through to_pandas
+        eval_set = (
+            frozenset(evp["text_md5"]) if "text_md5" in evp.columns else frozenset()
         )
         eval_ref = ray.put(eval_set)
 
@@ -259,10 +260,9 @@ def ngram_decontaminate(
             # Arrow null and breaks block schema unification
             return pd.DataFrame({"g": pd.Series(pd.unique(grams), dtype="string")})
 
-        banned = frozenset(
-            eval_ds.map_batches(_eval_grams, batch_format="pandas")
-            .to_pandas()["g"]
-        )
+        evp = eval_ds.map_batches(_eval_grams, batch_format="pandas").to_pandas()
+        # an all-empty eval dataset loses its schema through to_pandas
+        banned = frozenset(evp["g"]) if "g" in evp.columns else frozenset()
         banned_ref = ray.put(banned)
 
         def _anti(batch: pd.DataFrame, _ref=banned_ref) -> pd.DataFrame:

@@ -720,6 +720,51 @@ def test_decontaminate_broadcast_matches_distributed(ray_session):
     )
 
 
+def test_text_ops_degenerate_doc_lengths(ray_session, tmp_path):
+    """Edge docs the sf corpora never produce: empty text, single word,
+    fewer words than the n-gram/bigram width. repetition_filter must not
+    divide by zero (no-bigram docs get frac 0.0 and survive on the
+    top-word rule alone), ngram_decontaminate must keep sub-width docs
+    with n_grams=0, chunk_documents must emit exactly one empty chunk for
+    an empty doc, and token_percentiles stays exact on a 4-row input."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from outage_data_scraper_ray.functions.dedup import ngram_decontaminate
+    from outage_data_scraper_ray.functions.relational import (
+        chunk_documents, repetition_filter, token_percentiles,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3],
+         "text": ["", "word", "a b c", "x y z w v u t s r q p o"]}
+    )
+    sf = str(tmp_path)
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    f"{sf}/documents.parquet")
+
+    rep = repetition_filter(sf).to_pandas().set_index("doc_id")
+    # docs 0/1 (one word, frac 1.0) and 2 (1/3 > 0.10) are dropped; doc 3
+    # (12 distinct words, 1/12) survives with a defined 0.0 bigram frac
+    assert set(rep.index) == {3}
+    assert rep.loc[3, "dup_bigram_frac"] == 0.0
+
+    surv = (
+        ngram_decontaminate(rd.from_pandas(df), rd.from_pandas(df.iloc[:0]))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert set(surv.index) == {0, 1, 2, 3}
+    assert surv["n_grams"].tolist() == [0, 0, 0, 8]
+
+    ch = chunk_documents(sf).to_pandas()
+    assert len(ch[ch["doc_id"] == 0]) == 1
+    assert ch.loc[ch["doc_id"] == 0, "chunk"].iloc[0] == ""
+
+    pct = token_percentiles(sf)
+    # word counts sorted: [1, 1, 3, 12]; rank ceil(p*4/100) = 2, 4, 4
+    assert pct.iloc[0].tolist() == [4, 1, 12, 12]
+
+
 def test_ngram_decontaminate_broadcast_matches_distributed(ray_session):
     """Both paths — broadcast eval-gram set and the forced gram-shuffle
     hit-id collection — drop exactly the train docs sharing ANY word
