@@ -720,6 +720,34 @@ def test_decontaminate_broadcast_matches_distributed(ray_session):
     )
 
 
+def test_hll_estimate_accuracy(ray_session, tmp_path):
+    """HLL sketch over 10k rows with exactly 1,000 distinct texts: the
+    register merge is associative (partials from any batching agree) and
+    the estimate lands within 3 standard errors (3 * 1.04/sqrt(64) = 39%)
+    of the truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from outage_data_scraper_ray.functions.relational import (
+        hll_estimate, hll_registers,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = [f"distinct document body number {i}" for i in range(1000)]
+    df = pd.DataFrame(
+        {"doc_id": range(10_000),
+         "text": [texts[i] for i in rng.integers(0, 1000, 10_000)]}
+    )
+    sf = str(tmp_path)
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    f"{sf}/documents.parquet")
+    regs = hll_registers(sf)
+    assert regs["register"].tolist() == list(range(64))
+    exact = df["text"].nunique()
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.39
+
+
 def test_text_ops_degenerate_doc_lengths(ray_session, tmp_path):
     """Edge docs the sf corpora never produce: empty text, single word,
     fewer words than the n-gram/bigram width. repetition_filter must not
