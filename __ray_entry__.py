@@ -43,6 +43,42 @@ from outage_data_scraper_ray.golden import (  # noqa: E402
 )
 
 
+# Decontamination gate split, shared by decontaminate_q / ngram_decontaminate_q
+# and interpolated into BOTH oracle SQL strings (single source of truth):
+# train = docs with doc_id % 17 != 0; eval = the rest PLUS exact copies of
+# five train texts re-labeled +1e6 (the corpus's planted dups all land inside
+# train, so without the copies the anti-join would be vacuous; DuckDB
+# reproduces the augmentation verbatim, the embedding_dedup precedent).
+_PLANTED = (1, 2, 18, 35, 52)
+_PLANTED_SQL = ", ".join(str(i) for i in _PLANTED)
+
+
+def _train_eval_split(sf_dir: str):
+    """(train, eval, eval_row_count) — the count comes from the parquet
+    footer (doc_ids are 0..N-1), so neither decontamination query executes
+    the eval pipeline an extra time just to size the broadcast gate."""
+    from outage_data_scraper_ray.functions.relational import _table_rows
+    from outage_data_scraper_ray.io import read_parquet_clean
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    train = docs.map_batches(
+        lambda b: b[b["doc_id"] % 17 != 0], batch_format="pandas"
+    )
+
+    def _eval_part(b: pd.DataFrame) -> pd.DataFrame:
+        ev = b[b["doc_id"] % 17 == 0]
+        copies = b[b["doc_id"].isin(_PLANTED)].copy()
+        copies["doc_id"] = copies["doc_id"] + 1_000_000
+        return pd.concat([ev, copies], ignore_index=True)
+
+    eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
+    n = _table_rows(sf_dir, "documents")
+    eval_rows = (n + 16) // 17 + len(_PLANTED)
+    return train, eval_ds, eval_rows
+
+
 def _docs_as_span_table(sf_dir: str):
     """Reshape the driver documents table into the interleaved-span doc
     shape of BASELINE.json input_hint (one text span per sentence, a media
@@ -259,61 +295,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def decontaminate_q(sf_dir: str):
-        """Train/eval decontamination: train = docs with doc_id % 17 != 0,
-        eval = the rest PLUS exact copies of five train texts (ids
-        1,2,18,35,52 re-labeled +1e6 — the corpus's planted dups all land
-        inside train, so without the copies the anti-join would be vacuous;
-        DuckDB reproduces the augmentation verbatim, the embedding_dedup
-        precedent). Drops every train doc whose exact content hash appears
-        in eval; oracle recomputes the same md5 anti-join
-        (DECONTAMINATE_SQL)."""
+        """Train/eval decontamination: drops every train doc whose exact
+        content hash appears in eval (split: _train_eval_split). Oracle
+        recomputes the same md5 anti-join (DECONTAMINATE_SQL)."""
         from outage_data_scraper_ray.functions.dedup import decontaminate
-        from outage_data_scraper_ray.io import read_parquet_clean
 
-        docs = read_parquet_clean(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        train = docs.map_batches(
-            lambda b: b[b["doc_id"] % 17 != 0], batch_format="pandas"
-        )
-        planted = (1, 2, 18, 35, 52)
-
-        def _eval_part(b: pd.DataFrame) -> pd.DataFrame:
-            ev = b[b["doc_id"] % 17 == 0]
-            copies = b[b["doc_id"].isin(planted)].copy()
-            copies["doc_id"] = copies["doc_id"] + 1_000_000
-            return pd.concat([ev, copies], ignore_index=True)
-
-        eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
-        return decontaminate(train, eval_ds)
+        train, eval_ds, eval_rows = _train_eval_split(sf_dir)
+        return decontaminate(train, eval_ds, eval_rows=eval_rows)
 
     def ngram_decontaminate_q(sf_dir: str):
-        """N-gram (5-word) decontamination over the same doc_id % 17
-        train/eval split as `decontaminate` (incl. the five planted
-        train-text copies in eval): a train doc is dropped if it shares
-        ANY word 5-gram with eval — the overlap scrub that also catches
-        eval excerpts embedded in longer train docs. Oracle rebuilds the
+        """N-gram (5-word) decontamination over the same train/eval split
+        as `decontaminate`: a train doc is dropped if it shares ANY word
+        5-gram with eval — the overlap scrub that also catches eval
+        excerpts embedded in longer train docs. Oracle rebuilds the
         identical gram sets with string_split + list indexing
         (NGRAM_DECONTAMINATE_SQL)."""
         from outage_data_scraper_ray.functions.dedup import ngram_decontaminate
-        from outage_data_scraper_ray.io import read_parquet_clean
 
-        docs = read_parquet_clean(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        train = docs.map_batches(
-            lambda b: b[b["doc_id"] % 17 != 0], batch_format="pandas"
-        )
-        planted = (1, 2, 18, 35, 52)
-
-        def _eval_part(b: pd.DataFrame) -> pd.DataFrame:
-            ev = b[b["doc_id"] % 17 == 0]
-            copies = b[b["doc_id"].isin(planted)].copy()
-            copies["doc_id"] = copies["doc_id"] + 1_000_000
-            return pd.concat([ev, copies], ignore_index=True)
-
-        eval_ds = docs.map_batches(_eval_part, batch_format="pandas")
-        return ngram_decontaminate(train, eval_ds)
+        train, eval_ds, eval_rows = _train_eval_split(sf_dir)
+        return ngram_decontaminate(train, eval_ds, eval_rows=eval_rows)
 
     def simhash_dedup_q(sf_dir: str):
         """SimHash near-dup clustering. Value-oracle: SIMHASH_DEDUP_SQL
@@ -792,10 +792,10 @@ FROM small WHERE rn <= 4 GROUP BY doc_id
 # Decontamination oracle: the same md5 content-hash anti-join of the
 # doc_id % 17 train/eval split (+ the five planted train-text copies in
 # eval), recomputed with DuckDB's md5().
-DECONTAMINATE_SQL = """
+DECONTAMINATE_SQL = f"""
 WITH ev AS (
     SELECT DISTINCT md5(COALESCE(text, '')) AS h
-    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN (1, 2, 18, 35, 52)
+    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN ({_PLANTED_SQL})
 ), tr AS (
     SELECT doc_id, md5(COALESCE(text, '')) AS h
     FROM documents WHERE doc_id % 17 <> 0
@@ -809,13 +809,13 @@ WHERE ev.h IS NULL
 # copies — copies only ADD grams already counted from their originals, so
 # the eval side needs no re-labeling), eval's distinct word-5-gram set,
 # and an any-overlap anti-join; n_grams = words - 4 per surviving doc.
-NGRAM_DECONTAMINATE_SQL = """
+NGRAM_DECONTAMINATE_SQL = f"""
 WITH tr AS (
     SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
     FROM documents WHERE doc_id % 17 <> 0
 ), ev AS (
     SELECT string_split(COALESCE(text, ''), ' ') AS w
-    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN (1, 2, 18, 35, 52)
+    FROM documents WHERE doc_id % 17 = 0 OR doc_id IN ({_PLANTED_SQL})
 ), evg AS (
     SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
                  || w[i+3] || ' ' || w[i+4] AS g

@@ -195,18 +195,20 @@ def decontaminate(
     return hash_partitioned_map_batches(tagged, ["text_md5"], _anti_block)
 
 
+def _gram_counts(df: pd.DataFrame, n: int) -> np.ndarray:
+    """grams-per-row only — word counts, no gram strings built."""
+    lens = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+    return np.maximum(lens - n + 1, 0)
+
+
 def _word_ngrams(df: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(row_id, gram_string, grams_per_row) for a batch, fully vectorized:
-    explode words once, then the grams are n shifted views of the flat word
-    array joined elementwise, masked to rows (no per-row Python loop)."""
-    words = df["text"].fillna("").str.split(" ")
-    lens = words.str.len().to_numpy(np.int64)
-    rid = np.repeat(np.arange(len(df), dtype=np.int64), lens)
-    flat = (
-        np.concatenate([np.asarray(w, dtype=object) for w in words])
-        if len(df) and lens.sum()
-        else np.array([], dtype=object)
-    )
+    explode words once (relational._explode_words, the shared prelude), then
+    the grams are n shifted views of the flat word array joined elementwise,
+    masked to rows (no per-row Python loop)."""
+    from .relational import _explode_words
+
+    rid, flat, lens = _explode_words(df)
     n_grams = np.maximum(lens - n + 1, 0)
     if len(flat) < n:
         return np.array([], dtype=np.int64), np.array([], dtype=object), n_grams
@@ -301,7 +303,9 @@ def ngram_decontaminate(
     hit_ref = ray.put(hit_ids)
 
     def _anti_ids(batch: pd.DataFrame, _ref=hit_ref) -> pd.DataFrame:
-        rid, _grams, n_g = _word_ngrams(batch, n)
+        # counts only — rebuilding every gram string here would double the
+        # dominant kernel cost of the distributed path for zero output
+        n_g = _gram_counts(batch, n)
         keep = ~batch[id_col].isin(ray.get(_ref)).to_numpy()
         return pd.DataFrame(
             {id_col: batch[id_col].to_numpy()[keep],

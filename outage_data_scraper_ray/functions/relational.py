@@ -1790,25 +1790,50 @@ _HLL_M = 1 << _HLL_P  # 64 registers
 _FNV_PRIME_U64 = np.uint64(1099511628211)
 
 
+_HASH_CELL_BUDGET = 1 << 26  # 64M padded cells (~512 MB uint64) per slice
+
+
 def _char_poly_hash(texts: pd.Series) -> np.ndarray:
     """uint64 polynomial hash over each text's utf8 bytes (base _FNV_PRIME,
     wrap mod 2^64) — vectorized by NUL-left-padding to equal width (leading
     zeros don't change a polynomial started at 0), one fused multiply-add
-    per column. Same family dedup._word_poly_hashes uses per word."""
+    per column. Same family dedup._word_poly_hashes uses per word.
+
+    Skew guard: rows are length-sorted and processed in slices whose
+    rows x slice-max-width stays under a fixed cell budget, so one huge
+    document pads only its own slice — a 1 MB outlier in a 1,000-row batch
+    no longer inflates the whole batch to rows x 1M cells."""
     enc = [t.encode("utf8") for t in texts.fillna("")]
-    width = max((len(t) for t in enc), default=0)
-    if not enc or width == 0:
-        return np.zeros(len(enc), dtype=np.uint64)
-    buf = b"".join(t.rjust(width, b"\0") for t in enc)
-    codes = (
-        np.frombuffer(buf, dtype=np.uint8)
-        .reshape(len(enc), width)
-        .astype(np.uint64)
-    )
-    h = np.zeros(len(enc), dtype=np.uint64)
-    for j in range(width):
-        h = h * _FNV_PRIME_U64 + codes[:, j]
-    return h
+    n = len(enc)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(t) for t in enc), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    lo = 0
+    while lo < n:
+        w = int(lens[order[lo]])
+        if w == 0:
+            lo += 1  # empty text hashes to 0 (the initialized value)
+            continue
+        hi = lo + 1
+        # grow the slice while the padded matrix stays under budget
+        while hi < n and (hi - lo + 1) * int(lens[order[hi]]) <= _HASH_CELL_BUDGET:
+            hi += 1
+        idx = order[lo:hi]
+        width = int(lens[idx[-1]])
+        buf = b"".join(enc[i].rjust(width, b"\0") for i in idx)
+        codes = (
+            np.frombuffer(buf, dtype=np.uint8)
+            .reshape(len(idx), width)
+            .astype(np.uint64)
+        )
+        h = np.zeros(len(idx), dtype=np.uint64)
+        for j in range(width):
+            h = h * _FNV_PRIME_U64 + codes[:, j]
+        out[idx] = h
+        lo = hi
+    return out
 
 
 _MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -1934,14 +1959,16 @@ def token_percentiles(sf_dir: str) -> pd.DataFrame:
         v, c = np.unique(n_words, return_counts=True)
         return pd.DataFrame({"v": v, "c": c})
 
-    hist = (
-        docs.map_batches(_hist, batch_format="pandas")
-        .to_pandas()
-        .groupby("v", as_index=False)["c"]
-        .sum()
-        .sort_values("v")
-    )
+    parts = docs.map_batches(_hist, batch_format="pandas").to_pandas()
+    if "v" not in parts.columns:  # empty table loses the schema (gotcha #5)
+        parts = pd.DataFrame({"v": pd.Series(dtype="int64"),
+                              "c": pd.Series(dtype="int64")})
+    hist = parts.groupby("v", as_index=False)["c"].sum().sort_values("v")
     n = int(hist["c"].sum())
+    if n == 0:
+        # empty table: mirror the SQL's aggregate-over-nothing NULL row
+        na = pd.array([pd.NA], dtype="Int64")
+        return pd.DataFrame({"n_docs": na, "p50": na, "p90": na, "p99": na})
     cum = hist["c"].cumsum().to_numpy()
     vals = hist["v"].to_numpy()
 
