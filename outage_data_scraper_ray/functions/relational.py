@@ -1943,6 +1943,145 @@ LEFT JOIN rh ON g.register = rh.register
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch: the second mergeable-sketch shape (Cormode &
+# Muthukrishnan 2005) — approximate term frequencies in one pass with a
+# fixed d x w counter matrix whose merge is an elementwise SUM, so unlike
+# Misra-Gries it is batch-order independent and the partials combine
+# associatively (the HLL doctrine, additive instead of max). Per depth the
+# slot is the top-8 bits of (splitmix64(word_poly_hash) * C_d) mod 2^64
+# with C_d a small odd constant, so every multiply fits HUGEINT and the
+# DuckDB oracle reproduces the COUNTERS bit-for-bit. cms_lookup() carries
+# the min-over-depths point estimate, accuracy-tested in pytest.
+
+_CMS_D = 4
+_CMS_W = 256  # slots per depth (top 8 bits)
+_CMS_C = (  # small ODD constants (< 2^44 so mh * C fits HUGEINT)
+    np.uint64(17545394224853),
+    np.uint64(13524510171561),
+    np.uint64(10872568911861),
+    np.uint64(2561399133431),
+)
+
+
+def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+    rid, flat, _lens = _explode_words(df)
+    if len(flat) == 0:
+        return pd.DataFrame(
+            {"depth": pd.Series(dtype="int64"),
+             "slot": pd.Series(dtype="int64"),
+             "n": pd.Series(dtype="int64")}
+        )
+    # hash each DISTINCT word once, then weight by its occurrence count
+    vc = pd.Series(flat).value_counts()
+    words = vc.index.to_numpy(object)
+    counts = vc.to_numpy(np.int64)
+    from .dedup import _word_poly_hashes
+
+    mh = _mix64(_word_poly_hashes(list(words)))
+    parts = []
+    for d in range(_CMS_D):
+        slot = ((mh * _CMS_C[d]) >> np.uint64(56)).astype(np.int64)
+        parts.append(pd.DataFrame({"depth": d, "slot": slot, "n": counts}))
+    return (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["depth", "slot"], as_index=False)["n"]
+        .sum()
+    )
+
+
+def cms_counts(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["text"])
+    parts = docs.map_batches(_cms_partial, batch_format="pandas").to_pandas()
+    if "depth" not in parts.columns:  # empty table loses the schema
+        parts = pd.DataFrame(
+            {"depth": pd.Series(dtype="int64"),
+             "slot": pd.Series(dtype="int64"),
+             "n": pd.Series(dtype="int64")}
+        )
+    merged = parts.groupby(["depth", "slot"], as_index=False)["n"].sum()
+    grid = pd.MultiIndex.from_product(
+        [range(_CMS_D), range(_CMS_W)], names=["depth", "slot"]
+    ).to_frame(index=False)
+    out = grid.merge(merged, on=["depth", "slot"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["depth"] = out["depth"].astype("int64")
+    out["slot"] = out["slot"].astype("int64")
+    return out
+
+
+def cms_lookup(sketch: pd.DataFrame, word: str) -> int:
+    """Point estimate: min over depths of the word's slot counter —
+    an upper bound on the true count, within eps*N w.h.p."""
+    from .dedup import _word_poly_hashes
+
+    mh = _mix64(_word_poly_hashes([word]))[0]
+    est = None
+    s = sketch.set_index(["depth", "slot"])["n"]
+    for d in range(_CMS_D):
+        slot = int((mh * _CMS_C[d]) >> np.uint64(56))
+        v = int(s.loc[(d, slot)])
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+CMS_SQL = """
+WITH w AS (
+    SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS wd FROM documents
+), wc AS (
+    SELECT wd, COUNT(*) AS c FROM w GROUP BY wd
+), wh AS (
+    SELECT c, CAST(list_reduce(
+        list_prepend(0::HUGEINT,
+            list_transform(generate_series(1, length(wd)),
+                i -> CAST(unicode(substr(wd, i, 1)) AS HUGEINT))),
+        (acc, ch) -> (acc * 1099511628211::HUGEINT + ch)
+                     % 18446744073709551616::HUGEINT
+    ) AS UBIGINT) AS hv
+    FROM wc
+), x1 AS (
+    SELECT c, xor(hv, hv >> 30) AS v FROM wh
+), m1 AS (
+    SELECT c, CAST((CAST(v & 4294967295 AS HUGEINT) * 13787848793156543929::HUGEINT
+                 % 18446744073709551616::HUGEINT
+                 + (CAST(v >> 32 AS HUGEINT) * 13787848793156543929::HUGEINT
+                    % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS v
+    FROM x1
+), x2 AS (
+    SELECT c, xor(v, v >> 27) AS v FROM m1
+), m2 AS (
+    SELECT c, CAST((CAST(v & 4294967295 AS HUGEINT) * 10723151780598845931::HUGEINT
+                 % 18446744073709551616::HUGEINT
+                 + (CAST(v >> 32 AS HUGEINT) * 10723151780598845931::HUGEINT
+                    % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS v
+    FROM x2
+), mixed AS (
+    SELECT c, xor(v, v >> 31) AS mh FROM m2
+), consts AS (
+    SELECT * FROM (VALUES (0, 17545394224853::HUGEINT),
+                          (1, 13524510171561::HUGEINT),
+                          (2, 10872568911861::HUGEINT),
+                          (3, 2561399133431::HUGEINT)) t(depth, cc)
+), slots AS (
+    SELECT consts.depth,
+           CAST(CAST((CAST(mh AS HUGEINT) * cc)
+                     % 18446744073709551616::HUGEINT AS UBIGINT) >> 56
+                AS BIGINT) AS slot,
+           c
+    FROM mixed CROSS JOIN consts
+), agg AS (
+    SELECT depth, slot, SUM(c) AS n FROM slots GROUP BY depth, slot
+)
+SELECT g.depth, g.slot, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+FROM (SELECT d.depth, s.slot
+      FROM (SELECT unnest(generate_series(0, 3)) AS depth) d,
+           (SELECT unnest(generate_series(0, 255)) AS slot) s) g
+LEFT JOIN agg ON g.depth = agg.depth AND g.slot = agg.slot
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact distributed percentiles WITHOUT a sort: per-doc word counts live in
 # a bounded integer domain, so each batch emits a (value, count) histogram
 # partial, the merged histogram is domain-sized (tiny) on the driver, and
@@ -2077,4 +2216,5 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "mixture_sample": (mixture_sample, MIXTURE_SQL),
     "token_percentiles": (token_percentiles, TOKEN_PCTL_SQL),
     "hll_registers": (hll_registers, HLL_SQL),
+    "cms_counts": (cms_counts, CMS_SQL),
 }

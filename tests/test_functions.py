@@ -720,6 +720,37 @@ def test_decontaminate_broadcast_matches_distributed(ray_session):
     )
 
 
+def test_cms_upper_bound_property(ray_session, tmp_path):
+    """Count-Min invariant: every point lookup is >= the true count
+    (counters only ever over-count via collisions), and total mass per
+    depth equals the corpus word count exactly (sum-merge loses nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from outage_data_scraper_ray.functions.relational import (
+        cms_counts, cms_lookup,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"term{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(500)]
+    df = pd.DataFrame({"doc_id": range(500), "text": texts})
+    sf = str(tmp_path)
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    f"{sf}/documents.parquet")
+    sketch = cms_counts(sf)
+    words = pd.Series(" ".join(texts).split(" "))
+    true = words.value_counts()
+    assert sketch.groupby("depth")["n"].sum().eq(len(words)).all()
+    import math
+
+    eps_bound = math.e / 256 * len(words)  # CMS guarantee: over <= e/w * N
+    for w, t in true.items():
+        est = cms_lookup(sketch, w)
+        assert est >= t
+        assert est - t <= eps_bound
+
+
 def test_hll_estimate_accuracy(ray_session, tmp_path):
     """HLL sketch over 10k rows with exactly 1,000 distinct texts: the
     register merge is associative (partials from any batching agree) and
