@@ -514,6 +514,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["frame_len"] = out["frame"].map(len)
         return out[["media_id", "frame_idx", "frame_len"]]
 
+    def media_phash_dedup(sf_dir: str):
+        """Perceptual-hash media dedup on the seeded media table plus
+        planted byte-identical re-uploads (every 10th item copied under a
+        'z'-prefixed id, so the original stays the lexicographic-min group
+        label): copies MUST land in their original's dup group. Fixed
+        seeded config -> golden determinism pin."""
+        import ray.data as rd
+
+        from outage_data_scraper_ray.functions.multimodal import (
+            phash_dedup, synth_media,
+        )
+
+        base = synth_media(200, 42)
+        copies = base.slice(0, 0)
+        dup = base.take(list(range(0, 200, 10)))
+        dup = dup.set_column(
+            0, "media_id",
+            pa.array([f"z{i:06d}" for i in range(0, 200, 10)], pa.string()),
+        )
+        media = rd.from_arrow(pa.concat_tables([base, dup]))
+        return phash_dedup(media, media_rows=220)
+
     def span_explode(sf_dir: str):
         from outage_data_scraper_ray.pipelines.accumulate import explode_spans
 
@@ -588,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_features": media_features_q,
             "media_resize": media_resize,
             "media_frames": media_frames,
+            "media_phash_dedup": media_phash_dedup,
         }
     )
     return out
@@ -977,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_threshold", "standardize_16col",
         "crawl_docs", "crawl_level_table", "flagship_outage_e2e",
         "media_decode", "media_features", "media_resize", "media_frames",
+        "media_phash_dedup",
     ):
         sql = _load_golden(name)
         if sql is not None:

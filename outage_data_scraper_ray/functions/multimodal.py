@@ -268,3 +268,86 @@ def media_features(media: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     return media.map_batches(
         FeatureStage, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
+
+def ahash64(payloads: list[bytes]) -> np.ndarray:
+    """64-bit average-hash per payload: resample the body bytes onto an
+    8x8 grid by even index striding, threshold each cell at the grid mean,
+    pack bits MSB-first — the classic perceptual-hash reduction, computed
+    over the opaque binary column (no codec needed; with a real decoder the
+    grid would come from resized grayscale pixels instead)."""
+    out = np.zeros(len(payloads), dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        body = np.frombuffer(p[16:] if p[:4] == _MAGIC else p, dtype=np.uint8)
+        if body.size == 0:
+            continue
+        idx = (np.arange(64, dtype=np.int64) * body.size) // 64
+        grid = body[idx].astype(np.float64)
+        bits = grid > grid.mean()
+        out[i] = np.uint64(int.from_bytes(np.packbits(bits).tobytes(), "big"))
+    return out
+
+
+def phash_dedup(
+    media: rd.Dataset, driver_threshold: int = 500_000,
+    media_rows: int | None = None,
+) -> rd.Dataset:
+    """Near-duplicate media grouping by perceptual hash: every payload maps
+    to its 64-bit aHash and items sharing a hash form one dup group labeled
+    by the lexicographic-min media_id (the exact-dedup keeper rule applied
+    to a sketch key — byte-identical re-uploads and hash-colliding
+    near-identical payloads collapse together).
+
+    Scale shape: per-batch partials are (phash, min media_id) pairs —
+    bounded by DISTINCT hashes per batch, not rows. Under driver_threshold
+    total rows the tiny partial set min-merges on the driver and broadcasts
+    as the label map (zero shuffles, the exact_dedup economics); above it,
+    ONE hash shuffle on phash_hex co-locates each hash's rows and a
+    per-block min labels them (hash_partitioned_map_batches doctrine)."""
+    import ray
+
+    from ..shuffle import hash_partitioned_map_batches
+
+    def _hashes(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        h = ahash64(payloads)
+        hex_ = [format(int(x), "016x") for x in h]
+        return pa.table(
+            {"media_id": batch.column("media_id"),
+             "phash_hex": pa.array(hex_, pa.string())}
+        )
+
+    hashed = media.map_batches(_hashes, batch_format="pyarrow", batch_size=64)
+    n = media_rows if media_rows is not None else media.count()
+    if n <= driver_threshold:
+
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("phash_hex", as_index=False)["media_id"].min()
+
+        part = (
+            hashed.map_batches(_partial, batch_format="pandas")
+            .to_pandas()
+        )
+        if "phash_hex" not in part.columns:  # empty input loses the schema
+            part = pd.DataFrame({"phash_hex": pd.Series(dtype="object"),
+                                 "media_id": pd.Series(dtype="object")})
+        labels = dict(
+            part.groupby("phash_hex")["media_id"].min().items()
+        )
+        ref = ray.put(labels)
+
+        def _label(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            m = ray.get(_r)
+            df = df.copy()
+            df["dup_group"] = df["phash_hex"].map(m)
+            return df
+
+        return hashed.map_batches(_label, batch_format="pandas")
+
+    def _label_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(dup_group=pd.Series(dtype="object"))
+        df = df.copy()
+        df["dup_group"] = df.groupby("phash_hex")["media_id"].transform("min")
+        return df
+
+    return hash_partitioned_map_batches(hashed, ["phash_hex"], _label_block)

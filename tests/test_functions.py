@@ -720,6 +720,36 @@ def test_decontaminate_broadcast_matches_distributed(ray_session):
     )
 
 
+def test_phash_dedup_broadcast_matches_distributed(ray_session):
+    """Both phash-dedup paths — driver min-merge + broadcast labels, and
+    the forced hash-shuffle per-block min — produce identical groups, and
+    byte-identical payload copies land in their original's group."""
+    import pyarrow as pa
+
+    from outage_data_scraper_ray.functions.multimodal import (
+        phash_dedup, synth_media,
+    )
+
+    base = synth_media(60, 7)
+    dup = base.take([0, 10, 20]).set_column(
+        0, "media_id", pa.array(["z000000", "z000010", "z000020"])
+    )
+    media = pa.concat_tables([base, dup])
+    a = phash_dedup(rd.from_arrow(media), media_rows=63).to_pandas()
+    b = phash_dedup(
+        rd.from_arrow(media), media_rows=63, driver_threshold=0
+    ).to_pandas()
+    for df in (a, b):
+        s = df.set_index("media_id")["dup_group"]
+        assert s["z000000"] == s["m000000"] == "m000000"
+        assert s["z000010"] == s["m000010"] == "m000010"
+        assert s["z000020"] == s["m000020"] == "m000020"
+    pd.testing.assert_frame_equal(
+        a.sort_values("media_id").reset_index(drop=True).sort_index(axis=1),
+        b.sort_values("media_id").reset_index(drop=True).sort_index(axis=1),
+    )
+
+
 def test_cms_upper_bound_property(ray_session, tmp_path):
     """Count-Min invariant: every point lookup is >= the true count
     (counters only ever over-count via collisions), and total mass per

@@ -144,6 +144,7 @@ def _compare(name: str, ours: pd.DataFrame, ref: pd.DataFrame) -> None:
 PIN_QUERIES = [
     "crawl_docs", "crawl_level_table", "flagship_outage_e2e",
     "media_decode", "media_features", "media_resize", "media_frames",
+    "media_phash_dedup",
 ]
 
 # These two DO read sf_dir, so their pins are generated at the driver gate's
