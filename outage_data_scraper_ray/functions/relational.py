@@ -2176,6 +2176,348 @@ WHERE h < CAST(18446744073709551616::HUGEINT * k // 5 AS UBIGINT)
 
 
 # ---------------------------------------------------------------------------
+# semi / anti join: filter a fact table by key membership in a (filtered)
+# dimension — the blocklist/allowlist staple of training-data pipelines
+# (drop docs whose id is in a takedown list, keep orders of one segment's
+# customers). Gated like hash_join: a bounded key set broadcasts once
+# (ray.put + arrow-native pc.is_in, zero shuffle); past the threshold the
+# distributed path runs a Bloom-bitmap pre-filter (fixed 1 MiB partials
+# OR-merged on the driver — bounded by BITS, not by keys) so
+# definitely-absent rows never enter the shuffle, then ONE tagged
+# hash-shuffle on the key exact-verifies the Bloom positives. Bloom has no
+# false negatives, so anti emits its negatives immediately and semi never
+# loses a match; false positives are removed by the exact verify, so both
+# paths return identical rows.
+
+_MEMBER_BROADCAST_THRESHOLD = 1_000_000
+_BLOOM_BITS = 1 << 23  # 1 MiB bitmap; ~0.4% fp at 1M keys with 2 probes
+_BLOOM_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = _mix64(keys.astype(np.int64).view(np.uint64))
+    h2 = _mix64(h1 ^ _BLOOM_SALT)
+    m = np.uint64(_BLOOM_BITS)
+    return (h1 % m).astype(np.int64), (h2 % m).astype(np.int64)
+
+
+def _bloom_bitmap(keys_ds: rd.Dataset, key_col: str) -> np.ndarray:
+    """OR-merge per-block Bloom partials into one boolean bitmap. Each
+    partial is a fixed _BLOOM_BITS/8-byte row regardless of block size, so
+    driver memory is O(bits), not O(keys)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(_BLOOM_BITS, dtype=bool)
+        if len(df):
+            p1, p2 = _bloom_positions(df[key_col].to_numpy(np.int64))
+            bm[p1] = True
+            bm[p2] = True
+        return pd.DataFrame({"bm": [np.packbits(bm).tobytes()]})
+
+    parts = keys_ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    acc = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in parts["bm"]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return np.unpackbits(acc).view(bool)
+
+
+def _membership_join(
+    sf_dir: str, *, semi: bool, broadcast_threshold: int
+) -> rd.Dataset:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    left = _read(sf_dir, "orders", cols)
+    keys_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] == "BUILDING"
+    )
+    import ray
+
+    if _table_rows(sf_dir, "customer") <= broadcast_threshold:
+        keys = np.unique(keys_ds.to_pandas()["c_custkey"].to_numpy(np.int64))
+        key_ref = ray.put(pa.array(keys, type=pa.int64()))
+
+        def _f(t: pa.Table, _r=key_ref) -> pa.Table:
+            mask = pc.is_in(t["o_custkey"], value_set=ray.get(_r))
+            if not semi:
+                mask = pc.invert(mask)
+            return t.filter(mask).select(cols)
+
+        return left.map_batches(_f, batch_format="pyarrow")
+
+    # ---- distributed: Bloom pre-filter + tagged exact verify ----
+    bloom_ref = ray.put(_bloom_bitmap(keys_ds, "c_custkey"))
+
+    def _bloom_mask(df: pd.DataFrame) -> np.ndarray:
+        bm = ray.get(bloom_ref)
+        p1, p2 = _bloom_positions(df["o_custkey"].to_numpy(np.int64))
+        return bm[p1] & bm[p2]
+
+    candidates = left.map_batches(
+        lambda df: df[_bloom_mask(df)], batch_format="pandas"
+    )
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "side": np.int8(0), "k": df["o_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_totalprice": df["o_totalprice"].astype("float64"),
+            }
+        )
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(df["c_custkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "side": np.int8(1), "k": k,
+                "o_orderkey": np.int64(0), "o_totalprice": np.float64(0.0),
+            }
+        )
+
+    tagged = candidates.map_batches(_tag_left, batch_format="pandas").union(
+        keys_ds.map_batches(_tag_right, batch_format="pandas")
+    )
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0]
+        member = l["k"].isin(set(df.loc[df["side"] == 1, "k"]))
+        keep = l[member if semi else ~member]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"],
+                "o_custkey": keep["k"],
+                "o_totalprice": keep["o_totalprice"],
+            }
+        )
+
+    verified = hash_partitioned_map_batches(tagged, ["k"], _verify)
+    if semi:
+        return verified
+    negatives = left.map_batches(
+        lambda df: df[~_bloom_mask(df)][cols], batch_format="pandas"
+    )
+    return verified.union(negatives)
+
+
+def semi_join(
+    sf_dir: str, *, broadcast_threshold: int = _MEMBER_BROADCAST_THRESHOLD
+) -> rd.Dataset:
+    return _membership_join(
+        sf_dir, semi=True, broadcast_threshold=broadcast_threshold
+    )
+
+
+def anti_join(
+    sf_dir: str, *, broadcast_threshold: int = _MEMBER_BROADCAST_THRESHOLD
+) -> rd.Dataset:
+    return _membership_join(
+        sf_dir, semi=False, broadcast_threshold=broadcast_threshold
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey NOT IN
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join: match each point to every interval containing it,
+# within a bounded key — the operator Ray Data lacks natively (brief's
+# "range join"). Scale shape: bucket the timeline at exactly the interval
+# width W, so every interval overlaps <= 2 buckets (replicate it into
+# both) and every point lives in exactly 1 bucket; ONE hash-shuffle on
+# (bucket, key) co-locates each point with every interval it could match,
+# and a vectorized per-block equi-merge + band mask finishes. No point is
+# ever duplicated, so no post-dedup pass is needed. Partitioning
+# assumption: one (bucket, key) cell fits in a block — salt the key if a
+# single cell outgrows it.
+
+_RANGE_WINDOW_US = 14 * 86_400 * 1_000_000  # 14 days
+
+
+def range_join(sf_dir: str) -> pd.DataFrame:
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
+    )
+    W = _RANGE_WINDOW_US
+
+    def _points(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == "O"]
+        ts = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "side": np.int8(0), "bucket": ts // W,
+                "jk": (df["o_custkey"] % 100).astype("int64").to_numpy(),
+                "point_key": df["o_orderkey"].astype("int64").to_numpy(),
+                "ts": ts, "interval_key": np.int64(0), "start": np.int64(0),
+            }
+        )
+
+    def _intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == "F"]
+        start = (
+            df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        jk = (df["o_custkey"] % 100).astype("int64").to_numpy()
+        ik = df["o_orderkey"].astype("int64").to_numpy()
+        b0 = start // W
+        b1 = (start + W - 1) // W  # last instant covered (end exclusive)
+        second = b1 > b0
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "bucket": np.concatenate([b0, b1[second]]),
+                "jk": np.concatenate([jk, jk[second]]),
+                "point_key": np.int64(0),
+                "ts": np.int64(0),
+                "interval_key": np.concatenate([ik, ik[second]]),
+                "start": np.concatenate([start, start[second]]),
+            }
+        )
+
+    tagged = orders.map_batches(_points, batch_format="pandas").union(
+        orders.map_batches(_intervals, batch_format="pandas")
+    )
+
+    def _join_block(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0][["bucket", "jk", "point_key", "ts"]]
+        r = df[df["side"] == 1][["bucket", "jk", "interval_key", "start"]]
+        m = l.merge(r, on=["bucket", "jk"])
+        m = m[(m["ts"] >= m["start"]) & (m["ts"] < m["start"] + W)]
+        return m[["point_key", "interval_key"]]
+
+    out = hash_partitioned_map_batches(
+        tagged, ["bucket", "jk"], _join_block
+    ).to_pandas()
+    if "point_key" not in out.columns:  # all-empty blocks lose their schema
+        out = pd.DataFrame(
+            {
+                "point_key": pd.Series(dtype="int64"),
+                "interval_key": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["point_key", "interval_key"]).reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = """
+SELECT l.o_orderkey AS point_key, r.o_orderkey AS interval_key
+FROM orders l JOIN orders r
+  ON l.o_orderstatus = 'O' AND r.o_orderstatus = 'F'
+ AND l.o_custkey % 100 = r.o_custkey % 100
+ AND l.o_orderdate >= r.o_orderdate
+ AND l.o_orderdate < r.o_orderdate + INTERVAL 14 DAY
+ORDER BY point_key, interval_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact top terms with frequency > N/k via two passes —
+# pass 1 builds mergeable Misra-Gries summaries (Agarwal et al. 2012,
+# "Mergeable summaries": per-block summaries with s counters merge by
+# count-sum + (s+1)-th-largest decrement, keeping total error < N/(s+1)),
+# tree-compressed via repartition so the driver only ever sees a bounded
+# candidate table; pass 2 broadcasts the <= s candidates and counts them
+# EXACTLY in one more streaming pass. With s = 2k, every term with true
+# frequency > N/k provably survives pass 1 under ANY block split, so the
+# final filtered output is exact and parallelism-independent — hence
+# SQL-reproducible despite the sketch in the middle.
+
+_HH_K = 200  # report terms with freq > N/_HH_K
+_HH_SKETCH = 400  # Misra-Gries counters; error < N/401 < N/200
+
+
+def _mg_compress(df: pd.DataFrame, s: int) -> pd.DataFrame:
+    """Merge (word, cnt) rows into a <= s-counter Misra-Gries summary."""
+    g = df.groupby("word", as_index=False)["cnt"].sum()
+    if len(g) > s:
+        cut = g["cnt"].nlargest(s + 1).iloc[-1]
+        g = g.assign(cnt=g["cnt"] - cut)
+        g = g[g["cnt"] > 0]
+    return g.reset_index(drop=True)
+
+
+def heavy_hitters(sf_dir: str, *, k: int = _HH_K) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["text"])
+    word_re = re.compile(r"\w+")
+
+    def _flat_words(df: pd.DataFrame) -> np.ndarray:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        lens = words.str.len().to_numpy(np.int64)
+        if not len(df) or not lens.sum():
+            return np.array([], dtype=object)
+        return np.concatenate([np.asarray(w, dtype=object) for w in words])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(_flat_words(df)).value_counts()
+        return _mg_compress(
+            pd.DataFrame({"word": vc.index.astype(str), "cnt": vc.to_numpy()}),
+            _HH_SKETCH,
+        )
+
+    partials = docs.map_batches(_partial, batch_format="pandas")
+    # tree merge: each of 8 blocks compresses a disjoint subset of the
+    # per-block summaries, so the driver receives <= 8 x _HH_SKETCH rows
+    # no matter how many input blocks there were
+    mid = partials.repartition(8).map_batches(
+        lambda df: _mg_compress(df, _HH_SKETCH), batch_format="pandas"
+    )
+    cand = _mg_compress(mid.to_pandas(), _HH_SKETCH)["word"].to_numpy(object)
+
+    import ray
+
+    cand_ref = ray.put(cand)
+    _TOTAL = "\x00total\x00"  # \x00 is not \w, so it cannot collide
+
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        flat = _flat_words(df)
+        c = ray.get(cand_ref)
+        vc = pd.Series(flat[np.isin(flat, c)]).value_counts()
+        # keep the word column a pure object array end to end: np.append
+        # would round-trip the sentinel through a fixed-width '<U' array,
+        # which silently strips its trailing \x00 as padding
+        words = np.empty(len(vc) + 1, dtype=object)
+        words[: len(vc)] = vc.index.to_numpy(dtype=object)
+        words[len(vc)] = _TOTAL
+        return pd.DataFrame(
+            {
+                "word": words,
+                "cnt": np.append(vc.to_numpy(np.int64), np.int64(len(flat))),
+            }
+        )
+
+    ex = (
+        docs.map_batches(_exact, batch_format="pandas")
+        .to_pandas()
+        .groupby("word", as_index=False)["cnt"]
+        .sum()
+    )
+    n_total = int(ex.loc[ex["word"] == _TOTAL, "cnt"].sum())
+    out = ex[(ex["word"] != _TOTAL) & (ex["cnt"] * k > n_total)]
+    out = out.sort_values("word").reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+HEAVY_HITTERS_SQL = r"""
+WITH w AS (
+    SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS word
+    FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM w)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM w, tot GROUP BY word, n HAVING COUNT(*) * 200 > n
+ORDER BY word
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -2217,4 +2559,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "token_percentiles": (token_percentiles, TOKEN_PCTL_SQL),
     "hll_registers": (hll_registers, HLL_SQL),
     "cms_counts": (cms_counts, CMS_SQL),
+    "semi_join": (semi_join, SEMI_JOIN_SQL),
+    "anti_join": (anti_join, ANTI_JOIN_SQL),
+    "range_join": (range_join, RANGE_JOIN_SQL),
+    "heavy_hitters": (heavy_hitters, HEAVY_HITTERS_SQL),
 }

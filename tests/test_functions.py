@@ -951,3 +951,102 @@ def test_sliding_window_covers_tumbling(ray_session):
         halves = [w0, w0 + pd.Timedelta(seconds=300)]
         want = sum(float(t.loc[h, "sum_value"]) for h in halves if h in t.index)
         assert abs(float(r["sum_value"]) - want) < 1e-9, w0
+
+
+def test_membership_join_forced_distributed_matches_broadcast(ray_session):
+    """semi/anti join: the Bloom-prefilter + tagged-shuffle exact-verify
+    path must return exactly the broadcast pc.is_in rows (Bloom false
+    positives removed by the verify, no false negatives by construction)."""
+    from outage_data_scraper_ray.functions.relational import anti_join, semi_join
+
+    sf = "/root/testdata/sf0.001"
+
+    def _canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["o_orderkey"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    for fn in (semi_join, anti_join):
+        broad = _canon(fn(sf))
+        dist = _canon(fn(sf, broadcast_threshold=0))
+        pd.testing.assert_frame_equal(broad, dist)
+    n_orders = 1500
+    semi_n = len(_canon(semi_join(sf)))
+    anti_n = len(_canon(anti_join(sf)))
+    assert semi_n + anti_n == n_orders and 0 < semi_n < n_orders
+
+
+def test_mg_summary_merge_keeps_heavy_hitters():
+    """Misra-Gries mergeability (Agarwal et al. 2012): under ANY split of
+    the stream into blocks, per-block summaries merged with s-counter
+    compression retain every item with true freq > N/(s+1)."""
+    from outage_data_scraper_ray.functions.relational import _mg_compress
+
+    rng = np.random.default_rng(7)
+    s = 40
+    for trial in range(5):
+        # zipf-ish stream: a few heavy words over a long tail
+        words = np.concatenate(
+            [np.repeat(f"hot{j}", 400 - 50 * j) for j in range(4)]
+            + [rng.choice([f"t{j}" for j in range(3000)], size=4000)]
+        )
+        rng.shuffle(words)
+        n = len(words)
+        cuts = np.sort(rng.choice(np.arange(1, n), size=17, replace=False))
+        parts = []
+        for chunk in np.split(words, cuts):
+            vc = pd.Series(chunk).value_counts()
+            parts.append(
+                _mg_compress(
+                    pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy()}), s
+                )
+            )
+        merged = _mg_compress(pd.concat(parts, ignore_index=True), s)
+        exact = pd.Series(words).value_counts()
+        heavy = set(exact[exact * (s + 1) > n].index)
+        assert heavy <= set(merged["word"]), (trial, heavy - set(merged["word"]))
+
+
+def test_range_join_bucket_boundary_edges(ray_session, tmp_path):
+    """Points exactly at an interval's start are matched, at start+W are
+    not, and an interval replicated across its two buckets never produces
+    a duplicate pair."""
+    import duckdb
+
+    from outage_data_scraper_ray.functions.relational import (
+        _RANGE_WINDOW_US,
+        RANGE_JOIN_SQL,
+        range_join,
+    )
+
+    W = _RANGE_WINDOW_US
+    base = pd.Timestamp("1995-06-01")
+    rows = []
+    # interval (status F) starting mid-bucket so it spans two buckets
+    rows.append((1000, 7, base + pd.Timedelta(microseconds=W // 2), "F"))
+    # points (status O) sharing jk=7: at start, inside both halves,
+    # at the exclusive end, far away
+    for i, off in enumerate([W // 2, W // 2 + 5, W + W // 2 - 1, W + W // 2, 5 * W]):
+        rows.append((2000 + i, 107, base + pd.Timedelta(microseconds=off), "O"))
+    # same timestamps but a non-matching key
+    rows.append((3000, 8, base + pd.Timedelta(microseconds=W // 2), "O"))
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    df["o_totalprice"] = 1.0
+    df.to_parquet(tmp_path / "orders.parquet")
+    got = range_join(str(tmp_path))
+    assert got["point_key"].tolist() == [2000, 2001, 2002]
+    assert (got["interval_key"] == 1000).all()
+    assert not got.duplicated().any()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = con.sql(RANGE_JOIN_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
