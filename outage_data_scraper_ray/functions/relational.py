@@ -2330,73 +2330,115 @@ WHERE o_custkey NOT IN
 # ---------------------------------------------------------------------------
 # range (interval) join: match each point to every interval containing it,
 # within a bounded key — the operator Ray Data lacks natively (brief's
-# "range join"). Scale shape: bucket the timeline at exactly the interval
+# "range join"). Both paths bucket the timeline at exactly the interval
 # width W, so every interval overlaps <= 2 buckets (replicate it into
-# both) and every point lives in exactly 1 bucket; ONE hash-shuffle on
-# (bucket, key) co-locates each point with every interval it could match,
-# and a vectorized per-block equi-merge + band mask finishes. No point is
-# ever duplicated, so no post-dedup pass is needed. Partitioning
-# assumption: one (bucket, key) cell fits in a block — salt the key if a
-# single cell outgrows it.
+# both) and every point lives in exactly 1 bucket — a point meets a given
+# interval in at most one bucket, so no pair is ever duplicated and no
+# post-dedup pass is needed. Gated like asof_join: a dimension-sized
+# interval table broadcasts once (ray.put; per-point-batch merge on
+# (bucket, key) + band mask, ZERO shuffle — measured 15.1 -> 2.5 s at
+# sf0.1); an interval side that grows with the fact table takes the
+# distributed path: tagged union + ONE hash-shuffle on (bucket, key) that
+# co-locates each point with every interval it could match, same
+# vectorized per-block merge. Partitioning assumption (distributed path):
+# one (bucket, key) cell fits in a block — salt the key if a single cell
+# outgrows it.
 
 _RANGE_WINDOW_US = 14 * 86_400 * 1_000_000  # 14 days
 
 
-def range_join(sf_dir: str) -> pd.DataFrame:
+def _range_points(df: pd.DataFrame, W: int) -> pd.DataFrame:
+    df = df[df["o_orderstatus"] == "O"]
+    ts = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+    return pd.DataFrame(
+        {
+            "bucket": ts // W,
+            "jk": (df["o_custkey"] % 100).astype("int64").to_numpy(),
+            "point_key": df["o_orderkey"].astype("int64").to_numpy(),
+            "ts": ts,
+        }
+    )
+
+
+def _range_intervals(df: pd.DataFrame, W: int) -> pd.DataFrame:
+    """Interval rows replicated into each of the <= 2 buckets they cover."""
+    df = df[df["o_orderstatus"] == "F"]
+    start = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+    jk = (df["o_custkey"] % 100).astype("int64").to_numpy()
+    ik = df["o_orderkey"].astype("int64").to_numpy()
+    b0 = start // W
+    b1 = (start + W - 1) // W  # last instant covered (end exclusive)
+    second = b1 > b0
+    return pd.DataFrame(
+        {
+            "bucket": np.concatenate([b0, b1[second]]),
+            "jk": np.concatenate([jk, jk[second]]),
+            "interval_key": np.concatenate([ik, ik[second]]),
+            "start": np.concatenate([start, start[second]]),
+        }
+    )
+
+
+def range_join(
+    sf_dir: str, *, interval_broadcast_threshold: int = 1_000_000
+) -> pd.DataFrame:
     orders = _read(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
     )
     W = _RANGE_WINDOW_US
+    import ray
 
-    def _points(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["o_orderstatus"] == "O"]
-        ts = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
-        return pd.DataFrame(
-            {
-                "side": np.int8(0), "bucket": ts // W,
-                "jk": (df["o_custkey"] % 100).astype("int64").to_numpy(),
-                "point_key": df["o_orderkey"].astype("int64").to_numpy(),
-                "ts": ts, "interval_key": np.int64(0), "start": np.int64(0),
-            }
+    if _table_rows(sf_dir, "orders") <= interval_broadcast_threshold:
+        iv = (
+            orders.map_batches(
+                lambda df: _range_intervals(df, W), batch_format="pandas"
+            )
+            .to_pandas()
+        )
+        if "bucket" not in iv.columns:
+            iv = pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("bucket", "jk", "interval_key", "start")}
+            )
+        iv_ref = ray.put(iv)
+
+        def _probe(df: pd.DataFrame, _r=iv_ref) -> pd.DataFrame:
+            m = _range_points(df, W).merge(ray.get(_r), on=["bucket", "jk"])
+            m = m[(m["ts"] >= m["start"]) & (m["ts"] < m["start"] + W)]
+            return m[["point_key", "interval_key"]]
+
+        out = orders.map_batches(_probe, batch_format="pandas").to_pandas()
+    else:
+        def _tag_points(df: pd.DataFrame) -> pd.DataFrame:
+            p = _range_points(df, W)
+            p["side"] = np.int8(0)
+            p["interval_key"] = np.int64(0)
+            p["start"] = np.int64(0)
+            return p
+
+        def _tag_intervals(df: pd.DataFrame) -> pd.DataFrame:
+            r = _range_intervals(df, W)
+            r["side"] = np.int8(1)
+            r["point_key"] = np.int64(0)
+            r["ts"] = np.int64(0)
+            return r[["bucket", "jk", "point_key", "ts", "side",
+                      "interval_key", "start"]]
+
+        tagged = orders.map_batches(_tag_points, batch_format="pandas").union(
+            orders.map_batches(_tag_intervals, batch_format="pandas")
         )
 
-    def _intervals(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["o_orderstatus"] == "F"]
-        start = (
-            df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
-        )
-        jk = (df["o_custkey"] % 100).astype("int64").to_numpy()
-        ik = df["o_orderkey"].astype("int64").to_numpy()
-        b0 = start // W
-        b1 = (start + W - 1) // W  # last instant covered (end exclusive)
-        second = b1 > b0
-        return pd.DataFrame(
-            {
-                "side": np.int8(1),
-                "bucket": np.concatenate([b0, b1[second]]),
-                "jk": np.concatenate([jk, jk[second]]),
-                "point_key": np.int64(0),
-                "ts": np.int64(0),
-                "interval_key": np.concatenate([ik, ik[second]]),
-                "start": np.concatenate([start, start[second]]),
-            }
-        )
+        def _join_block(df: pd.DataFrame) -> pd.DataFrame:
+            l = df[df["side"] == 0][["bucket", "jk", "point_key", "ts"]]
+            r = df[df["side"] == 1][["bucket", "jk", "interval_key", "start"]]
+            m = l.merge(r, on=["bucket", "jk"])
+            m = m[(m["ts"] >= m["start"]) & (m["ts"] < m["start"] + W)]
+            return m[["point_key", "interval_key"]]
 
-    tagged = orders.map_batches(_points, batch_format="pandas").union(
-        orders.map_batches(_intervals, batch_format="pandas")
-    )
-
-    def _join_block(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["side"] == 0][["bucket", "jk", "point_key", "ts"]]
-        r = df[df["side"] == 1][["bucket", "jk", "interval_key", "start"]]
-        m = l.merge(r, on=["bucket", "jk"])
-        m = m[(m["ts"] >= m["start"]) & (m["ts"] < m["start"] + W)]
-        return m[["point_key", "interval_key"]]
-
-    out = hash_partitioned_map_batches(
-        tagged, ["bucket", "jk"], _join_block
-    ).to_pandas()
+        out = hash_partitioned_map_batches(
+            tagged, ["bucket", "jk"], _join_block
+        ).to_pandas()
     if "point_key" not in out.columns:  # all-empty blocks lose their schema
         out = pd.DataFrame(
             {
@@ -2518,6 +2560,217 @@ ORDER BY word
 
 
 # ---------------------------------------------------------------------------
+# grouped exact percentiles: the per-source length-distribution op every
+# mixture pipeline needs (p50/p90/p99 token count PER SOURCE, to set
+# per-source chunking and packing budgets). Same no-sort histogram doctrine
+# as token_percentiles, keyed: each batch emits (source, value, count)
+# partials, and the rank selection runs per complete source group — on the
+# driver while sources x domain stays bounded, else after ONE hash-shuffle
+# on source (the per-block kernel is identical; hash_partitioned co-locates
+# every source's full histogram).
+
+def _grouped_pctl_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact p50/p90/p99 per source from (source, v, c) histogram rows.
+    Correct for any union of COMPLETE source groups."""
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "p50": pd.Series(dtype="int64"),
+                "p90": pd.Series(dtype="int64"),
+                "p99": pd.Series(dtype="int64"),
+            }
+        )
+    g = (
+        df.groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["source", "v"], kind="mergesort")
+    )
+    out = []
+    # one iteration per SOURCE (bounded by the mixture's source count, not
+    # by rows) over already-reduced histogram slices — the amortized shape
+    for src, h in g.groupby("source", sort=True):
+        cum = h["c"].cumsum().to_numpy()
+        vals = h["v"].to_numpy()
+        n = int(cum[-1])
+        row = {"source": src, "n_docs": n}
+        for p in (50, 90, 99):
+            rank = (p * n + 99) // 100
+            row[f"p{p}"] = int(vals[np.searchsorted(cum, rank)])
+        out.append(row)
+    res = pd.DataFrame(out)
+    for c in ("n_docs", "p50", "p90", "p99"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def grouped_percentiles(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(), "v": v})
+        return g.groupby(["source", "v"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+
+    parts = docs.map_batches(_hist, batch_format="pandas")
+    if _table_rows(sf_dir, "documents") <= driver_threshold:
+        merged = parts.to_pandas()
+        if "source" not in merged.columns:
+            merged = pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "v": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        out = _grouped_pctl_block(merged)
+    else:
+        out = hash_partitioned_map_batches(
+            parts, ["source"], _grouped_pctl_block
+        ).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+GROUPED_PCTL_SQL = """
+WITH t AS (
+    SELECT source, len(string_split(COALESCE(text, ''), ' ')) AS v
+    FROM documents
+), r AS (
+    SELECT source, v,
+           row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM t
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT) AS p90,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint-overlap (containment) detection: MOSS-style — two documents
+# are reported when they share >= 2 of their 4 smallest distinct window
+# hashes (text.fingerprints' base-257 family), which catches
+# copied/contained passages that whole-document hashing misses. Scale
+# shape: explode per-doc fingerprints to (fp, doc_id) postings, ONE
+# hash-shuffle on fp, vectorized within-posting self-join per block, then
+# a pair-count reduce (gated driver/distributed). Skew note: a boilerplate
+# window shared by many docs creates a quadratic posting — at corpus scale
+# drop top-frequency fingerprints first (stop-fingerprints), exactly like
+# salting a hot key; the default stays exact to match the oracle.
+
+_FP_OVERLAP_MIN = 2
+_FPO_WINDOW = 8
+_FPO_KEEP = 4
+
+
+def _window_hash_mins(s: str) -> np.ndarray:
+    """k smallest DISTINCT base-257 window hashes of the utf8 bytes (the
+    text.fingerprints family; distinct so a repeated window can't count
+    twice toward the pair-overlap threshold)."""
+    b = s.encode("utf8", errors="ignore")
+    if len(b) < _FPO_WINDOW:
+        return np.array([], dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    powers = np.uint64(257) ** np.arange(_FPO_WINDOW, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, _FPO_WINDOW)
+    h = (windows * powers[::-1]).sum(axis=1)
+    return np.unique(h)[:_FPO_KEEP]
+
+
+def fingerprint_overlap(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _postings(df: pd.DataFrame) -> pd.DataFrame:
+        fps = df["text"].fillna("").map(_window_hash_mins)
+        lens = fps.str.len().to_numpy(np.int64)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        flat = (
+            np.concatenate(list(fps)) if lens.sum() else
+            np.array([], dtype=np.uint64)
+        )
+        # uint64 -> int64 bit-view: hash-shuffle keys stay a native arrow type
+        return pd.DataFrame({"fp": flat.view(np.int64), "doc_id": ids})
+
+    postings = docs.map_batches(_postings, batch_format="pandas")
+
+    def _pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        j = df.merge(df, on="fp", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        # one row per (fp, pair) by construction (per-doc fps are distinct),
+        # so each row is one unit of shared-fingerprint evidence
+        return pd.DataFrame({"a": j["doc_id_a"], "b": j["doc_id_b"]})
+
+    pair_rows = hash_partitioned_map_batches(postings, ["fp"], _pairs_block)
+    if _table_rows(sf_dir, "documents") <= driver_threshold:
+        pr = pair_rows.to_pandas()
+        if "a" not in pr.columns:
+            pr = pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        counted = pr.groupby(["a", "b"], as_index=False).size().rename(
+            columns={"size": "shared"}
+        )
+    else:
+        def _count_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["a", "b"], as_index=False).size().rename(
+                columns={"size": "shared"}
+            )
+
+        counted = hash_partitioned_map_batches(
+            pair_rows, ["a", "b"], _count_block
+        ).to_pandas()
+        if "a" not in counted.columns:
+            counted = pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "shared": pd.Series(dtype="int64")}
+            )
+    out = counted[counted["shared"] >= _FP_OVERLAP_MIN]
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out["shared"] = out["shared"].astype("int64")
+    return out
+
+
+FINGERPRINT_OVERLAP_SQL = """
+WITH pos AS (
+    SELECT doc_id, text AS t,
+           unnest(generate_series(1, length(text) - 7)) AS i
+    FROM documents
+), wh AS (
+    SELECT doc_id,
+           CAST((
+               CAST(unicode(substr(t, i,     1)) AS HUGEINT) * 74051159531521793::HUGEINT
+             + CAST(unicode(substr(t, i + 1, 1)) AS HUGEINT) * 288136807515649::HUGEINT
+             + CAST(unicode(substr(t, i + 2, 1)) AS HUGEINT) * 1121154893057::HUGEINT
+             + CAST(unicode(substr(t, i + 3, 1)) AS HUGEINT) * 4362470401::HUGEINT
+             + CAST(unicode(substr(t, i + 4, 1)) AS HUGEINT) * 16974593::HUGEINT
+             + CAST(unicode(substr(t, i + 5, 1)) AS HUGEINT) * 66049::HUGEINT
+             + CAST(unicode(substr(t, i + 6, 1)) AS HUGEINT) * 257::HUGEINT
+             + CAST(unicode(substr(t, i + 7, 1)) AS HUGEINT)
+           ) % 18446744073709551616::HUGEINT AS UBIGINT) AS h
+    FROM pos
+), d AS (SELECT DISTINCT doc_id, h FROM wh),
+small AS (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM d
+), fp AS (SELECT doc_id, h FROM small WHERE rn <= 4)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fp x JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY a, b HAVING COUNT(*) >= 2 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -2563,4 +2816,6 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "anti_join": (anti_join, ANTI_JOIN_SQL),
     "range_join": (range_join, RANGE_JOIN_SQL),
     "heavy_hitters": (heavy_hitters, HEAVY_HITTERS_SQL),
+    "grouped_percentiles": (grouped_percentiles, GROUPED_PCTL_SQL),
+    "fingerprint_overlap": (fingerprint_overlap, FINGERPRINT_OVERLAP_SQL),
 }

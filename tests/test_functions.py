@@ -1050,3 +1050,62 @@ def test_range_join_bucket_boundary_edges(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64")
     )
+
+
+def test_range_join_forced_distributed_matches_broadcast(ray_session):
+    from outage_data_scraper_ray.functions.relational import range_join
+
+    sf = "/root/testdata/sf0.001"
+    broad = range_join(sf)
+    dist = range_join(sf, interval_broadcast_threshold=0)
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) > 0
+
+
+def test_grouped_percentiles_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import grouped_percentiles
+
+    sf = "/root/testdata/sf0.001"
+    driver = grouped_percentiles(sf)
+    dist = grouped_percentiles(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(driver, dist)
+    # per-source medians must straddle the global corpus: each p50 <= p90 <= p99
+    assert (driver["p50"] <= driver["p90"]).all()
+    assert (driver["p90"] <= driver["p99"]).all()
+
+
+def test_fingerprint_overlap_planted_duplicates(ray_session, tmp_path):
+    """An exact duplicate shares all 4 winnowed window hashes; an unrelated
+    doc shares none. Both combine paths agree with the DuckDB oracle."""
+    import duckdb
+
+    from outage_data_scraper_ray.functions.relational import (
+        FINGERPRINT_OVERLAP_SQL,
+        fingerprint_overlap,
+    )
+
+    rng = np.random.default_rng(3)
+    words = [f"tok{j}" for j in range(200)]
+    base = " ".join(rng.choice(words, size=50))
+    other = " ".join(rng.choice(words, size=50))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base, other],
+            "source": "s", "lang": "en", "n_chars": 0,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = fingerprint_overlap(str(tmp_path))
+    dist = fingerprint_overlap(str(tmp_path), driver_threshold=0)
+    pd.testing.assert_frame_equal(got, dist)
+    dup = got[(got["a"] == 1) & (got["b"] == 2)]
+    assert len(dup) == 1 and int(dup["shared"].iloc[0]) == 4
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(FINGERPRINT_OVERLAP_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
