@@ -2771,6 +2771,315 @@ GROUP BY a, b HAVING COUNT(*) >= 2 ORDER BY a, b
 
 
 # ---------------------------------------------------------------------------
+# left outer join: completes the join family (inner=hash_join, semi/anti,
+# range, asof). Orders keep their row even when the (filtered) customer
+# side has no match — the shape every enrichment join needs when the
+# dimension table is incomplete. Same gate as hash_join: dimension-sized
+# build sides broadcast (ray.put once, C-speed left merge per batch);
+# above the threshold Ray's distributed left_outer hash join shuffles both
+# sides once. NULL discipline: the unmatched c_name is COALESCEd to '' on
+# BOTH sides so the driver's value hash never compares NaN spellings.
+
+def left_outer_join(
+    sf_dir: str, *, build_broadcast_threshold: int = 1_000_000
+) -> rd.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 0.0)).select(
+            ["c_custkey", "c_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    if _table_rows(sf_dir, "customer") <= build_broadcast_threshold:
+        import ray
+
+        cust_ref = ray.put(cust.to_pandas())
+
+        def _merge(batch: pd.DataFrame, _r=cust_ref) -> pd.DataFrame:
+            out = batch.merge(
+                ray.get(_r), left_on="o_custkey", right_on="c_custkey",
+                how="left",
+            )[cols]
+            out["c_name"] = out["c_name"].fillna("")
+            return out
+
+        return orders.map_batches(_merge, batch_format="pandas")
+    joined = orders.join(
+        cust, join_type="left_outer", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(cols)
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("c_name"), "c_name",
+            pc.fill_null(t["c_name"], ""),
+        )
+
+    return joined.map_batches(_coalesce, batch_format="pyarrow")
+
+
+LEFT_OUTER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, COALESCE(c_name, '') AS c_name
+FROM orders LEFT JOIN (
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0
+) c ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup aggregate: GROUP BY ROLLUP(flag, status) in one streamed pass —
+# arrow partials at the FINEST grain only (the same q1 integer-cents
+# partial), then the super-aggregate levels are derived from the finest
+# groups, which are category-product-sized (bounded), never row-sized.
+# At 100 TB nothing changes: the rollup fan-out happens on the reduced
+# table, so the wide input is scanned exactly once.
+
+def rollup_sum(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(
+            pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_to_even"),
+            pa.int64(),
+        )
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+            }
+        )
+        g = tb.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum")]
+        )
+        # select by NAME (key-vs-aggregate column order flips across
+        # pyarrow majors; the q1 partial has the same note)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "qty_c": g["qty_c_sum"],
+            }
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)["qty_c"]
+        .sum()
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False)["qty_c"].sum()
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "qty_c": [fine["qty_c"].sum()]}
+    )
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out = out.rename(columns={"qty_c": "sum_qty_c"})
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], kind="mergesort"
+    ).reset_index(drop=True)[["l_returnflag", "l_linestatus", "sum_qty_c"]]
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-key uniform sample: k rows per group chosen by a
+# Knuth-multiplicative hash of the row id — the reproducible replacement
+# for random.sample in mixture building (re-runs and resumes pick the SAME
+# rows, and the choice is independent of partitioning). Scale shape: each
+# batch keeps its own k-smallest per key (partial top-k, output bounded by
+# k x groups x blocks), then the identical kernel runs per complete group
+# under the standard gate.
+
+_PKS_K = 5
+
+
+def _pks_block(df: pd.DataFrame, k: int = _PKS_K) -> pd.DataFrame:
+    df = df.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+    return df.groupby("event_type", sort=False).head(k)
+
+
+def per_key_sample(
+    sf_dir: str, k: int = _PKS_K, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.uint64)
+        # reduce mod 2^32 BEFORE the multiply: (a*c) mod 2^32 is unchanged
+        # and the product then never wraps uint64, so the value matches the
+        # oracle's HUGEINT arithmetic for the full int64 id range
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "event_id": ids.astype("int64"),
+                "h": h.astype("int64"),
+            }
+        )
+        return _pks_block(out, k)
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["event_type"], _pks_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+PER_KEY_SAMPLE_SQL = """
+SELECT event_type, event_id,
+       CAST(CAST(event_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT) AS h
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY CAST(event_id AS HUGEINT) * 2654435761 % 4294967296, event_id
+) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-key cumulative window: running sum + previous-row pointer per user
+# ordered by time — the classic sessionless "state so far" window (LAG +
+# SUM ... ROWS UNBOUNDED PRECEDING). Values go through integer cents so
+# distributed partials equal DuckDB bit-for-bit. Same gate as the battery
+# trio: ONE hash shuffle on user_id co-locates each user's full history,
+# then the per-block kernel sorts and cumsums vectorized (the per-key sort
+# is within-block; nothing global sorts).
+
+def _cumwin_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = df.groupby("user_id", sort=False)
+    out = pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "cum_cents": g["cents"].cumsum().to_numpy(np.int64),
+            "prev_event_id": g["event_id"].shift(1).fillna(-1).to_numpy(np.int64),
+        }
+    )
+    return out
+
+
+def cum_window(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df.pop("value").to_numpy() * 100.0).astype(np.int64)
+        return df
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _cumwin_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+CUM_WINDOW_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_cents,
+       LAG(event_id, 1, -1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS prev_event_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles for UNBOUNDED domains: a 2-significant-decimal-digit
+# ECDF sketch (token_percentiles' histogram doctrine works only when the
+# value domain is small and integer; money/latency/score columns are not).
+# Each value is truncated to its 2 leading decimal digits — a monotone,
+# purely-integer/string bucketing with <= 10% relative error, at most 90
+# buckets per decade, mergeable by count-sum, and reproducible EXACTLY in
+# SQL (no log/pow float calls whose libm rounding could flip a bucket).
+# The oracle checks the SKETCH, not the exact quantile — the hll/cms
+# precedent: what's verified is that the distributed merge computes the
+# same deterministic summary a sequential engine would.
+
+def _sig2_bucket(cents: np.ndarray) -> np.ndarray:
+    """Truncate positive int64 cents to 2 significant decimal digits via
+    exact string arithmetic (vectorized; no float log)."""
+    s = cents.astype("U20")
+    lens = np.char.str_len(s)
+    # astype("U2") truncates each decimal string to its first two chars
+    lead2 = s.astype("U2").astype(np.int64)
+    scale = 10 ** np.maximum(lens.astype(np.int64) - 2, 0)
+    return np.where(lens >= 2, lead2 * scale, cents)
+
+
+def approx_quantiles(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["value"])
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        b = _sig2_bucket(cents[cents >= 1])
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bkt": u, "c": c.astype("int64")})
+
+    merged = ds.map_batches(_hist, batch_format="pandas").to_pandas()
+    # bucket count is bounded (<= 90/decade x ~19 decades), so the combine
+    # frame is sketch-sized no matter the input rows — driver-safe always
+    h = merged.groupby("bkt", as_index=False)["c"].sum().sort_values("bkt")
+    cum = h["c"].cumsum().to_numpy()
+    vals = h["bkt"].to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in (50, 90, 99):
+        rank = (p * n + 99) // 100
+        rows.append(
+            {"p": p, "approx": int(vals[np.searchsorted(cum, rank)]) if n else 0,
+             "n": n}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("p", "approx", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+APPROX_QUANTILES_SQL = """
+WITH c AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    WHERE CAST(ROUND(value * 100) AS BIGINT) >= 1
+), b AS (
+    SELECT CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+                ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) ||
+                          repeat('0', length(CAST(v AS VARCHAR)) - 2) AS BIGINT)
+           END AS bkt
+    FROM c
+), r AS (
+    SELECT bkt, row_number() OVER (ORDER BY bkt) AS rn, COUNT(*) OVER () AS n
+    FROM b
+)
+SELECT p, CAST(MAX(CASE WHEN rn = (p * n + 99) // 100 THEN bkt END) AS BIGINT)
+          AS approx,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) t(p)
+GROUP BY p ORDER BY p
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -2818,4 +3127,13 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "heavy_hitters": (heavy_hitters, HEAVY_HITTERS_SQL),
     "grouped_percentiles": (grouped_percentiles, GROUPED_PCTL_SQL),
     "fingerprint_overlap": (fingerprint_overlap, FINGERPRINT_OVERLAP_SQL),
+    "left_outer_join": (left_outer_join, LEFT_OUTER_SQL),
+    "rollup_sum": (rollup_sum, ROLLUP_SQL),
+    "per_key_sample": (per_key_sample, PER_KEY_SAMPLE_SQL),
+    "cum_window": (cum_window, CUM_WINDOW_SQL),
+    "approx_quantiles": (approx_quantiles, APPROX_QUANTILES_SQL),
 }
+
+from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)
+
+SQL_QUERIES["pagerank"] = (pagerank, PAGERANK_SQL)

@@ -1109,3 +1109,116 @@ def test_fingerprint_overlap_planted_duplicates(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 close-out relational additions
+
+
+def _frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> None:
+    a = a.sort_index(axis=1)
+    b = b.sort_index(axis=1)
+    cols = list(a.columns)
+    a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _as_pd(res):
+    return res.to_pandas() if isinstance(res, rd.Dataset) else res
+
+
+def test_left_outer_join_broadcast_matches_distributed(ray_session):
+    from outage_data_scraper_ray.functions.relational import left_outer_join
+
+    sf = "/root/testdata/sf0.001"
+    a = left_outer_join(sf).to_pandas()
+    b = left_outer_join(sf, build_broadcast_threshold=0).to_pandas()
+    _frames_equal(a, b)
+    # the filtered dimension side must actually produce unmatched rows,
+    # and both branches spell them '' (never NaN)
+    assert (a["c_name"] == "").any()
+    assert a["c_name"].notna().all() and b["c_name"].notna().all()
+
+
+def test_per_key_sample_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import per_key_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(per_key_sample(sf))
+    b = _as_pd(per_key_sample(sf, driver_threshold=0))
+    _frames_equal(a, b)
+    assert (a.groupby("event_type").size() == 5).all()
+
+
+def test_cum_window_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import cum_window
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(cum_window(sf))
+    b = _as_pd(cum_window(sf, driver_threshold=0))
+    _frames_equal(a, b)
+    # sequential re-derivation for one user: integer-cents running sum
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    uid = int(ev["user_id"].iloc[0])
+    mine = (
+        a[a["user_id"] == uid]
+        .merge(ev[["event_id", "ts", "value"]], on="event_id")
+        .sort_values(["ts", "event_id"])
+    )
+    want = np.round(mine["value"].to_numpy() * 100.0).astype("int64").cumsum()
+    assert (mine["cum_cents"].to_numpy() == want).all()
+    assert mine["prev_event_id"].iloc[0] == -1
+    assert (
+        mine["prev_event_id"].to_numpy()[1:] == mine["event_id"].to_numpy()[:-1]
+    ).all()
+
+
+def test_rollup_sum_levels_consistent(ray_session):
+    from outage_data_scraper_ray.functions.relational import rollup_sum
+
+    out = rollup_sum("/root/testdata/sf0.001")
+    fine = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+    lvl1 = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")]
+    total = out[(out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "ALL")]
+    assert len(total) == 1
+    assert total["sum_qty_c"].iloc[0] == fine["sum_qty_c"].sum()
+    got = lvl1.set_index("l_returnflag")["sum_qty_c"]
+    want = fine.groupby("l_returnflag")["sum_qty_c"].sum()
+    assert got.sort_index().equals(want.sort_index())
+
+
+def test_approx_quantiles_within_sketch_error(ray_session):
+    from outage_data_scraper_ray.functions.relational import approx_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = approx_quantiles(sf).set_index("p")["approx"]
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    cents = np.sort(np.round(ev["value"].to_numpy() * 100.0).astype("int64"))
+    cents = cents[cents >= 1]
+    n = len(cents)
+    for p in (50, 90, 99):
+        exact = cents[(p * n + 99) // 100 - 1]
+        # 2-significant-digit truncation: approx in (0.9 * exact-ish, exact]
+        assert out[p] <= exact
+        assert out[p] > exact * 0.88  # truncation plus rank-ties slack
+    assert (approx_quantiles(sf)["n"] == n).all()
+
+
+def test_pagerank_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.graph import pagerank
+
+    sf = "/root/testdata/sf0.001"
+    a = pagerank(sf)
+    b = pagerank(sf, driver_threshold=0)
+    _frames_equal(a, b)
+    # mass sanity: every rank >= the base term, and total mass <= 1
+    # (dangling supplier mass is dropped by the documented variant)
+    n = len(a)
+    assert (a["pr"] >= 0.15 / n - 5e-7).all()  # 6dp rounding slack
+    assert 0.15 < a["pr"].sum() <= 1.0 + 1e-6
+    # suppliers (offset ids) must out-rank parts on this bipartite graph:
+    # every supplier has ~600 in-edges, parts have none
+    supp = a[a["node"] >= 1_000_000_000]["pr"]
+    part = a[a["node"] < 1_000_000_000]["pr"]
+    assert supp.min() > part.max()
