@@ -188,10 +188,17 @@ def pagerank(sf_dir: str, driver_threshold: int | None = None) -> pd.DataFrame:
     edge set. Gated like every battery op: edge lists bounded by the
     driver threshold run the sequential numpy kernel; above it the
     2-shuffles-per-iteration co-partition loop runs (forced in tests)."""
-    from .relational import _GROUP_DRIVER_THRESHOLD, _table_rows
+    from .relational import _table_rows
 
     if driver_threshold is None:
-        driver_threshold = _GROUP_DRIVER_THRESHOLD
+        # Higher than the battery's 500k: the driver kernel holds only the
+        # per-batch-DEDUPED (src, dst) int64 edge list (~16 B/edge, 32 MB
+        # at 2M), while the distributed branch pays 10 hash-shuffle rounds
+        # of fixed aggregator spin-up (~60-80 s at 32 CPUs) that dwarf the
+        # data term until edges reach tens of millions — the sf0.1-vs-sf1
+        # ladder measured the distributed wall FLAT (79 -> 56 s) at 10x
+        # rows precisely because it is machinery-bound, not data-bound.
+        driver_threshold = 2_000_000
     edges = _edges_ds(sf_dir)
     if _table_rows(sf_dir, "lineitem") <= driver_threshold:
         return _pagerank_driver(edges.to_pandas())
