@@ -3080,6 +3080,62 @@ GROUP BY p ORDER BY p
 
 
 # ---------------------------------------------------------------------------
+# connected components over the similarity graph: vec_id -> min id of its
+# cosine>=0.4 component. The SECOND iterative graph op (pagerank's sibling),
+# built entirely from the dedup module's gated label machinery: driver
+# union-find under the pair bound, ray.put-broadcast or distributed-join
+# label application, and the two-shuffles-per-round min-label propagation
+# loop above it — nothing new to maintain, same scale contract
+# (everything is sized by the PAIR GRAPH, never the corpus). Pair
+# enumeration reuses cosine_pairs_exact (the exact baseline; at corpus
+# scale the LSH-bucketed embedding_dedup path generates candidates
+# instead, exactly like minhash's LSH feeds _label_dataset).
+
+def connected_components(
+    sf_dir: str, pair_graph_driver_max: int | None = None
+) -> rd.Dataset:
+    from .dedup import _PAIR_GRAPH_DRIVER_MAX, _label_dataset
+
+    if pair_graph_driver_max is None:
+        pair_graph_driver_max = _PAIR_GRAPH_DRIVER_MAX
+    pairs = cosine_pairs_exact(sf_dir)
+    ids = _read(sf_dir, "embeddings", ["vec_id"])
+    labeled = _label_dataset(
+        ids, "vec_id",
+        list(zip(pairs["a"].tolist(), pairs["b"].tolist())),
+        pair_graph_driver_max=pair_graph_driver_max,
+    )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "component": t.column("dup_group")}
+        )
+
+    return labeled.map_batches(_rename, batch_format="pyarrow")
+
+
+CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE p AS (
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM embeddings x JOIN embeddings y
+      ON x.vec_id < y.vec_id
+     AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                CAST(y.embedding AS DOUBLE[])) >= 0.4
+), e AS (
+    SELECT a AS node, b AS nbr FROM p
+    UNION ALL
+    SELECT b AS node, a AS nbr FROM p
+), walk(node, lab) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.node, w.lab FROM walk w JOIN e ON e.nbr = w.node
+)
+SELECT node AS vec_id, CAST(MIN(lab) AS BIGINT) AS component
+FROM walk GROUP BY node ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -3132,6 +3188,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "per_key_sample": (per_key_sample, PER_KEY_SAMPLE_SQL),
     "cum_window": (cum_window, CUM_WINDOW_SQL),
     "approx_quantiles": (approx_quantiles, APPROX_QUANTILES_SQL),
+    "connected_components": (connected_components, CONNECTED_COMPONENTS_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

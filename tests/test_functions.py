@@ -1222,3 +1222,16 @@ def test_pagerank_forced_distributed_matches_driver(ray_session):
     supp = a[a["node"] >= 1_000_000_000]["pr"]
     part = a[a["node"] < 1_000_000_000]["pr"]
     assert supp.min() > part.max()
+
+
+def test_connected_components_forced_propagation_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import connected_components
+
+    sf = "/root/testdata/sf0.001"
+    a = connected_components(sf).to_pandas()
+    b = connected_components(sf, pair_graph_driver_max=0).to_pandas()
+    _frames_equal(a, b)
+    # component labels are component minima: every label is a member id
+    # and <= every member
+    assert (a["component"] <= a["vec_id"]).all()
+    assert set(a["component"]).issubset(set(a["vec_id"]))
