@@ -3080,6 +3080,67 @@ GROUP BY p ORDER BY p
 
 
 # ---------------------------------------------------------------------------
+# pivot (long -> wide conditional aggregation): per-user integer-cents sum
+# per event_type as COLUMNS. The category set is part of the op's contract
+# (a pivot has a declared output schema — same reason SQL PIVOT wants the
+# IN list); the main pass is the grouped-sum doctrine: partials at the
+# (user, type) grain — the combine frame is users x types, NOT row-sized —
+# then a vectorized pivot per complete user group, on the driver under the
+# gate or after ONE hash shuffle on user_id above it.
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_sum(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].to_numpy(),
+                "cents": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        return g.groupby(["user_id", "event_type"], as_index=False)["cents"].sum()
+
+    def _pivot_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["cents"].sum()
+        wide = g.pivot_table(
+            index="user_id", columns="event_type", values="cents",
+            aggfunc="sum", fill_value=0,
+        )
+        for t in _PIVOT_TYPES:  # fixed schema even if a type is absent
+            if t not in wide.columns:
+                wide[t] = 0
+        wide = wide[list(_PIVOT_TYPES)].astype("int64")
+        wide.columns = [f"{t}_c" for t in _PIVOT_TYPES]
+        return wide.reset_index()
+
+    parts = ds.map_batches(_partial, batch_format="pandas")
+    out = _gated_grouped(
+        parts, ["user_id"], _pivot_block, _table_rows(sf_dir, "events"),
+        driver_threshold,
+    )
+    if isinstance(out, rd.Dataset):
+        return out
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS click_c,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS error_c,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase_c,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS signup_c,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS view_c
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # connected components over the similarity graph: vec_id -> min id of its
 # cosine>=0.4 component. The SECOND iterative graph op (pagerank's sibling),
 # built entirely from the dedup module's gated label machinery: driver
@@ -3189,6 +3250,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "cum_window": (cum_window, CUM_WINDOW_SQL),
     "approx_quantiles": (approx_quantiles, APPROX_QUANTILES_SQL),
     "connected_components": (connected_components, CONNECTED_COMPONENTS_SQL),
+    "pivot_sum": (pivot_sum, PIVOT_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

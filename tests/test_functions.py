@@ -1235,3 +1235,18 @@ def test_connected_components_forced_propagation_matches_driver(ray_session):
     # and <= every member
     assert (a["component"] <= a["vec_id"]).all()
     assert set(a["component"]).issubset(set(a["vec_id"]))
+
+
+def test_pivot_sum_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import pivot_sum
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(pivot_sum(sf))
+    b = _as_pd(pivot_sum(sf, driver_threshold=0))
+    _frames_equal(a, b)
+    # wide total reconciles with the raw integer-cents total
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    total = np.round(ev["value"].to_numpy() * 100.0).astype("int64").sum()
+    wide_cols = [c for c in a.columns if c.endswith("_c")]
+    assert a[wide_cols].to_numpy().sum() == total
+    assert len(a) == ev["user_id"].nunique()
