@@ -2829,6 +2829,128 @@ FROM orders LEFT JOIN (
 
 
 # ---------------------------------------------------------------------------
+# full outer join: both-side row preservation (orders missing from a
+# customer subset AND customers with no orders). Same family as
+# hash_join/left_outer_join; there is no broadcast shortcut for a FULL
+# outer join (the build side's unmatched rows need global knowledge), so
+# both gates run Ray's distributed full_outer hash join — the honest
+# shape at any scale. NULL discipline: unmatched keys/prices COALESCE to
+# sentinels on both sides so the value hash never compares NaN spellings.
+
+def full_outer_join(sf_dir: str) -> rd.Dataset:
+    # orders restricted to big tickets, customers to high balances — both
+    # sides carry unmatched rows (337 left-only / 1 right-only at sf0.001)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)).select(
+            ["c_custkey", "c_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = orders.join(
+        cust, join_type="full_outer", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        # Ray's full_outer hash join already coalesces the key pair into
+        # the LEFT key column (c_custkey is dropped; right-only rows carry
+        # their key in o_custkey)
+        return pa.table(
+            {
+                "o_orderkey": pc.fill_null(t["o_orderkey"], -1),
+                "custkey": t["o_custkey"],
+                "o_totalprice": pc.fill_null(t["o_totalprice"], 0.0),
+                "c_name": pc.fill_null(t["c_name"], ""),
+            }
+        )
+
+    return joined.map_batches(_coalesce, batch_format="pyarrow")
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(o_orderkey, -1) AS o_orderkey,
+       COALESCE(o_custkey, c_custkey) AS custkey,
+       COALESCE(o_totalprice, 0.0) AS o_totalprice,
+       COALESCE(c_name, '') AS c_name
+FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 300000) o
+FULL OUTER JOIN
+     (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+  ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-aggregate grouped stats with EXACT distributed variance: per
+# event_type count / sum / min / max / variance, all derived from integer
+# partials (count, sum of cents, sum of squared cents, min, max) that
+# merge associatively — the textbook one-pass parallel-moments shape, but
+# in int64 so the distributed merge equals DuckDB bit-for-bit (cents <=
+# ~2^16, squares <= 2^32, int64 holds ~2^31 rows of them per group before
+# overflow; var is computed once at the end as (n*ssq - s^2)/n^2 in
+# float64 from the exact integers, then rounded 6dp).
+
+def grouped_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "c": c})
+        g["sq"] = g["c"] * g["c"]
+        out = g.groupby("event_type").agg(
+            n=("c", "size"), s=("c", "sum"), ssq=("sq", "sum"),
+            mn=("c", "min"), mx=("c", "max"),
+        ).reset_index()
+        return out
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    # combine frame is category-sized x blocks — driver-safe always
+    m = parts.groupby("event_type").agg(
+        n=("n", "sum"), s=("s", "sum"), ssq=("ssq", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    ).reset_index()
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    ssq = m["ssq"].to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n": m["n"].astype("int64"),
+            "sum_c": m["s"].astype("int64"),
+            "min_c": m["mn"].astype("int64"),
+            "max_c": m["mx"].astype("int64"),
+            "var_c": np.round((n * ssq - s * s) / (n * n), 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+GROUPED_STATS_SQL = """
+WITH c AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+), m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s,
+           CAST(SUM(v * v) AS BIGINT) AS ssq,
+           CAST(MIN(v) AS BIGINT) AS mn,
+           CAST(MAX(v) AS BIGINT) AS mx
+    FROM c GROUP BY event_type
+)
+SELECT event_type, n, s AS sum_c, mn AS min_c, mx AS max_c,
+       ROUND((CAST(n AS DOUBLE) * ssq - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * n), 6) AS var_c
+FROM m ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # rollup aggregate: GROUP BY ROLLUP(flag, status) in one streamed pass —
 # arrow partials at the FINEST grain only (the same q1 integer-cents
 # partial), then the super-aggregate levels are derived from the finest
@@ -3251,6 +3373,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "approx_quantiles": (approx_quantiles, APPROX_QUANTILES_SQL),
     "connected_components": (connected_components, CONNECTED_COMPONENTS_SQL),
     "pivot_sum": (pivot_sum, PIVOT_SQL),
+    "full_outer_join": (full_outer_join, FULL_OUTER_SQL),
+    "grouped_stats": (grouped_stats, GROUPED_STATS_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

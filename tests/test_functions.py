@@ -1250,3 +1250,36 @@ def test_pivot_sum_forced_distributed_matches_driver(ray_session):
     wide_cols = [c for c in a.columns if c.endswith("_c")]
     assert a[wide_cols].to_numpy().sum() == total
     assert len(a) == ev["user_id"].nunique()
+
+
+def test_full_outer_join_preserves_both_sides(ray_session):
+    from outage_data_scraper_ray.functions.relational import full_outer_join
+
+    sf = "/root/testdata/sf0.001"
+    out = full_outer_join(sf).to_pandas()
+    # left-only rows (order kept, no qualifying customer) and right-only
+    # rows (customer kept, no qualifying order) must both be present
+    assert (out["o_orderkey"] == -1).any()
+    assert ((out["o_orderkey"] != -1) & (out["c_name"] == "")).any()
+    assert out["c_name"].notna().all()
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    assert (out["o_orderkey"] != -1).sum() == int(
+        (orders["o_totalprice"] > 300000).sum()
+    )
+
+
+def test_grouped_stats_matches_sequential_moments(ray_session):
+    from outage_data_scraper_ray.functions.relational import grouped_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = grouped_stats(sf).set_index("event_type")
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    c = np.round(ev["value"].to_numpy() * 100.0).astype("int64")
+    for t, grp in pd.DataFrame({"t": ev["event_type"], "c": c}).groupby("t"):
+        v = grp["c"].to_numpy()
+        assert out.loc[t, "n"] == len(v)
+        assert out.loc[t, "sum_c"] == v.sum()
+        assert out.loc[t, "min_c"] == v.min()
+        assert out.loc[t, "max_c"] == v.max()
+        n, s, ssq = float(len(v)), float(v.sum()), float((v * v).sum())
+        assert out.loc[t, "var_c"] == np.round((n * ssq - s * s) / (n * n), 6)
