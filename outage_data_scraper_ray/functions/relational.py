@@ -1853,24 +1853,8 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _hll_partial(df: pd.DataFrame) -> pd.DataFrame:
-    h = _mix64(_char_poly_hash(df["text"]))
-    reg = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
-    r = h >> np.uint64(_HLL_P)
-    # vectorized bit_length of the 58-bit remainder (binary reduction —
-    # float log2 rounds at power-of-two boundaries, so stay integer)
-    bl = np.zeros(len(r), dtype=np.int64)
-    v = r.copy()
-    for s in (32, 16, 8, 4, 2, 1):
-        big = v >= (np.uint64(1) << np.uint64(s))
-        bl[big] += s
-        v[big] >>= np.uint64(s)
-    bl += (v > 0).astype(np.int64)
-    rho = (64 - _HLL_P + 1) - bl  # r == 0 -> bl 0 -> rho 59 (capped rank)
-    return (
-        pd.DataFrame({"register": reg, "rho": rho})
-        .groupby("register", as_index=False)["rho"]
-        .max()
-    )
+    rows = _hll_partial_rows(df.assign(source=""))
+    return rows.groupby("register", as_index=False)["rho"].max()
 
 
 def hll_registers(sf_dir: str) -> pd.DataFrame:
@@ -1895,6 +1879,50 @@ def hll_estimate(registers: pd.DataFrame) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL: the per-SOURCE distinct-text sketch (hll_registers is
+# global) — per-mixture-source cardinality is what dedup planning actually
+# consumes. Identical hash/mix/rank pipeline; the partial merely carries
+# the group key, so the merge is max over (source, register): sources x 64
+# rows total, mergeable in any order, and the oracle is the same HUGEINT
+# splitmix chain with `source` threaded through every CTE.
+
+def _grouped_hll_partial(df: pd.DataFrame) -> pd.DataFrame:
+    p = _hll_partial_rows(df)
+    return p.groupby(["source", "register"], as_index=False)["rho"].max()
+
+
+def _hll_partial_rows(df: pd.DataFrame) -> pd.DataFrame:
+    h = _mix64(_char_poly_hash(df["text"]))
+    reg = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+    r = h >> np.uint64(_HLL_P)
+    bl = np.zeros(len(r), dtype=np.int64)
+    v = r.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)
+    rho = (64 - _HLL_P + 1) - bl
+    return pd.DataFrame(
+        {"source": df["source"].to_numpy(), "register": reg, "rho": rho}
+    )
+
+
+def grouped_hll(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    parts = docs.map_batches(_grouped_hll_partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby(["source", "register"], as_index=False)["rho"].max()
+    sources = sorted(merged["source"].unique())
+    grid = pd.MultiIndex.from_product(
+        [sources, range(_HLL_M)], names=["source", "register"]
+    ).to_frame(index=False)
+    out = grid.merge(merged, on=["source", "register"], how="left")
+    out["max_rho"] = out["rho"].fillna(0).astype("int64")
+    out["register"] = out["register"].astype("int64")
+    return out[["source", "register", "max_rho"]]
 
 
 HLL_SQL = """
@@ -1940,6 +1968,36 @@ SELECT g.register, CAST(COALESCE(rh.mr, 0) AS BIGINT) AS max_rho
 FROM (SELECT unnest(generate_series(0, 63)) AS register) g
 LEFT JOIN rh ON g.register = rh.register
 """
+
+# The grouped oracle is DERIVED from HLL_SQL so the splitmix chain can
+# never drift between the two: `source` is threaded through every CTE and
+# the final grid cross-joins sources x registers.
+GROUPED_HLL_SQL = (
+    HLL_SQL
+    .replace("SELECT CAST(list_reduce(", "SELECT source, CAST(list_reduce(")
+    .replace("SELECT xor(hv, hv >> 30) AS v FROM h",
+             "SELECT source, xor(hv, hv >> 30) AS v FROM h")
+    .replace("SELECT CAST((CAST(v & 4294967295 AS HUGEINT)",
+             "SELECT source, CAST((CAST(v & 4294967295 AS HUGEINT)")
+    .replace("SELECT xor(v, v >> 27) AS v FROM m1",
+             "SELECT source, xor(v, v >> 27) AS v FROM m1")
+    .replace("SELECT xor(v, v >> 31) AS hv FROM m2",
+             "SELECT source, xor(v, v >> 31) AS hv FROM m2")
+    .replace("SELECT CAST(hv & 63 AS BIGINT) AS register, hv >> 6 AS r FROM mixed",
+             "SELECT source, CAST(hv & 63 AS BIGINT) AS register, hv >> 6 AS r FROM mixed")
+    .replace("    SELECT register,\n           MAX(CASE",
+             "    SELECT source, register,\n           MAX(CASE")
+    .replace("FROM rr GROUP BY register", "FROM rr GROUP BY source, register")
+    .replace(
+        "SELECT g.register, CAST(COALESCE(rh.mr, 0) AS BIGINT) AS max_rho\n"
+        "FROM (SELECT unnest(generate_series(0, 63)) AS register) g\n"
+        "LEFT JOIN rh ON g.register = rh.register",
+        "SELECT s.source, g.register, CAST(COALESCE(rh.mr, 0) AS BIGINT) AS max_rho\n"
+        "FROM (SELECT DISTINCT source FROM documents) s\n"
+        "CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS register) g\n"
+        "LEFT JOIN rh ON rh.source = s.source AND g.register = rh.register",
+    )
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3375,6 +3433,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "pivot_sum": (pivot_sum, PIVOT_SQL),
     "full_outer_join": (full_outer_join, FULL_OUTER_SQL),
     "grouped_stats": (grouped_stats, GROUPED_STATS_SQL),
+    "grouped_hll": (grouped_hll, GROUPED_HLL_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

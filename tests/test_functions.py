@@ -1283,3 +1283,27 @@ def test_grouped_stats_matches_sequential_moments(ray_session):
         assert out.loc[t, "max_c"] == v.max()
         n, s, ssq = float(len(v)), float(v.sum()), float((v * v).sum())
         assert out.loc[t, "var_c"] == np.round((n * ssq - s * s) / (n * n), 6)
+
+
+def test_grouped_hll_consistent_with_global(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _HLL_M,
+        grouped_hll,
+        hll_estimate,
+        hll_registers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    g = grouped_hll(sf)
+    glob = hll_registers(sf)
+    # per-register max over sources == the global register (merge law)
+    m = g.groupby("register")["max_rho"].max()
+    assert (m.sort_index().to_numpy() == glob.sort_values("register")["max_rho"].to_numpy()).all()
+    # grid shape: every (source, register) cell present
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert len(g) == docs["source"].nunique() * _HLL_M
+    # per-source estimates land within the 64-register error band
+    for src, grp in g.groupby("source"):
+        est = hll_estimate(grp.rename(columns={"max_rho": "max_rho"}))
+        true = docs.loc[docs["source"] == src, "text"].nunique()
+        assert abs(est - true) / max(true, 1) < 0.45
