@@ -1969,6 +1969,52 @@ FROM (SELECT unnest(generate_series(0, 63)) AS register) g
 LEFT JOIN rh ON g.register = rh.register
 """
 
+# ---------------------------------------------------------------------------
+# exact grouped distinct count — grouped_hll's exact counterpart (same
+# question, sketch vs exact): distinct texts per source by md5. Scale
+# shape: per-batch (source, md5) dedup partials shrink the stream to the
+# distinct set, ONE hash shuffle on the pair co-locates survivors, a
+# per-block dedup+count emits (source, partial_n) — the driver combine is
+# source-sized. The md5 column reuses corpus_prep's hashing doctrine (the
+# exact-dedup key), so the oracle is a plain COUNT(DISTINCT md5(text)).
+
+def grouped_distinct_exact(sf_dir: str) -> pd.DataFrame:
+    from .dedup import add_md5
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_md5(df)  # dedup's exact-key doctrine (md5 of utf8 text)
+        return df.rename(columns={"text_md5": "md5"})[
+            ["source", "md5"]
+        ].drop_duplicates()
+
+    parts = docs.map_batches(_partial, batch_format="pandas")
+
+    def _count_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        g = df.drop_duplicates().groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counted = hash_partitioned_map_batches(
+        parts, ["source", "md5"], _count_block
+    ).to_pandas()
+    out = counted.groupby("source", as_index=False)["n"].sum()
+    out["n_distinct"] = out.pop("n").astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+GROUPED_DISTINCT_SQL = """
+SELECT source,
+       CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS n_distinct
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # The grouped oracle is DERIVED from HLL_SQL so the splitmix chain can
 # never drift between the two: `source` is threaded through every CTE and
 # the final grid cross-joins sources x registers.
@@ -3434,6 +3480,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "full_outer_join": (full_outer_join, FULL_OUTER_SQL),
     "grouped_stats": (grouped_stats, GROUPED_STATS_SQL),
     "grouped_hll": (grouped_hll, GROUPED_HLL_SQL),
+    "grouped_distinct_exact": (grouped_distinct_exact, GROUPED_DISTINCT_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1307,3 +1307,15 @@ def test_grouped_hll_consistent_with_global(ray_session):
         est = hll_estimate(grp.rename(columns={"max_rho": "max_rho"}))
         true = docs.loc[docs["source"] == src, "text"].nunique()
         assert abs(est - true) / max(true, 1) < 0.45
+
+
+def test_grouped_distinct_exact_vs_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        grouped_distinct_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = grouped_distinct_exact(sf).set_index("source")["n_distinct"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    want = docs.groupby("source")["text"].nunique()
+    assert out.sort_index().equals(want.sort_index().astype("int64"))
