@@ -7,7 +7,7 @@
 ``queries()`` — one callable per implemented operator family from
                 SURVEY.md section 2 plus the scale operators (dedup /
                 similarity / text / multimodal / crawl / sessionize).
-``oracle_sql()`` — a value-oracle for every query: 68 real DuckDB
+``oracle_sql()`` — a value-oracle for every query: 70 real DuckDB
                 reformulations (incl. exact shingle-Jaccard pair /
                 clustering / simhash-Hamming / winnowing-fingerprint /
                 cosine-component oracles that recompute the polynomial

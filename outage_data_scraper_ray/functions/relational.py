@@ -2015,6 +2015,122 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# windowed distinct count: distinct users per tumbling hour — the
+# streaming-analytics staple (tumbling_window counts EVENTS; unique-actor
+# counting can't pre-aggregate without a dedup step). Same shape as
+# grouped_distinct_exact: per-batch (window, user) dedup partials, ONE
+# hash shuffle on the pair, per-block dedup + per-window partial counts,
+# window-count-sized driver combine.
+
+def windowed_distinct(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["ts"].dt.floor("h").to_numpy(),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    parts = ds.map_batches(_partial, batch_format="pandas")
+
+    def _count_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"window_start": pd.Series(dtype="datetime64[us]"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        g = df.drop_duplicates().groupby("window_start", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counted = hash_partitioned_map_batches(
+        parts, ["window_start", "user_id"], _count_block
+    ).to_pandas()
+    out = counted.groupby("window_start", as_index=False)["n"].sum()
+    out["n_users"] = out.pop("n").astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+WINDOWED_DISTINCT_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY window_start ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: furthest ORDERED stage per user through
+# view -> click -> purchase (a later stage only counts if it happens
+# STRICTLY AFTER the user's first occurrence of the previous stage — the
+# sequence constraint is what plain conditional aggregation can't see).
+# Fully vectorized per complete user group: three rounds of
+# per-user-min + merge + strict-after filter — no per-row Python, no
+# per-user dispatch. Gated grouped: driver under the bound, ONE hash
+# shuffle on user_id above it (each round's merge is in-block).
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def _funnel_block(df: pd.DataFrame) -> pd.DataFrame:
+    users = pd.DataFrame({"user_id": df["user_id"].unique()})
+    stage = pd.Series(np.zeros(len(users), dtype=np.int64), index=users["user_id"])
+    prev_t = None
+    cur = df
+    for i, ev in enumerate(_FUNNEL, start=1):
+        rows = cur[cur["event_type"] == ev]
+        if prev_t is not None:
+            rows = rows.merge(prev_t, on="user_id")
+            rows = rows[rows["ts"] > rows["prev"]]
+        if not len(rows):
+            break
+        t = rows.groupby("user_id", as_index=False)["ts"].min()
+        stage.loc[t["user_id"].to_numpy()] = i
+        prev_t = t.rename(columns={"ts": "prev"})
+    out = pd.DataFrame(
+        {"user_id": stage.index.to_numpy(np.int64),
+         "funnel_stage": stage.to_numpy(np.int64)}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def funnel_stages(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return _gated_grouped(
+        ds, ["user_id"], _funnel_block, _table_rows(sf_dir, "events"),
+        driver_threshold,
+    )
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t FROM events e
+    JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t FROM events e
+    JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+ORDER BY u.user_id
+"""
+
+
 # The grouped oracle is DERIVED from HLL_SQL so the splitmix chain can
 # never drift between the two: `source` is threaded through every CTE and
 # the final grid cross-joins sources x registers.
@@ -3481,6 +3597,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "grouped_stats": (grouped_stats, GROUPED_STATS_SQL),
     "grouped_hll": (grouped_hll, GROUPED_HLL_SQL),
     "grouped_distinct_exact": (grouped_distinct_exact, GROUPED_DISTINCT_SQL),
+    "windowed_distinct": (windowed_distinct, WINDOWED_DISTINCT_SQL),
+    "funnel_stages": (funnel_stages, FUNNEL_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1319,3 +1319,38 @@ def test_grouped_distinct_exact_vs_pandas(ray_session):
     docs = pd.read_parquet(f"{sf}/documents.parquet")
     want = docs.groupby("source")["text"].nunique()
     assert out.sort_index().equals(want.sort_index().astype("int64"))
+
+
+def test_windowed_distinct_vs_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import windowed_distinct
+
+    sf = "/root/testdata/sf0.001"
+    out = windowed_distinct(sf).set_index("window_start")["n_users"]
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    want = ev.groupby(ev["ts"].dt.floor("h"))["user_id"].nunique()
+    assert out.sort_index().to_numpy().tolist() == want.sort_index().to_numpy().tolist()
+
+
+def test_funnel_stages_forced_distributed_and_sequential(ray_session):
+    from outage_data_scraper_ray.functions.relational import funnel_stages
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(funnel_stages(sf))
+    b = _as_pd(funnel_stages(sf, driver_threshold=0))
+    _frames_equal(a, b)
+    # sequential per-user re-derivation of the ordered-funnel rule
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["ts", "event_id"])
+    got = dict(zip(a["user_id"], a["funnel_stage"]))
+    for uid, grp in ev.groupby("user_id"):
+        stage, prev = 0, None
+        for want_ev in ("view", "click", "purchase"):
+            rows = grp[grp["event_type"] == want_ev]
+            if prev is not None:
+                rows = rows[rows["ts"] > prev]
+            if not len(rows):
+                break
+            stage += 1
+            prev = rows["ts"].min()
+        assert got[uid] == stage, (uid, got[uid], stage)
+    assert set(a["funnel_stage"]) <= {0, 1, 2, 3}
+    assert (a["funnel_stage"] >= 1).any()
