@@ -3539,6 +3539,201 @@ FROM walk GROUP BY node ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# unicode text normalization: the cleanup pass every web-scale corpus runs
+# before tokenization/dedup (reference parse output is raw page text —
+# app/pipeline/pipeline.py standardize() renames columns but never cleans
+# the text itself; this is the training-data-prep extension). NFC-compose,
+# lowercase, collapse whitespace runs, trim — all four as pyarrow compute
+# kernels over zero-copy Arrow batches (no pandas round trip), each batch
+# independent, so the stage streams at any scale.
+
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_normalize(txt, form="NFC")), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": norm,
+                "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_norm, batch_format="pyarrow")
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                           '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                                       '\s+', ' ', 'g'))) AS BIGINT)
+           AS n_chars_norm
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index: term -> ordered posting list (the retrieval-side dual of
+# term_doc_freq). Tokenization matches term_doc_freq (\w+, lowercased,
+# distinct per doc). Per-batch distinct (term, doc_id) partials stream into
+# ONE hash shuffle on term; each block then holds every posting for its
+# terms, so the sort + join-to-string is in-block and the per-term Python
+# string join is amortized across the whole block (the battery doctrine).
+# Top-k selection by document frequency runs distributed (Dataset
+# sort+limit) above the driver bound — vocabulary is the only driver-sized
+# term and only on the small-side branch.
+
+
+def inverted_index(
+    sf_dir: str, k: int = 50, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("term")).explode("term")
+        return e.dropna().drop_duplicates()
+
+    pairs = docs.map_batches(_pairs, batch_format="pandas")
+
+    def _post_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(dtype=object),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "postings": pd.Series(dtype=object),
+                }
+            )
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        df["doc_str"] = df["doc_id"].astype(str)
+        g = df.groupby("term", as_index=False, sort=True).agg(
+            n_docs=("doc_id", "size"), postings=("doc_str", ",".join)
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    posted = hash_partitioned_map_batches(pairs, ["term"], _post_block)
+    if _table_rows(sf_dir, "documents") <= driver_threshold:
+        out = (
+            posted.to_pandas()
+            .sort_values(["n_docs", "term"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+    else:
+        out = (
+            posted.sort(["n_docs", "term"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
+    return out.reset_index(drop=True)
+
+
+INVERTED_INDEX_SQL = r"""
+WITH w AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM w GROUP BY term
+ORDER BY n_docs DESC, term
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-model scoring: batched linear-classifier inference over per-doc
+# character-class features — the deterministic stand-in for the quality
+# classifiers (fastText / logreg) LLM corpora are filtered with. The weight
+# vector is broadcast ONCE via ray.put and read inside the stage (the
+# model-inference plumbing: params ship to each worker once, never per
+# batch). Features are single integer divisions and the weights are exact
+# powers of two, so every product is rounding-free and the fixed-order sum
+# is bit-identical to the SQL's — the keep boolean therefore agrees exactly.
+# Threshold 0.456 straddles the corpus median so the filter provably bites.
+
+_QMS_WEIGHTS = np.array([0.5, -0.25, 0.25], dtype=np.float64)  # alpha, digit, ws
+_QMS_THRESHOLD = 0.456
+
+
+def quality_model_score(sf_dir: str) -> rd.Dataset:
+    import ray
+
+    wref = ray.put(_QMS_WEIGHTS)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _score(t: pa.Table, _wref=wref) -> pa.Table:
+        import ray as _ray
+
+        w = _ray.get(_wref)
+        txt = pc.fill_null(t.column("text"), "")
+        n = pc.cast(pc.utf8_length(txt), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = pc.count_substring_regex(txt, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_digit = pc.count_substring_regex(txt, "[0-9]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_space = pc.count_substring(txt, " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_frac = np.where(n > 0, n_alpha / n, 0.0)
+            digit_frac = np.where(n > 0, n_digit / n, 0.0)
+            ws_frac = np.where(n > 0, n_space / n, 0.0)
+        # fixed evaluation order (left to right), dyadic weights: bit-exact
+        # vs the SQL expression of the same shape
+        score = w[0] * alpha_frac + w[1] * digit_frac + w[2] * ws_frac
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "score": pa.array(score, pa.float64()),
+                "keep": pa.array(score >= _QMS_THRESHOLD),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+QUALITY_MODEL_SQL = r"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(length(COALESCE(text, '')) AS DOUBLE) AS n,
+           CAST(length(regexp_replace(COALESCE(text, ''), '[^a-zA-Z]', '', 'g'))
+                AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(COALESCE(text, ''), '[^0-9]', '', 'g'))
+                AS DOUBLE) AS n_digit,
+           CAST(length(COALESCE(text, ''))
+                - length(replace(COALESCE(text, ''), ' ', '')) AS DOUBLE)
+               AS n_space
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           0.5 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+           + (-0.25) * (CASE WHEN n > 0 THEN n_digit / n ELSE 0.0 END)
+           + 0.25 * (CASE WHEN n > 0 THEN n_space / n ELSE 0.0 END) AS score
+    FROM f
+)
+SELECT doc_id, score, score >= 0.456 AS keep FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -3599,6 +3794,9 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "grouped_distinct_exact": (grouped_distinct_exact, GROUPED_DISTINCT_SQL),
     "windowed_distinct": (windowed_distinct, WINDOWED_DISTINCT_SQL),
     "funnel_stages": (funnel_stages, FUNNEL_SQL),
+    "normalize_text": (normalize_text, NORMALIZE_TEXT_SQL),
+    "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
+    "quality_model_score": (quality_model_score, QUALITY_MODEL_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

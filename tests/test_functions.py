@@ -1354,3 +1354,70 @@ def test_funnel_stages_forced_distributed_and_sequential(ray_session):
         assert got[uid] == stage, (uid, got[uid], stage)
     assert set(a["funnel_stage"]) <= {0, 1, 2, 3}
     assert (a["funnel_stage"] >= 1).any()
+
+
+def test_normalize_text_properties(ray_session):
+    from outage_data_scraper_ray.functions.relational import normalize_text
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(normalize_text(sf))
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert len(out) == len(docs)
+    nt = out["norm_text"]
+    assert not nt.str.contains("  ", regex=False).any()
+    assert (nt == nt.str.strip()).all()
+    assert (nt == nt.str.lower()).all()
+    assert (out["n_chars_norm"] == nt.str.len()).all()
+    # idempotent: normalizing the normalized text is a fixpoint
+    import unicodedata
+
+    renorm = nt.map(lambda s: " ".join(unicodedata.normalize("NFC", s).split()))
+    assert (renorm == nt).all()
+
+
+def test_inverted_index_vs_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import inverted_index
+
+    sf = "/root/testdata/sf0.001"
+    a = inverted_index(sf)
+    b = inverted_index(sf, driver_threshold=0)  # forced distributed top-k
+    pd.testing.assert_frame_equal(
+        a.sort_values(["n_docs", "term"], ascending=[False, True]).reset_index(drop=True),
+        b.sort_values(["n_docs", "term"], ascending=[False, True]).reset_index(drop=True),
+    )
+    # postings are ascending, consistent with n_docs, and match a pandas build
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    words = docs["text"].fillna("").str.lower().str.findall(r"\w+")
+    e = docs[["doc_id"]].join(words.rename("term")).explode("term").dropna()
+    e = e.drop_duplicates()
+    want = e.groupby("term")["doc_id"].agg(
+        lambda s: ",".join(map(str, sorted(s)))
+    )
+    for _, row in a.iterrows():
+        ids = row["postings"].split(",")
+        assert ids == sorted(ids, key=int)
+        assert len(ids) == row["n_docs"]
+        assert want[row["term"]] == row["postings"]
+
+
+def test_quality_model_score_bit_exact(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        quality_model_score,
+        _QMS_THRESHOLD,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(quality_model_score(sf)).sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{sf}/documents.parquet").sort_values("doc_id")
+    txt = docs["text"].fillna("")
+    n = txt.str.len().to_numpy(np.float64)
+    a = txt.str.count(r"[a-zA-Z]").to_numpy(np.float64)
+    d = txt.str.count(r"[0-9]").to_numpy(np.float64)
+    s = txt.str.count(r"\ ").to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        want = 0.5 * np.where(n > 0, a / n, 0.0) + (-0.25) * np.where(
+            n > 0, d / n, 0.0
+        ) + 0.25 * np.where(n > 0, s / n, 0.0)
+    assert (out["score"].to_numpy() == want).all()  # bit-exact, not approx
+    assert (out["keep"].to_numpy() == (want >= _QMS_THRESHOLD)).all()
+    assert out["keep"].any() and (~out["keep"]).any()  # the filter bites
