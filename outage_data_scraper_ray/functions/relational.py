@@ -3734,6 +3734,340 @@ SELECT doc_id, score, score >= 0.456 AS keep FROM s ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization: the crawler-core normalization exposed as a gate
+# query — the RAY SIDE CALLS THE EXACT VECTORIZED KERNEL THE CRAWL STAMPS
+# EVERY FRONTIER ROW WITH (synth.canonical_urls, the widest pass of every
+# epoch), so the oracle value-checks the engine's own hot-path function,
+# not a test-only reimplementation. Input URLs are derived deterministically
+# from the documents table in both the Ray code and the SQL (upper-case
+# scheme/host, trailing slash every 3rd doc, #fragment every 5th), so the
+# kernel's three rules (lowercase scheme+host, strip fragment, rstrip /)
+# all provably fire.
+
+
+def url_canonicalize(sf_dir: str) -> rd.Dataset:
+    from ..synth import canonical_urls
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        url = (
+            "HTTP://"
+            + df["source"].str.upper()
+            + ".Example.COM/Page/"
+            + did.astype(str)
+            + np.where(did % 3 == 0, "/", "")
+            + np.where(did % 5 == 0, "#frag", "")
+        )
+        return pd.DataFrame(
+            {"doc_id": did, "url": url, "canon_url": canonical_urls(url)}
+        )
+
+    return docs.map_batches(_canon, batch_format="pandas")
+
+
+URL_CANONICALIZE_SQL = r"""
+WITH u AS (
+    SELECT doc_id,
+           'HTTP://' || upper(source) || '.Example.COM/Page/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+    FROM documents
+), c AS (
+    SELECT doc_id, url,
+           CASE WHEN strpos(url, '#') > 0
+                THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS nofrag
+    FROM u
+), p AS (
+    SELECT doc_id, url,
+           lower(substr(nofrag, 1, strpos(nofrag, '://') - 1)) AS scheme,
+           substr(nofrag, strpos(nofrag, '://') + 3) AS rest
+    FROM c
+), h AS (
+    SELECT doc_id, url, scheme,
+           CASE WHEN strpos(rest, '/') > 0
+                THEN lower(substr(rest, 1, strpos(rest, '/') - 1))
+                ELSE lower(rest) END AS host,
+           CASE WHEN strpos(rest, '/') > 0
+                THEN substr(rest, strpos(rest, '/')) ELSE '' END AS path
+    FROM p
+)
+SELECT doc_id, url, rtrim(scheme || '://' || host || path, '/') AS canon_url
+FROM h ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# skew-aware join: the "salt hot keys" doctrine as a standalone operator.
+# The probe side's join key is deliberately skewed (75% of lineitem rows
+# concentrate onto 40 keys — the utility-outage shape where a handful of
+# giant EMCs dominate the feed). Gated like every join in the engine:
+# broadcast dict under the dim bound; above it, a SALTED distributed hash
+# join — per-key counts (dim-cardinality-sized) pick the hot keys, the
+# probe side salts hot rows deterministically into _SKEW_SALTS sub-keys,
+# the build side replicates ONLY its hot rows once per salt, and the join
+# runs on (key, salt) so no single reducer sees a hot key's full row mass.
+# Result is aggregated per nation, so both branches must agree bit-exactly
+# on integer sums.
+
+_SKEW_SALTS = 8
+_SKEW_HOT_FACTOR = 4  # hot = count > factor * mean
+
+
+def _skew_key(l_suppkey: np.ndarray) -> np.ndarray:
+    """75%-of-rows-onto-40-keys deterministic skew mapping (mirrored in SQL)."""
+    k = l_suppkey.astype(np.int64)
+    return np.where(k % 4 != 0, (k % 40) + 1, k)
+
+
+def skewed_join(
+    sf_dir: str, broadcast_threshold: int = 1_000_000
+) -> pd.DataFrame:
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+    n_sup = _table_rows(sf_dir, "supplier")
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jk": _skew_key(df["l_suppkey"].to_numpy()),
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": df["l_linenumber"].to_numpy(np.int64),
+                "l_quantity": df["l_quantity"].to_numpy(np.int64),
+            }
+        )
+
+    probe = li.map_batches(_probe, batch_format="pandas")
+
+    if n_sup <= broadcast_threshold:
+        sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        nat = dict(zip(sup["s_suppkey"].astype("int64"), sup["s_nationkey"].astype("int64")))
+
+        def _agg(df: pd.DataFrame, _m=nat) -> pd.DataFrame:
+            df = df.assign(s_nationkey=df["jk"].map(_m)).dropna(subset=["s_nationkey"])
+            g = df.groupby("s_nationkey", as_index=False).agg(
+                n_rows=("jk", "size"), sum_qty=("l_quantity", "sum")
+            )
+            return g.astype({"s_nationkey": "int64", "n_rows": "int64", "sum_qty": "int64"})
+
+        parts = probe.map_batches(_agg, batch_format="pandas").to_pandas()
+    else:
+        # per-key counts: dim-cardinality-sized, combine on the driver
+        def _kcount(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("jk", as_index=False).agg(n=("jk", "size"))
+
+        kc = probe.map_batches(_kcount, batch_format="pandas").to_pandas()
+        kc = kc.groupby("jk", as_index=False)["n"].sum()
+        hot = set(
+            kc.loc[kc["n"] > _SKEW_HOT_FACTOR * kc["n"].mean(), "jk"].astype("int64")
+        )
+        hot_ref = ray.put(hot)
+
+        def _salt_probe(df: pd.DataFrame, _h=hot_ref) -> pd.DataFrame:
+            hs = ray.get(_h)
+            ish = df["jk"].isin(hs).to_numpy()
+            salt = np.where(
+                ish,
+                (df["l_orderkey"].to_numpy(np.int64) * 131
+                 + df["l_linenumber"].to_numpy(np.int64)) % _SKEW_SALTS,
+                0,
+            )
+            return df.assign(salt=salt.astype("int64"))
+
+        salted_probe = probe.map_batches(_salt_probe, batch_format="pandas")
+
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+        def _replicate(df: pd.DataFrame, _h=hot_ref) -> pd.DataFrame:
+            hs = ray.get(_h)
+            df = df.astype({"s_suppkey": "int64", "s_nationkey": "int64"})
+            cold = df[~df["s_suppkey"].isin(hs)].assign(salt=np.int64(0))
+            hotr = df[df["s_suppkey"].isin(hs)]
+            if len(hotr):
+                hotr = hotr.loc[hotr.index.repeat(_SKEW_SALTS)].reset_index(drop=True)
+                hotr["salt"] = np.tile(
+                    np.arange(_SKEW_SALTS, dtype=np.int64), len(hotr) // _SKEW_SALTS
+                )
+            else:
+                hotr = cold.iloc[0:0]
+            return pd.concat([cold, hotr], ignore_index=True)
+
+        build = sup_ds.map_batches(_replicate, batch_format="pandas")
+        joined = salted_probe.join(
+            build, join_type="inner", num_partitions=8,
+            on=("jk", "salt"), right_on=("s_suppkey", "salt"),
+        )
+
+        def _agg2(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("s_nationkey", as_index=False).agg(
+                n_rows=("jk", "size"), sum_qty=("l_quantity", "sum")
+            )
+            return g.astype({"s_nationkey": "int64", "n_rows": "int64", "sum_qty": "int64"})
+
+        parts = joined.map_batches(_agg2, batch_format="pandas").to_pandas()
+
+    out = parts.groupby("s_nationkey", as_index=False)[["n_rows", "sum_qty"]].sum()
+    return (
+        out.astype({"s_nationkey": "int64", "n_rows": "int64", "sum_qty": "int64"})
+        .sort_values("s_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+SKEWED_JOIN_SQL = """
+WITH probe AS (
+    SELECT CASE WHEN l_suppkey % 4 != 0 THEN (l_suppkey % 40) + 1
+                ELSE l_suppkey END AS jk,
+           l_quantity
+    FROM lineitem
+)
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM probe JOIN supplier ON jk = s_suppkey
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# global NTILE: equal-depth bucket assignment over a total order, WITHOUT
+# a global sort. A first cut reused pack_shards' sort+materialize rank
+# primitive and measured 24.7x wall at 10x rows (15M-row all-to-all sort
+# dominated) — NTILE only needs the n-1 CUT POINTS of the order, not the
+# order itself, so the rewrite finds them with four streaming map_batches
+# passes and ZERO shuffles: (A) content-keyed price sample -> range
+# boundaries, (B) per-range histogram (driver holds <=R+1 counters) locates
+# which range contains each cut rank, (C) fetch ONLY the cut ranges
+# (~(n-1) x N/R rows) and resolve the exact (price, orderkey) cut
+# composites by local sort, (D) assign bucket = 1 + #cuts <= row via n-1
+# vectorized composite compares per batch. Assumes prices are not
+# pathologically tied (a single price carrying >> N/R rows inflates the
+# driver fetch — the fetch size is asserted, not silently absorbed).
+
+_NTILE_N = 4
+
+
+def _ntile_of(rank: np.ndarray, N: int, n: int) -> np.ndarray:
+    """DuckDB NTILE semantics: first N%n buckets hold ceil(N/n) rows."""
+    q, rem = divmod(N, n)
+    boundary = (q + 1) * rem
+    q_safe = max(q, 1)
+    return np.where(
+        rank < boundary, rank // (q + 1), rem + (rank - boundary) // q_safe
+    ).astype(np.int64) + 1
+
+
+def ntile_buckets(
+    sf_dir: str, n: int = _NTILE_N, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame | rd.Dataset:
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    N = _table_rows(sf_dir, "orders")
+
+    if N <= driver_threshold:
+        df = orders.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        df["bucket"] = _ntile_of(np.arange(N, dtype=np.int64), N, n)
+        return (
+            df[["o_orderkey", "bucket"]]
+            .astype({"o_orderkey": "int64", "bucket": "int64"})
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+
+    R = 512  # histogram ranges; cut-range fetch is ~(n-1) * N/R rows
+
+    # pass A: deterministic content-keyed price sample (parallelism-
+    # independent: top-64 rows per batch by affine hash of o_orderkey)
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["o_orderkey"].to_numpy().astype(np.uint64) * _SAMPLE_A + _SAMPLE_B
+        idx = np.argsort(h, kind="stable")[:64]
+        return df.iloc[idx][["o_totalprice"]]
+
+    sample = np.sort(
+        orders.map_batches(_sample, batch_format="pandas")
+        .to_pandas()["o_totalprice"]
+        .to_numpy(np.float64)
+    )
+    pick = np.linspace(0, len(sample) - 1, min(R - 1, len(sample))).astype(np.int64)
+    bounds = np.unique(sample[pick])  # range r = prices in (bounds[r-1], bounds[r]]
+
+    # pass B: per-range histogram; driver combine is <= len(bounds)+1 counters
+    def _hist(df: pd.DataFrame, _b=bounds) -> pd.DataFrame:
+        rid = np.searchsorted(_b, df["o_totalprice"].to_numpy(np.float64), side="right")
+        u, c = np.unique(rid, return_counts=True)
+        return pd.DataFrame({"rid": u.astype(np.int64), "cnt": c.astype(np.int64)})
+
+    hist = (
+        orders.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("rid")["cnt"]
+        .sum()
+        .reindex(range(len(bounds) + 1), fill_value=0)
+    )
+    counts = hist.to_numpy(np.int64)
+    cumex = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+
+    # cut rank i (0-based global rank of the FIRST row of bucket i+1)
+    q, rem = divmod(total, n)
+    cut_ranks = np.array(
+        [(q + 1) * min(i, rem) + q * max(0, i - rem) for i in range(1, n)],
+        dtype=np.int64,
+    )
+    cut_range_ids = np.searchsorted(cumex, cut_ranks, side="right") - 1
+    need = sorted(set(int(r) for r in cut_range_ids))
+    fetch_bound = 64 * (n - 1) * max(total // max(len(bounds), 1), 1)
+    assert counts[need].sum() <= max(fetch_bound, 2_000_000), (
+        "pathological price ties inflate the cut-range fetch; "
+        "raise R or fall back to the sorted-rank path"
+    )
+
+    # pass C: fetch ONLY the cut ranges, resolve exact cut composites
+    def _fetch(df: pd.DataFrame, _b=bounds, _need=frozenset(need)) -> pd.DataFrame:
+        rid = np.searchsorted(_b, df["o_totalprice"].to_numpy(np.float64), side="right")
+        m = np.isin(rid, list(_need))
+        out = df.loc[m, ["o_totalprice", "o_orderkey"]].copy()
+        out["rid"] = rid[m]
+        return out
+
+    cut_rows = orders.map_batches(_fetch, batch_format="pandas").to_pandas()
+    cuts: list[tuple[float, int]] = []
+    for rank, rid in zip(cut_ranks, cut_range_ids):
+        grp = cut_rows[cut_rows["rid"] == rid].sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        row = grp.iloc[int(rank - cumex[rid])]
+        cuts.append((float(row["o_totalprice"]), int(row["o_orderkey"])))
+    cuts_ref = ray.put(cuts)
+
+    # pass D: bucket = 1 + number of cuts <= (price, orderkey), composite
+    def _assign(df: pd.DataFrame, _ref=cuts_ref) -> pd.DataFrame:
+        cs = ray.get(_ref)
+        p = df["o_totalprice"].to_numpy(np.float64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        bucket = np.ones(len(df), dtype=np.int64)
+        for cp, ck in cs:
+            bucket += ((p > cp) | ((p == cp) & (k >= ck))).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": k, "bucket": bucket})
+
+    # output is row-sized — stream it out as a Dataset, never driver-collect
+    return orders.map_batches(_assign, batch_format="pandas")
+
+
+NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS bucket
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -3797,6 +4131,9 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "normalize_text": (normalize_text, NORMALIZE_TEXT_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "quality_model_score": (quality_model_score, QUALITY_MODEL_SQL),
+    "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+    "skewed_join": (skewed_join, SKEWED_JOIN_SQL),
+    "ntile_buckets": (ntile_buckets, NTILE_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1421,3 +1421,68 @@ def test_quality_model_score_bit_exact(ray_session):
     assert (out["score"].to_numpy() == want).all()  # bit-exact, not approx
     assert (out["keep"].to_numpy() == (want >= _QMS_THRESHOLD)).all()
     assert out["keep"].any() and (~out["keep"]).any()  # the filter bites
+
+
+def test_url_canonicalize_uses_crawl_kernel(ray_session):
+    from outage_data_scraper_ray.functions.relational import url_canonicalize
+    from outage_data_scraper_ray.synth import canonical_url
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(url_canonicalize(sf)).sort_values("doc_id").reset_index(drop=True)
+    # vectorized hot-path kernel == scalar reference, per row
+    assert (out["canon_url"] == out["url"].map(canonical_url)).all()
+    c = out["canon_url"]
+    assert c.str.startswith("http://").all()
+    assert not c.str.contains("#").any()
+    assert not c.str.endswith("/").any()
+    host = c.str.split("://").str[1].str.partition("/")[0]
+    assert (host == host.str.lower()).all()
+    # path case is PRESERVED (canonicalization only touches scheme/host)
+    assert c.str.contains("/Page/", regex=False).all()
+
+
+def test_skewed_join_forced_salted_matches_broadcast(ray_session):
+    from outage_data_scraper_ray.functions.relational import skewed_join
+
+    sf = "/root/testdata/sf0.001"
+    a = skewed_join(sf)                           # broadcast branch
+    b = skewed_join(sf, broadcast_threshold=0)    # forced salted distributed
+    pd.testing.assert_frame_equal(a, b)
+    # skew mapping concentrates rows: key cardinality after mapping is small
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_suppkey", "l_quantity"])
+    sup = pd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    k = li["l_suppkey"].to_numpy()
+    jk = np.where(k % 4 != 0, (k % 40) + 1, k)
+    want = (
+        pd.DataFrame({"jk": jk, "l_quantity": li["l_quantity"].to_numpy(np.int64)})
+        .merge(sup, left_on="jk", right_on="s_suppkey")
+        .groupby("s_nationkey", as_index=False)
+        .agg(n_rows=("jk", "size"), sum_qty=("l_quantity", "sum"))
+        .astype({"s_nationkey": "int64", "n_rows": "int64", "sum_qty": "int64"})
+        .sort_values("s_nationkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, want)
+
+
+def test_ntile_buckets_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import ntile_buckets
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(ntile_buckets(sf)).sort_values("o_orderkey").reset_index(drop=True)
+    b = (
+        _as_pd(ntile_buckets(sf, driver_threshold=0))  # distributed cut-point path
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # NTILE invariants: 1..4 present, sizes differ by at most 1,
+    # bucket order respects the (price, key) total order
+    sizes = a["bucket"].value_counts()
+    assert set(sizes.index) == {1, 2, 3, 4}
+    assert sizes.max() - sizes.min() <= 1
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    m = orders.merge(a, on="o_orderkey").sort_values(
+        ["o_totalprice", "o_orderkey"], kind="mergesort"
+    )
+    assert (np.diff(m["bucket"].to_numpy()) >= 0).all()
