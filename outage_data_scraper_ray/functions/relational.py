@@ -3823,8 +3823,10 @@ def _skew_key(l_suppkey: np.ndarray) -> np.ndarray:
 
 
 def skewed_join(
-    sf_dir: str, broadcast_threshold: int = 1_000_000
+    sf_dir: str, broadcast_threshold: int = 1_000_000, salts: int = _SKEW_SALTS
 ) -> pd.DataFrame:
+    """salts=1 degenerates to the naive (unsalted) distributed hash join —
+    the ablation baseline the salted path is measured against."""
     import ray
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
@@ -3866,13 +3868,13 @@ def skewed_join(
         )
         hot_ref = ray.put(hot)
 
-        def _salt_probe(df: pd.DataFrame, _h=hot_ref) -> pd.DataFrame:
+        def _salt_probe(df: pd.DataFrame, _h=hot_ref, _s=salts) -> pd.DataFrame:
             hs = ray.get(_h)
             ish = df["jk"].isin(hs).to_numpy()
             salt = np.where(
                 ish,
                 (df["l_orderkey"].to_numpy(np.int64) * 131
-                 + df["l_linenumber"].to_numpy(np.int64)) % _SKEW_SALTS,
+                 + df["l_linenumber"].to_numpy(np.int64)) % _s,
                 0,
             )
             return df.assign(salt=salt.astype("int64"))
@@ -3881,15 +3883,15 @@ def skewed_join(
 
         sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
-        def _replicate(df: pd.DataFrame, _h=hot_ref) -> pd.DataFrame:
+        def _replicate(df: pd.DataFrame, _h=hot_ref, _s=salts) -> pd.DataFrame:
             hs = ray.get(_h)
             df = df.astype({"s_suppkey": "int64", "s_nationkey": "int64"})
             cold = df[~df["s_suppkey"].isin(hs)].assign(salt=np.int64(0))
             hotr = df[df["s_suppkey"].isin(hs)]
             if len(hotr):
-                hotr = hotr.loc[hotr.index.repeat(_SKEW_SALTS)].reset_index(drop=True)
+                hotr = hotr.loc[hotr.index.repeat(_s)].reset_index(drop=True)
                 hotr["salt"] = np.tile(
-                    np.arange(_SKEW_SALTS, dtype=np.int64), len(hotr) // _SKEW_SALTS
+                    np.arange(_s, dtype=np.int64), len(hotr) // _s
                 )
             else:
                 hotr = cold.iloc[0:0]

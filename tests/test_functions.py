@@ -1448,6 +1448,8 @@ def test_skewed_join_forced_salted_matches_broadcast(ray_session):
     a = skewed_join(sf)                           # broadcast branch
     b = skewed_join(sf, broadcast_threshold=0)    # forced salted distributed
     pd.testing.assert_frame_equal(a, b)
+    c = skewed_join(sf, broadcast_threshold=0, salts=1)  # naive ablation path
+    pd.testing.assert_frame_equal(a, c)
     # skew mapping concentrates rows: key cardinality after mapping is small
     li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_suppkey", "l_quantity"])
     sup = pd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
