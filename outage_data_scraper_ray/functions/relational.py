@@ -4070,6 +4070,214 @@ FROM orders ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# OHLC windowed resample: open/high/low/close per tumbling hour — the
+# first/last-by-time aggregate family (tumbling_window counts, this one
+# carries VALUES picked by a composite (ts, event_id) order, which plain
+# min/max can't see). Partials are fully mergeable: each batch reduces to
+# one row per window carrying (open_ts, open_eid, open, close_ts,
+# close_eid, close, low, high, n); merging re-applies the same composite
+# argmin/argmax — associative, so the gated combine (driver under the
+# bound, ONE hash shuffle on window_start above) is order-independent.
+
+
+def _ohlc_partial(df: pd.DataFrame) -> pd.DataFrame:
+    cols = {
+        "window_start": "datetime64[us]", "open_ts": "datetime64[us]",
+        "open_eid": "int64", "open": "float64", "close_ts": "datetime64[us]",
+        "close_eid": "int64", "close": "float64", "low": "float64",
+        "high": "float64", "n_events": "int64",
+    }
+    if not len(df):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    w = df["ts"].dt.floor("h")
+    g = df.groupby(w.rename("window_start"), sort=True)
+    out = pd.DataFrame(
+        {
+            "open_ts": g["ts"].first(), "open_eid": g["event_id"].first(),
+            "open": g["value"].first(), "close_ts": g["ts"].last(),
+            "close_eid": g["event_id"].last(), "close": g["value"].last(),
+            "low": g["value"].min(), "high": g["value"].max(),
+            "n_events": g["value"].size(),
+        }
+    ).reset_index()
+    return out.astype(cols)
+
+
+def _ohlc_merge(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    a = df.sort_values(["window_start", "open_ts", "open_eid"], kind="mergesort")
+    ga = a.groupby("window_start", sort=True)
+    d = df.sort_values(["window_start", "close_ts", "close_eid"], kind="mergesort")
+    gd = d.groupby("window_start", sort=True)
+    out = pd.DataFrame(
+        {
+            "open_ts": ga["open_ts"].first(), "open_eid": ga["open_eid"].first(),
+            "open": ga["open"].first(), "close_ts": gd["close_ts"].last(),
+            "close_eid": gd["close_eid"].last(), "close": gd["close"].last(),
+            "low": ga["low"].min(), "high": ga["high"].max(),
+            "n_events": ga["n_events"].sum().astype("int64"),
+        }
+    ).reset_index()
+    return out
+
+
+def ohlc_window(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    parts = ds.map_batches(_ohlc_partial, batch_format="pandas")
+    if _table_rows(sf_dir, "events") <= driver_threshold:
+        merged = _ohlc_merge(parts.to_pandas())
+    else:
+        merged = _ohlc_merge(
+            hash_partitioned_map_batches(parts, ["window_start"], _ohlc_merge)
+            .to_pandas()
+        )
+    out = merged[["window_start", "open", "high", "low", "close", "n_events"]]
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+OHLC_SQL = """
+WITH w AS (
+    SELECT date_trunc('hour', ts) AS window_start, ts, event_id, value
+    FROM events
+), o AS (
+    SELECT window_start, value,
+           row_number() OVER (PARTITION BY window_start
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY window_start
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM w
+)
+SELECT window_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY window_start ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentile-clipped corpus filter: drop documents above the EXACT p99
+# token count — the outlier-trim every corpus runs before packing (a
+# 10M-token pathological doc ruins a shard). The percentile comes from the
+# token_percentiles bounded-domain histogram (token counts are small ints,
+# so the distributed histogram is exact, <= domain-size counters on the
+# driver, no sort); the filter is then one streamed vectorized pass. Same
+# ceil-rank formula as TOKEN_PCTL_SQL so Ray and DuckDB pick the identical
+# cut value.
+
+
+def clip_outliers(sf_dir: str, p: int = 99) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+        v, c = np.unique(n_words, return_counts=True)
+        return pd.DataFrame({"v": v, "c": c})
+
+    parts = docs.map_batches(_hist, batch_format="pandas").to_pandas()
+    if "v" not in parts.columns:
+        parts = pd.DataFrame({"v": pd.Series(dtype="int64"),
+                              "c": pd.Series(dtype="int64")})
+    hist = parts.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    n = int(hist["c"].sum())
+    if n == 0:
+        return docs.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "token_count": pd.Series(dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+    rank = (p * n + 99) // 100  # ceil(p*n/100), exact — mirrors the SQL
+    cut = int(hist["v"].to_numpy()[np.searchsorted(hist["c"].cumsum().to_numpy(), rank)])
+
+    def _filter(df: pd.DataFrame, _cut=cut) -> pd.DataFrame:
+        tc = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+        keep = tc <= _cut
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[keep], "token_count": tc[keep]}
+        )
+
+    return docs.map_batches(_filter, batch_format="pandas")
+
+
+CLIP_OUTLIERS_SQL = """
+WITH t AS (
+    SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+               AS token_count
+    FROM documents
+), k AS (
+    SELECT token_count AS v, row_number() OVER (ORDER BY token_count) AS rn,
+           COUNT(*) OVER () AS n
+    FROM t
+), p AS (
+    SELECT MIN(v) AS p99 FROM k WHERE rn >= (99 * n + 99) // 100
+)
+SELECT doc_id, token_count FROM t, p WHERE token_count <= p.p99
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-independent table checksum: one 63-bit scalar summarizing the whole
+# corpus — the cheap distributed-equality probe (resume-equals-uninterrupted
+# runs, replica divergence, migration smoke checks) that doesn't require
+# shipping or sorting any rows. Each row hashes to the first 60 bits of
+# md5(doc_id|text); the checksum is the plain SUM of those mod 2^63-1, so
+# partial sums merge associatively and commutatively — block order,
+# parallelism and batch boundaries can't change it. The per-row hash is
+# DuckDB's md5_number_lower (= md5 digest bytes 8..16, little-endian), so
+# the oracle recomputes it natively.
+
+
+def table_checksum(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        keys = (
+            df["doc_id"].astype("int64").astype(str)
+            + "|"
+            + df["text"].fillna("")
+        )
+        s = 0
+        for k in keys:  # md5 has no vectorized kernel; bounded by batch size
+            s += int.from_bytes(
+                hashlib.md5(k.encode("utf8")).digest()[8:16], "little"
+            )
+        return pd.DataFrame({"part": [s], "cnt": [len(df)]})
+
+    parts = docs.map_batches(_partial, batch_format="pandas").to_pandas()
+    total = int(parts["part"].astype(object).sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "checksum": pd.array([total % (2**63 - 1)], dtype="int64"),
+            "n_rows": pd.array([int(parts["cnt"].sum()) if len(parts) else 0],
+                               dtype="int64"),
+        }
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+SELECT CAST(
+           sum(CAST(md5_number_lower(
+               CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')
+           ) AS HUGEINT))
+           % CAST(9223372036854775807 AS HUGEINT)
+       AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4136,6 +4344,9 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "skewed_join": (skewed_join, SKEWED_JOIN_SQL),
     "ntile_buckets": (ntile_buckets, NTILE_SQL),
+    "ohlc_window": (ohlc_window, OHLC_SQL),
+    "clip_outliers": (clip_outliers, CLIP_OUTLIERS_SQL),
+    "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1488,3 +1488,57 @@ def test_ntile_buckets_forced_distributed_matches_driver(ray_session):
         ["o_totalprice", "o_orderkey"], kind="mergesort"
     )
     assert (np.diff(m["bucket"].to_numpy()) >= 0).all()
+
+
+def test_ohlc_window_forced_distributed_and_sequential(ray_session):
+    from outage_data_scraper_ray.functions.relational import ohlc_window
+
+    sf = "/root/testdata/sf0.001"
+    a = ohlc_window(sf)
+    b = ohlc_window(sf, driver_threshold=0)  # forced one-hash-shuffle merge
+    pd.testing.assert_frame_equal(a, b)
+    # sequential re-derivation per window
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    w = ev["ts"].dt.floor("h")
+    g = ev.groupby(w)
+    assert (a.set_index("window_start")["open"] == g["value"].first()).all()
+    assert (a.set_index("window_start")["close"] == g["value"].last()).all()
+    assert (a.set_index("window_start")["high"] == g["value"].max()).all()
+    assert (a.set_index("window_start")["low"] == g["value"].min()).all()
+    assert (a["low"] <= a[["open", "close", "high"]].min(axis=1)).all()
+
+
+def test_clip_outliers_exact_p99(ray_session):
+    from outage_data_scraper_ray.functions.relational import clip_outliers
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(clip_outliers(sf)).sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    tc = docs["text"].fillna("").str.split(" ").str.len()
+    n = len(tc)
+    rank = (99 * n + 99) // 100
+    cut = int(np.sort(tc.to_numpy())[rank - 1])
+    want = docs.loc[tc <= cut, "doc_id"].sort_values()
+    assert out["doc_id"].tolist() == want.tolist()
+    assert len(out) < n  # the clip provably bites
+    assert (out["token_count"] <= cut).all()
+
+
+def test_table_checksum_order_independent(ray_session):
+    import hashlib
+
+    from outage_data_scraper_ray.functions.relational import table_checksum
+
+    sf = "/root/testdata/sf0.001"
+    out = table_checksum(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    s = 0
+    for did, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        s += int.from_bytes(
+            hashlib.md5((str(int(did)) + "|" + t).encode("utf8")).digest()[8:16],
+            "little",
+        )
+    assert int(out["checksum"].iloc[0]) == s % (2**63 - 1)
+    assert int(out["n_rows"].iloc[0]) == len(docs)
