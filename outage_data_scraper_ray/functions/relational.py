@@ -4278,6 +4278,163 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# bounded-frame rolling window: per-user sum/avg over ROWS BETWEEN
+# 3 PRECEDING AND CURRENT ROW — the bounded cousin of cum_window's
+# unbounded frame (a bounded frame needs the lagged prefix subtracted, not
+# just the running total). Same _gated_grouped shape: driver under the
+# bound, ONE hash shuffle on user_id above it; the block kernel is
+# cumsum-minus-group-shifted-cumsum, fully vectorized. Values go through
+# the integer-cents trick so the rolling sums are exact and the average is
+# ONE float division in the same operand order as the SQL.
+
+_ROLL_FRAME = 4  # current row + 3 preceding
+
+
+def _rollwin_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = df.groupby("user_id", sort=False)
+    cs = g["cents"].cumsum()
+    df = df.assign(_cs=cs)
+    lag = df.groupby("user_id", sort=False)["_cs"].shift(_ROLL_FRAME)
+    roll = (cs - lag.fillna(0)).to_numpy(np.int64)
+    n_in_frame = np.minimum(
+        g.cumcount().to_numpy(np.int64) + 1, _ROLL_FRAME
+    )
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "roll_cents": roll,
+            "roll_avg_cents": roll.astype(np.float64) / n_in_frame,
+        }
+    )
+
+
+def rolling_window(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df.pop("value").to_numpy() * 100.0).astype(np.int64)
+        return df
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _rollwin_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+ROLLING_WINDOW_SQL = """
+WITH t AS (
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER w4 AS BIGINT) AS roll_cents,
+       CAST(SUM(cents) OVER w4 AS DOUBLE) / COUNT(*) OVER w4
+           AS roll_avg_cents
+FROM t
+WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# global percent_rank: every row's exact global rank over a total order,
+# WITHOUT a global sort — the row-sized sibling of ntile_buckets' cut-point
+# trick. Sampled price bounds split the order into ~512 contiguous ranges;
+# a histogram pass gives each range its exact global rank BASE (driver
+# holds <= R counters); then ONE hash shuffle on range id co-locates each
+# range and the block kernel ranks locally (composite sort + cumcount) and
+# adds the base. Compare: Ray's sort() is a full range-shuffle PLUS block
+# re-sort and materialize; this is one bounded shuffle and nothing else.
+
+def percent_rank(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    N = _table_rows(sf_dir, "orders")
+    denom = float(N - 1) if N > 1 else 1.0
+
+    if N <= driver_threshold:
+        df = orders.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        rank = np.arange(N, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "pr": rank.astype(np.float64) / denom,
+            }
+        ).sort_values("o_orderkey").reset_index(drop=True)
+
+    # sampled bounds -> range id per row (reuses ntile's pass A/B shapes)
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["o_orderkey"].to_numpy().astype(np.uint64) * _SAMPLE_A + _SAMPLE_B
+        idx = np.argsort(h, kind="stable")[:64]
+        return df.iloc[idx][["o_totalprice"]]
+
+    sample = np.sort(
+        orders.map_batches(_sample, batch_format="pandas")
+        .to_pandas()["o_totalprice"]
+        .to_numpy(np.float64)
+    )
+    pick = np.linspace(0, len(sample) - 1, min(511, len(sample))).astype(np.int64)
+    bounds = np.unique(sample[pick])
+
+    def _rid(df: pd.DataFrame, _b=bounds) -> pd.DataFrame:
+        rid = np.searchsorted(_b, df["o_totalprice"].to_numpy(np.float64), side="right")
+        return pd.DataFrame(
+            {
+                "rid": rid.astype(np.int64),
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": df["o_totalprice"].to_numpy(np.float64),
+            }
+        )
+
+    with_rid = orders.map_batches(_rid, batch_format="pandas")
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["rid"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"rid": u, "cnt": c.astype(np.int64)})
+
+    hist = (
+        with_rid.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("rid")["cnt"]
+        .sum()
+        .reindex(range(len(bounds) + 1), fill_value=0)
+    )
+    base = np.concatenate([[0], np.cumsum(hist.to_numpy(np.int64))[:-1]])
+
+    def _rank_block(df: pd.DataFrame, _base=base, _d=denom) -> pd.DataFrame:
+        df = df.sort_values(
+            ["rid", "o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        local = df.groupby("rid", sort=False).cumcount().to_numpy(np.int64)
+        rank = _base[df["rid"].to_numpy(np.int64)] + local
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "pr": rank.astype(np.float64) / _d,
+            }
+        )
+
+    return hash_partitioned_map_batches(with_rid, ["rid"], _rank_block)
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4347,6 +4504,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "ohlc_window": (ohlc_window, OHLC_SQL),
     "clip_outliers": (clip_outliers, CLIP_OUTLIERS_SQL),
     "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
+    "rolling_window": (rolling_window, ROLLING_WINDOW_SQL),
+    "percent_rank": (percent_rank, PERCENT_RANK_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1542,3 +1542,51 @@ def test_table_checksum_order_independent(ray_session):
         )
     assert int(out["checksum"].iloc[0]) == s % (2**63 - 1)
     assert int(out["n_rows"].iloc[0]) == len(docs)
+
+
+def test_rolling_window_forced_distributed_and_sequential(ray_session):
+    from outage_data_scraper_ray.functions.relational import rolling_window
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(rolling_window(sf)).sort_values("event_id").reset_index(drop=True)
+    b = (
+        _as_pd(rolling_window(sf, driver_threshold=0))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # sequential re-derivation: pandas groupby.rolling
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    want = (
+        ev.groupby("user_id", sort=False)["cents"]
+        .rolling(4, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    got = a.set_index("event_id").loc[ev["event_id"], "roll_cents"].reset_index(drop=True)
+    assert (got == want).all()
+
+
+def test_percent_rank_forced_distributed_matches_driver(ray_session):
+    from outage_data_scraper_ray.functions.relational import percent_rank
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(percent_rank(sf)).sort_values("o_orderkey").reset_index(drop=True)
+    b = (
+        _as_pd(percent_rank(sf, driver_threshold=0))  # range-partitioned path
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # rank order respects the composite total order; endpoints exact
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    m = orders.merge(a, on="o_orderkey").sort_values(
+        ["o_totalprice", "o_orderkey"], kind="mergesort"
+    )
+    pr = m["pr"].to_numpy()
+    assert (np.diff(pr) > 0).all()
+    assert pr[0] == 0.0 and pr[-1] == 1.0
