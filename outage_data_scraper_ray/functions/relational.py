@@ -4435,6 +4435,148 @@ FROM orders ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# k-means clustering: Lloyd's algorithm over the embeddings table with
+# FIXED iterations and deterministic init — the corpus-clustering step
+# (topic bucketing, dedup-block seeding, mixture construction) expressed so
+# a distributed run is BIT-EXACT against sequential SQL. The float trap is
+# the centroid update: distributed f64 sums are order-dependent, so the
+# whole algorithm runs on an exact integer grid — components quantize to
+# floor(v * 1e6) (floor has no tie semantics, unlike round), distances are
+# exact int64 sums (<= 64 * (4e6)^2 ~ 1e15, well inside int64), and the
+# centroid update is an exact integer SUM + TRUNCATING division (DuckDB's
+# `//` truncates toward zero; _trunc_div mirrors it). Iteration shape is
+# the pagerank doctrine: iters+1 streaming passes, centroids broadcast per
+# pass, driver state = k x dim ints + k counts, nothing row-sized.
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 1_000_000
+
+
+def _trunc_div(a: np.ndarray, b: int) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB // semantics;
+    Python/numpy floor-divide rounds toward -inf instead)."""
+    q = np.abs(a) // b
+    return np.where(a < 0, -q, q)
+
+
+def _km_quant(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = df["vec_id"].to_numpy(np.int64)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, np.floor(mat * _KM_SCALE).astype(np.int64)
+
+
+def _km_assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # exact integer squared distances; argmin ties break to the smallest
+    # centroid index (np.argmin picks the first minimum — same as the
+    # SQL's ORDER BY d2, cid)
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def kmeans_clusters(
+    sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS
+) -> rd.Dataset:
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # deterministic init: the k smallest vec_ids (tiny sort+limit)
+    seed = ds.sort("vec_id").limit(k).to_pandas()
+    _, cents = _km_quant(seed)
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def _partial(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+            c = ray.get(_c)
+            ids, q = _km_quant(df)
+            a = _km_assign(q, c)
+            rows = []
+            for cid in np.unique(a):
+                m = a == cid
+                rows.append(
+                    {"cid": int(cid), "cnt": int(m.sum()),
+                     **{f"s{j}": int(v) for j, v in enumerate(q[m].sum(axis=0))}}
+                )
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+        # driver combine: k x (dim+1) integers — constant in the corpus size
+        # (int64 sums cover ~1e12 rows at this scale; beyond that the
+        # per-cluster sums would shard, same as the HLL register doctrine)
+        g = parts.groupby("cid").sum()
+        new = cents.copy()
+        for cid, row in g.iterrows():
+            n = int(row["cnt"])
+            if n > 0:
+                s = row[[f"s{j}" for j in range(dim)]].to_numpy(np.int64)
+                new[int(cid)] = _trunc_div(s, n)
+        cents = new
+
+    cref = ray.put(cents)
+
+    def _final(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+        c = ray.get(_c)
+        ids, q = _km_quant(df)
+        return pd.DataFrame({"vec_id": ids, "cluster": _km_assign(q, c)})
+
+    return ds.map_batches(_final, batch_format="pandas")
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled-CTE mirror (the pagerank doctrine): quantize, init from the
+    k smallest vec_ids, then per iteration an assign CTE (exact integer
+    distances, ties to smallest cid) and an update CTE (integer SUM //
+    COUNT, empty clusters keep the previous centroid)."""
+    sql = [f"""
+WITH q AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})
+                AS BIGINT) AS v
+    FROM embeddings
+), seed AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), cent0 AS (
+    SELECT seed.cid, q.j, q.v FROM seed JOIN q USING (vec_id)
+)"""]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        sql.append(f""", a{i} AS (
+    SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS d2
+    FROM q JOIN {prev} c ON q.j = c.j GROUP BY q.vec_id, c.cid
+), asg{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a{i}
+    ) WHERE rn = 1
+), upd{i} AS (
+    SELECT a.cid, q.j, SUM(q.v) // COUNT(*) AS v
+    FROM asg{i} a JOIN q USING (vec_id) GROUP BY a.cid, q.j
+), cent{i} AS (
+    SELECT p.cid, p.j, COALESCE(u.v, p.v) AS v
+    FROM {prev} p LEFT JOIN upd{i} u ON p.cid = u.cid AND p.j = u.j
+)""")
+        prev = f"cent{i}"
+    sql.append(f""", af AS (
+    SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS d2
+    FROM q JOIN {prev} c ON q.j = c.j GROUP BY q.vec_id, c.cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM af
+) WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(sql)
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4506,6 +4648,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "table_checksum": (table_checksum, TABLE_CHECKSUM_SQL),
     "rolling_window": (rolling_window, ROLLING_WINDOW_SQL),
     "percent_rank": (percent_rank, PERCENT_RANK_SQL),
+    "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

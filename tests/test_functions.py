@@ -1590,3 +1590,30 @@ def test_percent_rank_forced_distributed_matches_driver(ray_session):
     pr = m["pr"].to_numpy()
     assert (np.diff(pr) > 0).all()
     assert pr[0] == 0.0 and pr[-1] == 1.0
+
+
+def test_kmeans_clusters_matches_sequential(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        kmeans_clusters,
+        _km_quant,
+        _km_assign,
+        _trunc_div,
+        _KM_K,
+        _KM_ITERS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(kmeans_clusters(sf)).sort_values("vec_id").reset_index(drop=True)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    ids, q = _km_quant(emb)
+    cents = q[: _KM_K].copy()
+    for _ in range(_KM_ITERS):
+        a = _km_assign(q, cents)
+        for cid in range(_KM_K):
+            m = a == cid
+            if m.sum():
+                cents[cid] = _trunc_div(q[m].sum(axis=0), int(m.sum()))
+    want = _km_assign(q, cents)
+    assert out["vec_id"].tolist() == ids.tolist()
+    assert out["cluster"].tolist() == want.tolist()
+    assert out["cluster"].nunique() > 1  # clustering provably partitions
