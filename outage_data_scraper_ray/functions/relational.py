@@ -4577,6 +4577,122 @@ KMEANS_SQL = _kmeans_sql()
 
 
 # ---------------------------------------------------------------------------
+# JSON metadata extraction: pull a typed field out of the events table's
+# stringified-JSON props column — the M10 stringified-JSON doctrine
+# (standardize.py outagePoint) applied to the corpus-metadata shape every
+# training pipeline hits (payload sidecars, page metadata). One compiled
+# vectorized regex per batch (C-speed str.extract), no JSON parser in the
+# hot path; no-match rows map to -1 on both sides (DuckDB regexp_extract
+# yields '' there, pandas yields NaN).
+
+
+def json_extract_props(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    pat = re.compile(r'"k": (\d+)')
+
+    def _extract(df: pd.DataFrame, _p=pat) -> pd.DataFrame:
+        k = df["props"].fillna("").str.extract(_p)[0]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "k": k.fillna(-1).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_extract, batch_format="pandas")
+
+
+JSON_EXTRACT_SQL = r"""
+SELECT event_id,
+       CASE WHEN r = '' THEN -1 ELSE CAST(r AS BIGINT) END AS k
+FROM (
+    SELECT event_id,
+           regexp_extract(COALESCE(props, ''), '"k": (\d+)', 1) AS r
+    FROM events
+) ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style multi-join analytic pipeline: customers (filtered) -> their
+# orders (filtered) -> line items (filtered) -> per-order revenue -> top
+# 10. The point is COMPOSITION at scale: both join fan-ins run as
+# broadcast membership filters (key SETS ship once via ray.put — the
+# customer and order key sets are orders of magnitude smaller than the
+# row streams), revenue aggregates in exact integer e4 units per batch
+# (q1_pricing's no-boundary idiom), and only (orderkey, partial) rows
+# reach the combine. No row-sized shuffle anywhere.
+
+
+def q3_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cut = pd.Timestamp("1995-03-15")
+
+    ckeys = set(
+        cust.to_pandas()
+        .loc[lambda d: d["c_nationkey"] < 5, "c_custkey"]
+        .astype("int64")
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ofilter(df: pd.DataFrame, _c=ckeys_ref) -> pd.DataFrame:
+        cs = ray.get(_c)
+        m = (df["o_orderdate"] < cut) & df["o_custkey"].isin(cs)
+        return df.loc[m, ["o_orderkey", "o_orderdate"]]
+
+    od = orders.map_batches(_ofilter, batch_format="pandas").to_pandas()
+    okeys_ref = ray.put(set(od["o_orderkey"].astype("int64")))
+    odate = od.set_index("o_orderkey")["o_orderdate"]
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _partial(df: pd.DataFrame, _o=okeys_ref) -> pd.DataFrame:
+        os_ = ray.get(_o)
+        m = (df["l_shipdate"] > cut) & df["l_orderkey"].isin(os_)
+        df = df.loc[m]
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_pct = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64), "rev": rev})
+        return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("l_orderkey", as_index=False)["rev"].sum()
+    agg = agg.sort_values(["rev", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    return pd.DataFrame(
+        {
+            "l_orderkey": agg["l_orderkey"].astype("int64").to_numpy(),
+            "revenue_e4": agg["rev"].astype("int64").to_numpy(),
+            "o_orderdate": agg["o_orderdate"].to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+Q3_REVENUE_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_nationkey < 5
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4649,6 +4765,8 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "rolling_window": (rolling_window, ROLLING_WINDOW_SQL),
     "percent_rank": (percent_rank, PERCENT_RANK_SQL),
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
+    "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
+    "q3_revenue": (q3_revenue, Q3_REVENUE_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

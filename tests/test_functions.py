@@ -1617,3 +1617,43 @@ def test_kmeans_clusters_matches_sequential(ray_session):
     assert out["vec_id"].tolist() == ids.tolist()
     assert out["cluster"].tolist() == want.tolist()
     assert out["cluster"].nunique() > 1  # clustering provably partitions
+
+
+def test_json_extract_props_matches_parser(ray_session):
+    import json
+
+    from outage_data_scraper_ray.functions.relational import json_extract_props
+
+    sf = "/root/testdata/sf0.001"
+    out = _as_pd(json_extract_props(sf)).sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    want = ev["props"].map(
+        lambda s: json.loads(s).get("k", -1) if isinstance(s, str) and s else -1
+    )
+    assert out["k"].tolist() == [int(x) for x in want]
+
+
+def test_q3_revenue_matches_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import q3_revenue
+
+    sf = "/root/testdata/sf0.001"
+    out = q3_revenue(sf)
+    cut = pd.Timestamp("1995-03-15")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    ck = cust.loc[cust["c_nationkey"] < 5, "c_custkey"]
+    od = orders[(orders["o_orderdate"] < cut) & orders["o_custkey"].isin(ck)]
+    m = li[(li["l_shipdate"] > cut) & li["l_orderkey"].isin(od["o_orderkey"])].copy()
+    m["rev"] = (
+        np.round(m["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        * (100 - np.round(m["l_discount"].to_numpy() * 100.0).astype(np.int64))
+    )
+    want = (
+        m.groupby("l_orderkey", as_index=False)["rev"].sum()
+        .sort_values(["rev", "l_orderkey"], ascending=[False, True], kind="mergesort")
+        .head(10)
+    )
+    assert out["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert out["revenue_e4"].tolist() == want["rev"].tolist()
+    assert 0 < len(out) <= 10 and len(out) == len(want)
