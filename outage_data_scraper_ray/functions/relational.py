@@ -4693,6 +4693,63 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# triangle counting: the third graph-analytics family (pagerank = iterative
+# propagation, connected_components = label closure, this = local clique
+# structure). The graph projects lineitem onto a FIXED node space
+# (part/supp keys mod _TRI_MOD, oriented a<b, self-loops dropped), so the
+# distinct-edge set is bounded by node_space^2/2 REGARDLESS of corpus size
+# — the per-batch dedup partials shrink the 60M-row stream to <= 44,850
+# edge rows before anything leaves the workers, and the exact count runs
+# on the driver as integer matrix arithmetic (trace(A^3)/6), node^2-bounded,
+# never corpus-bounded.
+
+_TRI_MOD = 300
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64) % _TRI_MOD
+        sk = df["l_suppkey"].to_numpy(np.int64) % _TRI_MOD
+        m = pk != sk
+        a = np.minimum(pk[m], sk[m])
+        b = np.maximum(pk[m], sk[m])
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    edges = (
+        li.map_batches(_edges, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    A = np.zeros((_TRI_MOD, _TRI_MOD), dtype=np.int64)
+    A[edges["a"], edges["b"]] = 1
+    A[edges["b"], edges["a"]] = 1
+    tri = int(np.trace(A @ A @ A)) // 6
+    return pd.DataFrame(
+        {
+            "n_edges": pd.array([len(edges)], dtype="int64"),
+            "n_triangles": pd.array([tri], dtype="int64"),
+        }
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH e AS (
+    SELECT DISTINCT LEAST(pk, sk) AS a, GREATEST(pk, sk) AS b
+    FROM (
+        SELECT l_partkey % {_TRI_MOD} AS pk, l_suppkey % {_TRI_MOD} AS sk
+        FROM lineitem
+    ) WHERE pk != sk
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4767,6 +4824,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
     "q3_revenue": (q3_revenue, Q3_REVENUE_SQL),
+    "triangle_count": (triangle_count, TRIANGLE_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

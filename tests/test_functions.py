@@ -1657,3 +1657,32 @@ def test_q3_revenue_matches_pandas(ray_session):
     assert out["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert out["revenue_e4"].tolist() == want["rev"].tolist()
     assert 0 < len(out) <= 10 and len(out) == len(want)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    from outage_data_scraper_ray.functions.relational import (
+        triangle_count,
+        _TRI_MOD,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = triangle_count(sf)
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    pk = li["l_partkey"].to_numpy(np.int64) % _TRI_MOD
+    sk = li["l_suppkey"].to_numpy(np.int64) % _TRI_MOD
+    edges = {(min(a, b), max(a, b)) for a, b in zip(pk, sk) if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # each triangle once: a < b < c
+    )
+    assert int(out["n_edges"].iloc[0]) == len(edges)
+    assert int(out["n_triangles"].iloc[0]) == tri
+    assert tri > 0
