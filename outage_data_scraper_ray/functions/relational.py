@@ -4750,6 +4750,95 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
 
 
 # ---------------------------------------------------------------------------
+# deterministic corpus shuffle: the training-order epoch shuffle as a pure
+# function of the data — each doc's position is the rank of a BIJECTIVE
+# affine hash (odd multiplier mod 2^64, so distinct doc_ids can never
+# collide), identical at any parallelism. Same zero-global-sort rank shape
+# as percent_rank, but the hash is uniform on [0, 2^64) so the range
+# boundaries are FIXED equal-width slices — no sampling pass at all:
+# histogram -> per-range base -> ONE hash shuffle on range id -> local
+# rank + base. numpy uint64 wraparound IS the mod-2^64 the SQL computes in
+# HUGEINT.
+
+_SHUF_RANGES = 512
+
+
+def _shuffle_hash(doc_id: np.ndarray) -> np.ndarray:
+    return doc_id.astype(np.uint64) * _SAMPLE_A + _SAMPLE_B  # wraps mod 2^64
+
+
+def corpus_shuffle(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    N = _table_rows(sf_dir, "documents")
+
+    if N <= driver_threshold:
+        df = docs.to_pandas()
+        h = _shuffle_hash(df["doc_id"].to_numpy(np.int64))
+        order = np.argsort(h, kind="stable")
+        pos = np.empty(N, dtype=np.int64)
+        pos[order] = np.arange(N, dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "shuffle_pos": pos}
+        ).sort_values("doc_id").reset_index(drop=True)
+
+    shift = np.uint64(64 - int(np.log2(_SHUF_RANGES)))  # equal-width ranges
+
+    def _rid(df: pd.DataFrame) -> pd.DataFrame:
+        h = _shuffle_hash(df["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "rid": (h >> shift).astype(np.int64),
+                "h": h,  # uint64 column
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
+        )
+
+    with_rid = docs.map_batches(_rid, batch_format="pandas")
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["rid"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"rid": u, "cnt": c.astype(np.int64)})
+
+    hist = (
+        with_rid.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("rid")["cnt"]
+        .sum()
+        .reindex(range(_SHUF_RANGES), fill_value=0)
+    )
+    base = np.concatenate([[0], np.cumsum(hist.to_numpy(np.int64))[:-1]])
+
+    def _rank_block(df: pd.DataFrame, _base=base) -> pd.DataFrame:
+        df = df.sort_values(["rid", "h", "doc_id"], kind="mergesort").reset_index(drop=True)
+        local = df.groupby("rid", sort=False).cumcount().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "shuffle_pos": _base[df["rid"].to_numpy(np.int64)] + local,
+            }
+        )
+
+    return hash_partitioned_map_batches(with_rid, ["rid"], _rank_block)
+
+
+CORPUS_SHUFFLE_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) * 6364136223846793005
+            + 1442695040888963407)
+           % 18446744073709551616 AS hv
+    FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+FROM h ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4825,6 +4914,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
     "q3_revenue": (q3_revenue, Q3_REVENUE_SQL),
     "triangle_count": (triangle_count, TRIANGLE_SQL),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1686,3 +1686,20 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert int(out["n_edges"].iloc[0]) == len(edges)
     assert int(out["n_triangles"].iloc[0]) == tri
     assert tri > 0
+
+
+def test_corpus_shuffle_forced_distributed_and_bijective(ray_session):
+    from outage_data_scraper_ray.functions.relational import corpus_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(corpus_shuffle(sf)).sort_values("doc_id").reset_index(drop=True)
+    b = (
+        _as_pd(corpus_shuffle(sf, driver_threshold=0))  # range-rank path
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    n = len(a)
+    # a permutation: every position exactly once, and NOT the identity
+    assert sorted(a["shuffle_pos"].tolist()) == list(range(n))
+    assert (a["shuffle_pos"].to_numpy() != np.arange(n)).any()
