@@ -4624,47 +4624,125 @@ FROM (
 # reach the combine. No row-sized shuffle anywhere.
 
 
-def q3_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+_Q3_CUT = pd.Timestamp("1995-03-15")
+
+
+def _q3_rev_cents(df: pd.DataFrame) -> pd.DataFrame:
+    """shipdate filter + exact integer-e4 revenue, pre-aggregated per
+    orderkey within the batch (combine-before-shuffle)."""
+    df = df[df["l_shipdate"] > _Q3_CUT]
+    price_c = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    disc_pct = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "rev": price_c * (100 - disc_pct),
+        }
+    )
+    return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+
+def q3_revenue(
+    sf_dir: str, k: int = 10, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cut = pd.Timestamp("1995-03-15")
-
-    ckeys = set(
-        cust.to_pandas()
-        .loc[lambda d: d["c_nationkey"] < 5, "c_custkey"]
-        .astype("int64")
-    )
-    ckeys_ref = ray.put(ckeys)
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def _ofilter(df: pd.DataFrame, _c=ckeys_ref) -> pd.DataFrame:
-        cs = ray.get(_c)
-        m = (df["o_orderdate"] < cut) & df["o_custkey"].isin(cs)
-        return df.loc[m, ["o_orderkey", "o_orderdate"]]
+    if _table_rows(sf_dir, "orders") <= driver_threshold:
+        # broadcast composition: key SETS ship once, no shuffle anywhere
+        ckeys = set(
+            cust.to_pandas()
+            .loc[lambda d: d["c_nationkey"] < 5, "c_custkey"]
+            .astype("int64")
+        )
+        ckeys_ref = ray.put(ckeys)
 
-    od = orders.map_batches(_ofilter, batch_format="pandas").to_pandas()
-    okeys_ref = ray.put(set(od["o_orderkey"].astype("int64")))
-    odate = od.set_index("o_orderkey")["o_orderdate"]
+        def _ofilter(df: pd.DataFrame, _c=ckeys_ref) -> pd.DataFrame:
+            cs = ray.get(_c)
+            m = (df["o_orderdate"] < _Q3_CUT) & df["o_custkey"].isin(cs)
+            return df.loc[m, ["o_orderkey", "o_orderdate"]]
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        od = orders.map_batches(_ofilter, batch_format="pandas").to_pandas()
+        okeys_ref = ray.put(set(od["o_orderkey"].astype("int64")))
+        odate = od.set_index("o_orderkey")["o_orderdate"]
 
-    def _partial(df: pd.DataFrame, _o=okeys_ref) -> pd.DataFrame:
-        os_ = ray.get(_o)
-        m = (df["l_shipdate"] > cut) & df["l_orderkey"].isin(os_)
-        df = df.loc[m]
-        price_c = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
-        disc_pct = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
-        rev = price_c * (100 - disc_pct)
-        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64), "rev": rev})
-        return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+        def _partial(df: pd.DataFrame, _o=okeys_ref) -> pd.DataFrame:
+            df = df[df["l_orderkey"].isin(ray.get(_o))]
+            return _q3_rev_cents(df)
 
-    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
-    agg = parts.groupby("l_orderkey", as_index=False)["rev"].sum()
-    agg = agg.sort_values(["rev", "l_orderkey"], ascending=[False, True],
-                          kind="mergesort").head(k)
-    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+        parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+        agg = parts.groupby("l_orderkey", as_index=False)["rev"].sum()
+        agg = agg.sort_values(["rev", "l_orderkey"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    else:
+        # distributed composition: the filtered-order set is corpus-sized,
+        # so NOTHING row-sized touches the driver — two distributed hash
+        # joins over pre-filtered/pre-aggregated streams, a per-orderkey
+        # hash-shuffle combine, and a distributed sort+limit top-k
+        cf = cust.map_batches(
+            lambda df: df.loc[df["c_nationkey"] < 5, ["c_custkey"]],
+            batch_format="pandas",
+        )
+        of = orders.map_batches(
+            lambda df: df.loc[df["o_orderdate"] < _Q3_CUT,
+                              ["o_orderkey", "o_custkey", "o_orderdate"]],
+            batch_format="pandas",
+        )
+        oj = of.join(
+            cf, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        lp = li.map_batches(_q3_rev_cents, batch_format="pandas")
+        # second hop as the engine's own tagged-union shuffle join:
+        # chaining a second Dataset.join off a join output trips an
+        # ArrowInvalid in Ray 2.49's aggregator (empty right partitions of
+        # a join-output dataset lose their field refs), and the
+        # tagged-union needs only ONE shuffle anyway
+
+        def _tag_o(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "k": df["o_orderkey"].astype("int64"),
+                    "side": np.int8(1),
+                    "rev": np.int64(0),
+                    "o_orderdate": df["o_orderdate"],
+                }
+            )
+
+        def _tag_l(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "k": df["l_orderkey"].astype("int64"),
+                    "side": np.int8(0),
+                    "rev": df["rev"].astype("int64"),
+                    "o_orderdate": pd.Series(
+                        [pd.NaT] * len(df), dtype="datetime64[us]"
+                    ),
+                }
+            )
+
+        u = oj.map_batches(_tag_o, batch_format="pandas").union(
+            lp.map_batches(_tag_l, batch_format="pandas")
+        )
+
+        def _merge_block(df: pd.DataFrame) -> pd.DataFrame:
+            r = df.loc[df["side"] == 1, ["k", "o_orderdate"]].drop_duplicates("k")
+            l = df.loc[df["side"] == 0, ["k", "rev"]]
+            m = l.merge(r, on="k")
+            out = m.groupby(["k", "o_orderdate"], as_index=False)["rev"].sum()
+            return out.rename(columns={"k": "l_orderkey"})
+
+        comb = hash_partitioned_map_batches(u, ["k"], _merge_block)
+        agg = (
+            comb.sort(["rev", "l_orderkey"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
     return pd.DataFrame(
         {
             "l_orderkey": agg["l_orderkey"].astype("int64").to_numpy(),

@@ -1638,6 +1638,8 @@ def test_q3_revenue_matches_pandas(ray_session):
 
     sf = "/root/testdata/sf0.001"
     out = q3_revenue(sf)
+    forced = q3_revenue(sf, driver_threshold=0)  # distributed-join path
+    pd.testing.assert_frame_equal(out, forced)
     cut = pd.Timestamp("1995-03-15")
     cust = pd.read_parquet(f"{sf}/customer.parquet")
     orders = pd.read_parquet(f"{sf}/orders.parquet")
