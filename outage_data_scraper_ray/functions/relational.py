@@ -4917,6 +4917,97 @@ FROM h ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# canonical-URL dedup: the crawler's dedup-by-canonical-form applied as a
+# corpus operator — two docs are the same page if their CANONICALIZED URLs
+# agree even when the raw strings differ (case, fragment, trailing slash).
+# Derivation gives every 5-block of doc_ids ONE page whose raw URL is
+# mangled differently per member (scheme case, host case, trailing slash,
+# fragment), so the dedup provably collapses 5:1. One
+# exact-dedup shape: per-batch (canon, min_doc) partials, ONE hash shuffle
+# on the canonical string, per-block keep-min — the A4 min-idx doctrine on
+# the crawl's own key.
+
+
+def url_dedup(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame | rd.Dataset:
+    from ..synth import canonical_urls
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _derive(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        page = (did // 5) * 5  # every 5-block shares one page id
+        raw = (
+            pd.Series(np.where(did % 2 == 0, "HTTPS://", "https://"),
+                      index=df.index)
+            + np.where(did % 4 == 0, "WWW.Example.COM", "www.example.com")
+            + "/p/"
+            + page.astype(str)
+            + np.where(did % 3 == 0, "/", "")
+            + np.where(did % 5 == 0, "#f", "")
+        )
+        return pd.DataFrame(
+            {"doc_id": did, "canon": canonical_urls(pd.Series(raw, dtype=object))}
+        )
+
+    derived = docs.map_batches(_derive, batch_format="pandas")
+
+    def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("canon", as_index=False).agg(
+            keeper=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return g.astype({"keeper": "int64", "n_dups": "int64"})
+
+    if _table_rows(sf_dir, "documents") <= driver_threshold:
+        out = _keep_min(derived.to_pandas())
+        return out.sort_values("canon").reset_index(drop=True)
+    return hash_partitioned_map_batches(
+        derived.map_batches(_keep_min, batch_format="pandas"),
+        ["canon"],
+        lambda df: df.groupby("canon", as_index=False).agg(
+            keeper=("keeper", "min"), n_dups=("n_dups", "sum")
+        ).astype({"keeper": "int64", "n_dups": "int64"}),
+    )
+
+
+URL_DEDUP_SQL = r"""
+WITH u AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+           || CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM'
+                   ELSE 'www.example.com' END
+           || '/p/' || CAST((doc_id // 5) * 5 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '#f' ELSE '' END AS url
+    FROM documents
+), c AS (
+    SELECT doc_id,
+           CASE WHEN strpos(url, '#') > 0
+                THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS nofrag
+    FROM u
+), p AS (
+    SELECT doc_id,
+           lower(substr(nofrag, 1, strpos(nofrag, '://') - 1)) AS scheme,
+           substr(nofrag, strpos(nofrag, '://') + 3) AS rest
+    FROM c
+), h AS (
+    SELECT doc_id, scheme,
+           CASE WHEN strpos(rest, '/') > 0
+                THEN lower(substr(rest, 1, strpos(rest, '/') - 1))
+                ELSE lower(rest) END AS host,
+           CASE WHEN strpos(rest, '/') > 0
+                THEN substr(rest, strpos(rest, '/')) ELSE '' END AS path
+    FROM p
+)
+SELECT rtrim(scheme || '://' || host || path, '/') AS canon,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM h GROUP BY canon ORDER BY canon
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -4993,6 +5084,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "q3_revenue": (q3_revenue, Q3_REVENUE_SQL),
     "triangle_count": (triangle_count, TRIANGLE_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "url_dedup": (url_dedup, URL_DEDUP_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

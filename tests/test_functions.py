@@ -1705,3 +1705,22 @@ def test_corpus_shuffle_forced_distributed_and_bijective(ray_session):
     # a permutation: every position exactly once, and NOT the identity
     assert sorted(a["shuffle_pos"].tolist()) == list(range(n))
     assert (a["shuffle_pos"].to_numpy() != np.arange(n)).any()
+
+
+def test_url_dedup_forced_distributed_and_bites(ray_session):
+    from outage_data_scraper_ray.functions.relational import url_dedup
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_pd(url_dedup(sf)).sort_values("canon").reset_index(drop=True)
+    b = (
+        _as_pd(url_dedup(sf, driver_threshold=0))
+        .sort_values("canon")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert a["n_dups"].sum() == len(docs)  # every doc accounted for
+    assert (a["n_dups"] > 1).any()  # the dedup provably bites
+    # keeper is the min doc_id of its 5-block page group
+    assert (a["keeper"] % 5 == 0).all()
+    assert len(a) < len(docs)
