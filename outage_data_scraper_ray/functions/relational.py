@@ -5008,6 +5008,112 @@ FROM h GROUP BY canon ORDER BY canon
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring: rank documents for a fixed query under the BM25
+# saturation model (tf saturates at k1, length-normalized by b·dl/avgdl) —
+# tfidf_topk's doctrine extended with document-length normalization. IDF
+# stays in RATIO form (N/df, no log) so every term is rational arithmetic
+# in one fixed operand order and the doubles are bit-identical to the SQL.
+# Two streaming passes, zero shuffles: a stats pass reduces to (N, total
+# tokens, df per query term) — query-sized driver state — then a scoring
+# pass computes per-batch partial top-k; the driver combine is k x blocks.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("join", "hash", "scan")  # high-df corpus terms so scoring bites
+_BM25_K = 10
+
+
+def bm25_topk(sf_dir: str, k: int = _BM25_K) -> pd.DataFrame:
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_BM25_QUERY)
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        row = {"n_docs": len(df), "n_tokens": int(dl.sum())}
+        for t in terms:
+            tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(np.int64)
+            row[f"df_{t}"] = int((tf > 0).sum())
+        return pd.DataFrame([row])
+
+    st = docs.map_batches(_stats, batch_format="pandas").to_pandas().sum()
+    N = int(st["n_docs"])
+    if N == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    avgdl = float(st["n_tokens"]) / N  # one division, mirrored in SQL
+    dfs = {t: int(st[f"df_{t}"]) for t in terms}
+    params_ref = ray.put((avgdl, dfs))
+
+    def _score(df: pd.DataFrame, _p=params_ref, _k=k) -> pd.DataFrame:
+        avgdl, dfs = ray.get(_p)
+        toks = df["text"].fillna("").str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64).astype(np.float64)
+        score = np.zeros(len(df), dtype=np.float64)
+        for t in terms:
+            if dfs[t] == 0:
+                continue
+            tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(np.int64).astype(np.float64)
+            idf = float(N) / dfs[t]
+            denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl))
+            score = score + idf * ((tf * (_BM25_K1 + 1.0)) / denom)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "score": score})
+        return out.sort_values(["score", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(_k)
+
+    parts = docs.map_batches(_score, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _bm25_sql() -> str:
+    per_term = " + ".join(
+        f"""(CASE WHEN st.df_{t} = 0 THEN 0.0 ELSE
+            (CAST(st.n AS DOUBLE) / st.df_{t})
+            * ((d.tf_{t} * ({_BM25_K1} + 1.0))
+               / (d.tf_{t} + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * (d.dl / st.avgdl))))
+            END)"""
+        for t in _BM25_QUERY
+    )
+    tf_cols = ", ".join(
+        f"""CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                   x -> x = '{t}')) AS DOUBLE) AS tf_{t}"""
+        for t in _BM25_QUERY
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_QUERY
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(COALESCE(text, ''), ' ')) AS DOUBLE) AS dl,
+           {tf_cols}
+    FROM documents
+), st AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           {df_cols}
+    FROM d
+)
+SELECT doc_id, {per_term} AS score
+FROM d CROSS JOIN st
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -5085,6 +5191,7 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "triangle_count": (triangle_count, TRIANGLE_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
+    "bm25_topk": (bm25_topk, BM25_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1724,3 +1724,39 @@ def test_url_dedup_forced_distributed_and_bites(ray_session):
     # keeper is the min doc_id of its 5-block page group
     assert (a["keeper"] % 5 == 0).all()
     assert len(a) < len(docs)
+
+
+def test_bm25_topk_matches_sequential(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        bm25_topk,
+        _BM25_QUERY,
+        _BM25_K1,
+        _BM25_B,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = bm25_topk(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet").sort_values("doc_id")
+    toks = docs["text"].fillna("").str.split(" ")
+    dl = toks.str.len().to_numpy(np.int64).astype(np.float64)
+    N = len(docs)
+    avgdl = float(dl.sum()) / N
+    score = np.zeros(N)
+    for t in _BM25_QUERY:
+        tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(np.int64).astype(np.float64)
+        dfn = int((tf > 0).sum())
+        if dfn == 0:
+            continue
+        score = score + (N / dfn) * (
+            (tf * (_BM25_K1 + 1.0))
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl)))
+        )
+    want = (
+        pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(np.int64), "score": score})
+        .sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (out["score"].to_numpy() == want["score"].to_numpy()).all()  # bit-exact
+    assert (out["score"] > 0).any()  # the query terms actually hit
