@@ -5114,6 +5114,269 @@ BM25_SQL = _bm25_sql()
 
 
 # ---------------------------------------------------------------------------
+# per-key LAG/LEAD features: for every event, the microsecond gap to the
+# SAME user's previous event, the exact integer-cents value delta vs it,
+# and the next event's type — the per-row order-feature primitive
+# (sessionize_ganz / funnel_stages CONSUME order; this one EMITS features
+# from it). Same _gated_grouped shape as rolling_window: driver under the
+# bound, ONE hash shuffle on user_id above it. The block kernel is one
+# stable sort plus pure int64 slice arithmetic (prev row = row above when
+# the user matches) — no float round trip, so gaps/deltas hash bit-exact.
+# Sentinels (-1 gap / 0 delta / '' next_type) plus is_first keep every
+# output column non-null, so the driver canon never compares NaN forms.
+
+
+def _lag_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    n = len(df)
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    cents = df["cents"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    gap = np.full(n, -1, dtype=np.int64)
+    delta = np.zeros(n, dtype=np.int64)
+    nxt = np.full(n, "", dtype=object)
+    if n:
+        m = uid[1:] == uid[:-1]  # row i has a previous event iff m[i-1]
+        gap[1:][m] = ts[1:][m] - ts[:-1][m]
+        delta[1:][m] = cents[1:][m] - cents[:-1][m]
+        nxt[:-1][m] = et[1:][m]
+    is_first = np.ones(n, dtype=bool)
+    if n:
+        is_first[1:] = ~m
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "prev_gap_us": gap,
+            "delta_cents": delta,
+            "next_type": nxt,
+            "is_first": is_first,
+        }
+    )
+
+
+def lag_features(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df.pop("value").to_numpy() * 100.0).astype(np.int64)
+        # exact integer microseconds whatever unit pandas picked for ts
+        df["ts_us"] = df.pop("ts").astype("datetime64[us]").astype("int64")
+        return df
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _lag_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+LAG_FEATURES_SQL = """
+WITH t AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(COALESCE(ts_us - LAG(ts_us) OVER w, -1) AS BIGINT) AS prev_gap_us,
+       CAST(COALESCE(cents - LAG(cents) OVER w, 0) AS BIGINT) AS delta_cents,
+       COALESCE(LEAD(event_type) OVER w, '') AS next_type,
+       (LAG(ts_us) OVER w) IS NULL AS is_first
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-sensitive grouped string aggregate: each user's full event-type
+# sequence in time order, as one comma-joined string — string_agg(... ORDER
+# BY) is the one aggregate family the battery lacked (every other grouped
+# agg here is order-free and combines via partials; an ordered concat
+# CANNOT pre-combine, its partials aren't mergeable without carrying order
+# keys, so the honest scale shape is co-location: ONE hash shuffle on
+# user_id, then a per-block stable sort + one groupby-join pass).
+
+
+def _concat_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    g = df.groupby("user_id", sort=False)
+    out = g["event_type"].agg(",".join).rename("type_seq").reset_index()
+    out["n_events"] = g.size().to_numpy(np.int64)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+def group_concat(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = df.pop("ts").astype("datetime64[us]").astype("int64")
+        return df
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _concat_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+GROUP_CONCAT_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality gate: per-doc Shannon entropy over code points,
+# keep docs >= 4.1 bits — the Gopher-style "low-entropy boilerplate" filter
+# the quality family lacked (quality_counts/filter are ratio gates; this is
+# the distributional one). Embarrassingly parallel per doc; the per-doc
+# histogram is np.bincount over exact uint32 code points (utf-32 view), so
+# it matches the SQL's per-character GROUP BY for any unicode input, not
+# just ascii. Entropy is a ~30-term float sum — numpy and DuckDB may sum in
+# different orders, but the driver gate rounds to 6dp and the terms carry
+# ~1e-15 relative error, so the hash is stable.
+
+_ENTROPY_MIN = 4.1
+
+
+def char_entropy_filter(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ent(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ents = np.empty(len(df), dtype=np.float64)
+        for i, s in enumerate(df["text"].fillna("")):
+            a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            if not len(a):
+                ents[i] = 0.0
+                continue
+            c = np.bincount(a - a.min())
+            c = c[c > 0].astype(np.float64)
+            p = c / c.sum()
+            ents[i] = -(p * np.log2(p)).sum()
+        out = pd.DataFrame({"doc_id": ids, "entropy": ents})
+        return out[out["entropy"] >= _ENTROPY_MIN]
+
+    return docs.map_batches(_ent, batch_format="pandas")
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(COALESCE(text, ''), '[\\s\\S]')) AS ch
+    FROM documents
+), freq AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM chars GROUP BY doc_id, ch
+), tot AS (
+    SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id
+), ent AS (
+    SELECT f.doc_id, -SUM((c / n) * log2(c / n)) AS entropy
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY f.doc_id
+)
+SELECT doc_id, entropy FROM ent WHERE entropy >= 4.1
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus segment dedup: split every doc into consecutive
+# 8-word segments, drop any segment whose exact text already occurred at a
+# smaller (doc_id, seg_idx), and reassemble the survivors in order — the
+# sub-document dedup the corpus family lacked (exact_dedup_docs is
+# whole-doc; fingerprint_overlap reports but doesn't rewrite). Scale shape:
+# segment rows are built vectorized (explode + cumcount + per-batch
+# groupby-join), the keep-first rule is ONE hash shuffle on the segment
+# text + per-block sort/drop_duplicates (co-location makes the block-local
+# first occurrence global), and reassembly is a SECOND hash shuffle on
+# doc_id + per-block ordered join. Docs whose every segment was seen
+# earlier drop out entirely, exactly like the SQL.
+
+_SEG_WORDS = 8
+
+
+def line_dedup(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _table_rows(sf_dir, "documents")
+
+    def _segments(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split(" ")
+        e = df[["doc_id"]].join(words.rename("word")).explode("word")
+        pos = e.groupby("doc_id", sort=False).cumcount()
+        e = e.assign(seg_idx=(pos // _SEG_WORDS).astype("int64"))
+        seg = (
+            e.groupby(["doc_id", "seg_idx"], as_index=False, sort=False)
+            .agg(segment=("word", " ".join))
+        )
+        seg["doc_id"] = seg["doc_id"].astype("int64")
+        return seg
+
+    segments = docs.map_batches(_segments, batch_format="pandas")
+
+    def _keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["segment", "doc_id", "seg_idx"], kind="mergesort"
+        ).drop_duplicates("segment", keep="first")
+
+    # ~words/8 segment rows per doc; n_docs bounds the grouped-row count to
+    # within a small constant, the same hint exact_dedup uses
+    kept = _gated_grouped(
+        segments, ["segment"], _keep_first, n_docs, driver_threshold
+    )
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        out = g["segment"].agg(" ".join).rename("new_text").reset_index()
+        out["n_kept"] = g.size().to_numpy(np.int64)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    if isinstance(kept, pd.DataFrame):
+        return _reassemble(kept)
+    return _gated_grouped(kept, ["doc_id"], _reassemble, n_docs, driver_threshold)
+
+
+LINE_DEDUP_SQL = """
+WITH ws AS (
+    SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), tok AS (
+    SELECT doc_id, unnest(w) AS word,
+           CAST(unnest(range(len(w))) AS BIGINT) AS pos
+    FROM ws
+), seg AS (
+    SELECT doc_id, pos // 8 AS seg_idx,
+           string_agg(word, ' ' ORDER BY pos) AS segment
+    FROM tok GROUP BY doc_id, pos // 8
+), keep AS (
+    SELECT doc_id, seg_idx, segment,
+           ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY doc_id, seg_idx
+           ) AS rn
+    FROM seg
+)
+SELECT doc_id,
+       string_agg(segment, ' ' ORDER BY seg_idx) AS new_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM keep WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -5192,6 +5455,10 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
     "bm25_topk": (bm25_topk, BM25_SQL),
+    "lag_features": (lag_features, LAG_FEATURES_SQL),
+    "group_concat": (group_concat, GROUP_CONCAT_SQL),
+    "char_entropy_filter": (char_entropy_filter, CHAR_ENTROPY_SQL),
+    "line_dedup": (line_dedup, LINE_DEDUP_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

@@ -1760,3 +1760,107 @@ def test_bm25_topk_matches_sequential(ray_session):
     assert out["doc_id"].tolist() == want["doc_id"].tolist()
     assert (out["score"].to_numpy() == want["score"].to_numpy()).all()  # bit-exact
     assert (out["score"] > 0).any()  # the query terms actually hit
+
+
+def _canon_frame(res) -> pd.DataFrame:
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_lag_features_paths_and_values(ray_session):
+    from outage_data_scraper_ray.functions.relational import lag_features
+
+    sf = "/root/testdata/sf0.001"
+    driver = _canon_frame(lag_features(sf))
+    dist = _canon_frame(lag_features(sf, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)  # bit-exact across paths
+
+    # hand re-derivation for one user with >= 2 events
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    uid = ev["user_id"].value_counts().idxmax()
+    mine = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    got = (
+        driver[driver["user_id"] == uid]
+        .set_index("event_id")
+        .loc[mine["event_id"].tolist()]
+    )
+    ts_us = mine["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    want_gap = np.concatenate([[-1], np.diff(ts_us)])
+    assert got["prev_gap_us"].tolist() == want_gap.tolist()
+    assert got["is_first"].tolist() == [True] + [False] * (len(mine) - 1)
+    assert got["next_type"].tolist() == mine["event_type"].tolist()[1:] + [""]
+
+
+def test_group_concat_ordered(ray_session):
+    from outage_data_scraper_ray.functions.relational import group_concat
+
+    sf = "/root/testdata/sf0.001"
+    driver = _canon_frame(group_concat(sf))
+    dist = _canon_frame(group_concat(sf, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    uid = ev["user_id"].value_counts().idxmax()
+    mine = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    row = driver[driver["user_id"] == uid].iloc[0]
+    assert row["type_seq"] == ",".join(mine["event_type"])
+    assert row["n_events"] == len(mine)
+
+
+def test_char_entropy_filter_values(ray_session):
+    from collections import Counter
+
+    from outage_data_scraper_ray.functions.relational import (
+        _ENTROPY_MIN,
+        char_entropy_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = char_entropy_filter(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_pass = 0
+    for _, r in docs.iterrows():
+        c = np.array(list(Counter(r["text"]).values()), dtype=np.float64)
+        p = c / c.sum()
+        ent = float(-(p * np.log2(p)).sum())
+        if ent >= _ENTROPY_MIN:
+            n_pass += 1
+            assert abs(out.loc[r["doc_id"], "entropy"] - ent) < 1e-9
+        else:
+            assert r["doc_id"] not in out.index
+    assert n_pass == len(out)
+    assert 0 < len(out) < len(docs)  # the gate actually separates
+
+
+def test_line_dedup_planted(ray_session):
+    from outage_data_scraper_ray.functions.relational import line_dedup
+    import outage_data_scraper_ray.functions.relational as R
+
+    shared = " ".join(f"s{i}" for i in range(8))  # exactly one segment
+    a_rest = " ".join(f"a{i}" for i in range(8))
+    b_rest = " ".join(f"b{i}" for i in range(8))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                shared + " " + a_rest,     # doc1: keeps both segments
+                shared + " " + b_rest,     # doc2: loses the shared segment
+                shared,                    # doc3: loses everything -> dropped
+            ],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        driver = _canon_frame(line_dedup(d))
+        dist = _canon_frame(line_dedup(d, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)
+    got = driver.set_index("doc_id")
+    assert got.loc[1, "new_text"] == shared + " " + a_rest
+    assert got.loc[1, "n_kept"] == 2
+    assert got.loc[2, "new_text"] == b_rest
+    assert got.loc[2, "n_kept"] == 1
+    assert 3 not in got.index
