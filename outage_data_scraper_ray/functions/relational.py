@@ -5331,10 +5331,13 @@ def line_dedup(
             ["segment", "doc_id", "seg_idx"], kind="mergesort"
         ).drop_duplicates("segment", keep="first")
 
-    # ~words/8 segment rows per doc; n_docs bounds the grouped-row count to
-    # within a small constant, the same hint exact_dedup uses
+    # the grouped rows are SEGMENTS (~words/8 per doc), not docs — gate on a
+    # conservative 8-segments-per-doc estimate so a wide corpus crosses onto
+    # the distributed branch well before the driver pull approaches corpus
+    # size (the driver path pulls every segment row)
+    n_segments_est = n_docs * _SEG_WORDS
     kept = _gated_grouped(
-        segments, ["segment"], _keep_first, n_docs, driver_threshold
+        segments, ["segment"], _keep_first, n_segments_est, driver_threshold
     )
 
     def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
@@ -5345,9 +5348,9 @@ def line_dedup(
         out["doc_id"] = out["doc_id"].astype("int64")
         return out
 
-    if isinstance(kept, pd.DataFrame):
-        return _reassemble(kept)
-    return _gated_grouped(kept, ["doc_id"], _reassemble, n_docs, driver_threshold)
+    return _gated_grouped(
+        kept, ["doc_id"], _reassemble, n_segments_est, driver_threshold
+    )
 
 
 LINE_DEDUP_SQL = """
