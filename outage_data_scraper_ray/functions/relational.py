@@ -5380,6 +5380,369 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# interval coalescing (merge overlapping intervals per key): each event
+# opens an interval [ts, ts + value-cents seconds]; overlapping-or-touching
+# intervals per user merge into islands — the EXPLICIT-interval cousin of
+# sessionize_ganz's gap-based islands (there the boundary is a time gap,
+# here it's interval geometry, the shape utility maintenance windows /
+# outage spans need). All arithmetic is int64 microseconds, so island
+# bounds hash bit-exact. Scale shape: _gated_grouped on user_id; the block
+# kernel is one stable sort + per-user shifted cummax (vectorized) —
+# islands never span users, so co-location is the only requirement.
+
+
+def _intervals_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "s_us", "e_us"], kind="mergesort")
+    g = df.groupby("user_id", sort=False)
+    # running max of interval ends BEFORE this row, within the user
+    prev_max = g["e_us"].cummax().groupby(df["user_id"], sort=False).shift(1)
+    brk = (prev_max.isna() | (df["s_us"] > prev_max)).to_numpy()
+    gid = np.cumsum(brk)  # island id, globally unique within the block
+    out = (
+        df.assign(gid=gid)
+        .groupby(["user_id", "gid"], as_index=False, sort=False)
+        .agg(
+            island_start_us=("s_us", "min"),
+            island_end_us=("e_us", "max"),
+            n_events=("s_us", "size"),
+        )
+        .drop(columns="gid")
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def merge_intervals(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].astype("datetime64[us]").astype("int64")
+        dur = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "s_us": s,
+                "e_us": s + dur * 1_000_000,
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _intervals_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+MERGE_INTERVALS_SQL = """
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000000 AS e_us
+    FROM events
+), m AS (
+    SELECT user_id, s_us, e_us,
+           MAX(e_us) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM iv
+), g AS (
+    SELECT user_id, s_us, e_us,
+           CASE WHEN prev_max IS NULL OR s_us > prev_max THEN 1 ELSE 0 END
+               AS brk
+    FROM m
+), isl AS (
+    SELECT user_id, s_us, e_us,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS UNBOUNDED PRECEDING
+           ) AS gid
+    FROM g
+)
+SELECT user_id,
+       MIN(s_us) AS island_start_us,
+       MAX(e_us) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, gid
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped mode (argmax-of-counts): each user's most frequent event type,
+# ties broken lexicographically — the one grouped-aggregate SHAPE the
+# battery lacked (sums/moments/sketches/top-k exist; mode needs a
+# per-(key, value) count that IS pre-combinable, then an argmax over it).
+# Per-batch (user, type, n) partials shrink the shuffle to the count
+# grain; the gated combine sums partials and takes the (n desc, type asc)
+# head per user.
+
+
+def _mode_block(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["user_id", "event_type"], as_index=False, sort=False)[
+        "n"
+    ].sum()
+    c = c.sort_values(
+        ["user_id", "n", "event_type"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = c.drop_duplicates("user_id", keep="first").rename(
+        columns={"event_type": "mode_type", "n": "mode_n"}
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["mode_n"] = out["mode_n"].astype("int64")
+    return out[["user_id", "mode_type", "mode_n"]]
+
+
+def grouped_mode(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False, sort=False).agg(
+            n=("event_type", "size")
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["user_id"], _mode_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+GROUPED_MODE_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+), r AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+           ) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS mode_n
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: top-30 adjacent word pairs by pointwise mutual
+# information over the document corpus, min pair count 5. PMI is kept in
+# RATIO form (the tfidf/bm25 doctrine — no log, so the score is rational
+# arithmetic): score = c_xy * N_uni / N_bi * N_uni / c_x / c_y evaluated in
+# exactly that operand order on both sides, so the doubles hash bit-exact.
+# Scale shape: per-batch bigram+unigram counting is vectorized (explode +
+# within-doc shift), partials are vocab-sized, the combine is gated on the
+# bigram key; corpus totals are two scalar aggregates.
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 30
+
+
+def pmi_collocations(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split(" ")
+        e = df[["doc_id"]].join(words.rename("w")).explode("w")
+        w = e["w"].to_numpy()
+        did = e["doc_id"].to_numpy()
+        same = np.zeros(len(e), dtype=bool)
+        if len(e):
+            same[1:] = did[1:] == did[:-1]  # row i-1,i are adjacent in a doc
+        uni = pd.DataFrame({"w1": w, "w2": "", "kind": 0})
+        bi = pd.DataFrame({"w1": w[:-1][same[1:]], "w2": w[1:][same[1:]], "kind": 1})
+        both = pd.concat([uni, bi], ignore_index=True)
+        return both.groupby(["kind", "w1", "w2"], as_index=False, sort=False).agg(
+            n=("kind", "size")
+        )
+
+    partials = docs.map_batches(_counts, batch_format="pandas")
+
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "w1", "w2"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+
+    counts = _gated_grouped(
+        partials, ["kind", "w1", "w2"], _sum_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    ).to_pandas()  # vocab-sized: unigram + bigram types, not corpus rows
+    uni = counts[counts["kind"] == 0].set_index("w1")["n"]
+    bi = counts[counts["kind"] == 1].copy()
+    n_uni = int(uni.sum())
+    n_bi = int(bi["n"].sum())
+    bi = bi[bi["n"] >= _PMI_MIN_COUNT]
+    c_xy = bi["n"].to_numpy(np.int64).astype(np.float64)
+    c_x = uni.loc[bi["w1"]].to_numpy(np.int64).astype(np.float64)
+    c_y = uni.loc[bi["w2"]].to_numpy(np.int64).astype(np.float64)
+    # FIXED operand order — mirrored exactly in the SQL
+    score = c_xy * float(n_uni) / float(n_bi) * float(n_uni) / c_x / c_y
+    out = pd.DataFrame(
+        {
+            "w1": bi["w1"].to_numpy(),
+            "w2": bi["w2"].to_numpy(),
+            "pair_n": bi["n"].to_numpy(np.int64),
+            "score": score,
+        }
+    )
+    return (
+        out.sort_values(
+            ["score", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(_PMI_K)
+        .reset_index(drop=True)
+    )
+
+
+PMI_SQL = """
+WITH ws AS (
+    SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), tok AS (
+    SELECT doc_id, unnest(w) AS word,
+           CAST(unnest(range(len(w))) AS BIGINT) AS pos
+    FROM ws
+), bi AS (
+    SELECT word AS w1,
+           LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+), bc AS (
+    SELECT w1, w2, COUNT(*) AS c_xy FROM bi WHERE w2 IS NOT NULL
+    GROUP BY w1, w2
+), uc AS (
+    SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+), tot AS (
+    SELECT (SELECT COUNT(*) FROM tok) AS n_uni,
+           (SELECT COUNT(*) FROM bi WHERE w2 IS NOT NULL) AS n_bi
+)
+SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS pair_n,
+       CAST(b.c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) / CAST(n_bi AS DOUBLE)
+           * CAST(n_uni AS DOUBLE) / CAST(ux.c AS DOUBLE)
+           / CAST(uy.c AS DOUBLE) AS score
+FROM bc b
+JOIN uc ux ON ux.word = b.w1
+JOIN uc uy ON uy.word = b.w2
+CROSS JOIN tot
+WHERE b.c_xy >= 5
+ORDER BY score DESC, b.w1, b.w2
+LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string join (record linkage): part pairs within a (brand, type)
+# block whose names are within Levenshtein distance 2 — the blocked
+# edit-distance join family. The DP runs on DISTINCT name pairs per block
+# (the name vocabulary is tiny next to the row count), then expands to row
+# pairs via two vectorized merges; blocking keys are bounded (brands x
+# types), so per-block Python dispatch is O(1) in corpus size and the
+# expansion is output-sized. Matches DuckDB's levenshtein() (unit-cost
+# insert/delete/substitute).
+
+_FUZZY_MAX_DIST = 2
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    ar = np.arange(lb + 1, dtype=np.int64)
+    prev = ar.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
+        cur[0] = i + 1
+        # substitution / deletion candidates, vectorized
+        np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cur[1:])
+        # insertion sweep: cur[j] = min_{k<=j} cand[k] + (j - k)
+        # = j + running-min of (cand[k] - k)
+        cur -= ar
+        np.minimum.accumulate(cur, out=cur)
+        cur += ar
+        prev, cur = cur, prev
+    return int(prev[lb])
+
+
+_FUZZY_EMPTY = {
+    "part_a": pd.array([], dtype="int64"),
+    "part_b": pd.array([], dtype="int64"),
+    "name_a": pd.array([], dtype=object),
+    "name_b": pd.array([], dtype=object),
+    "dist": pd.array([], dtype="int64"),
+}
+
+
+def _fuzzy_block(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE DP pass over the block-wide distinct-name set (not per blocking
+    # group — the first cut re-ran the same 2k name pairs per (brand, type)
+    # group and paid 24 s on 20k rows; this shape pays 0.2 s). A length
+    # prune skips pairs whose edit distance can't clear the bound.
+    names = sorted(df["p_name"].unique())
+    lens = [len(n) for n in names]
+    allowed = []
+    for i, a in enumerate(names):
+        for j in range(i, len(names)):
+            if abs(lens[i] - lens[j]) > _FUZZY_MAX_DIST:
+                continue
+            b = names[j]
+            d = _levenshtein(a, b)
+            if d <= _FUZZY_MAX_DIST:
+                allowed.append((a, b, d))
+                if a != b:
+                    allowed.append((b, a, d))
+    if not allowed:
+        return pd.DataFrame(_FUZZY_EMPTY)
+    al = pd.DataFrame(allowed, columns=["name_a", "name_b", "dist"])
+    # expansion to row pairs: two vectorized merges keyed on the blocking
+    # columns + the allowed name pair — output-sized, no per-group loop
+    left = df[["p_brand", "p_type", "p_partkey", "p_name"]].rename(
+        columns={"p_partkey": "part_a", "p_name": "name_a"}
+    )
+    right = df[["p_brand", "p_type", "p_partkey", "p_name"]].rename(
+        columns={"p_partkey": "part_b", "p_name": "name_b"}
+    )
+    out = (
+        left.merge(al, on="name_a")
+        .merge(right, on=["p_brand", "p_type", "name_b"])
+    )
+    out = out[out["part_a"] < out["part_b"]]
+    out = out[["part_a", "part_b", "name_a", "name_b", "dist"]].reset_index(
+        drop=True
+    )
+    out["part_a"] = out["part_a"].astype("int64")
+    out["part_b"] = out["part_b"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out
+
+
+def fuzzy_join(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
+    return _gated_grouped(
+        ds, ["p_brand", "p_type"], _fuzzy_block,
+        _table_rows(sf_dir, "part"), driver_threshold,
+    )
+
+
+FUZZY_JOIN_SQL = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SQL_QUERIES: dict[str, tuple[Callable, str]] = {
@@ -5462,6 +5825,10 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
     "group_concat": (group_concat, GROUP_CONCAT_SQL),
     "char_entropy_filter": (char_entropy_filter, CHAR_ENTROPY_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
+    "merge_intervals": (merge_intervals, MERGE_INTERVALS_SQL),
+    "grouped_mode": (grouped_mode, GROUPED_MODE_SQL),
+    "pmi_collocations": (pmi_collocations, PMI_SQL),
+    "fuzzy_join": (fuzzy_join, FUZZY_JOIN_SQL),
 }
 
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)

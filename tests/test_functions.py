@@ -1864,3 +1864,149 @@ def test_line_dedup_planted(ray_session):
     assert got.loc[2, "new_text"] == b_rest
     assert got.loc[2, "n_kept"] == 1
     assert 3 not in got.index
+
+
+def test_merge_intervals_planted(ray_session):
+    import os
+    import tempfile
+
+    from outage_data_scraper_ray.functions.relational import merge_intervals
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: [0,10s], [5s,12s] overlap; [12s,15s] touches -> ONE island;
+    # [100s,101s] separate. user 2: single event.
+    df = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": [
+                base,
+                base + pd.Timedelta(seconds=5),
+                base + pd.Timedelta(seconds=12),
+                base + pd.Timedelta(seconds=100),
+                base,
+            ],
+            "event_type": ["a"] * 5,
+            "value": [0.10, 0.07, 0.03, 0.01, 0.02],  # cents = duration sec
+            "props": [""] * 5,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        driver = _canon_frame(merge_intervals(d))
+        dist = _canon_frame(merge_intervals(d, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)
+    u1 = driver[driver["user_id"] == 1].sort_values("island_start_us")
+    assert u1["n_events"].tolist() == [3, 1]
+    s0 = int(base.value // 1000)
+    assert u1["island_start_us"].tolist() == [s0, s0 + 100_000_000]
+    assert u1["island_end_us"].tolist() == [s0 + 15_000_000, s0 + 101_000_000]
+    assert len(driver[driver["user_id"] == 2]) == 1
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import grouped_mode
+
+    sf = "/root/testdata/sf0.001"
+    driver = _canon_frame(grouped_mode(sf))
+    dist = _canon_frame(grouped_mode(sf, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    want = (
+        ev.groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .sort_values(
+            ["user_id", "size", "event_type"], ascending=[True, False, True]
+        )
+        .drop_duplicates("user_id")
+    )
+    got = driver.sort_values("user_id").reset_index(drop=True)
+    assert got["mode_type"].tolist() == want["event_type"].tolist()
+    assert got["mode_n"].tolist() == want["size"].tolist()
+
+
+def test_pmi_collocations_rederived(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _PMI_K,
+        _PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = pmi_collocations(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    uni: dict = {}
+    bi: dict = {}
+    n_uni = n_bi = 0
+    for t in docs["text"].fillna(""):
+        ws = t.split(" ")
+        n_uni += len(ws)
+        n_bi += max(0, len(ws) - 1)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+    rows = []
+    for (x, y), c in bi.items():
+        if c >= _PMI_MIN_COUNT:
+            score = c * float(n_uni) / float(n_bi) * float(n_uni) / uni[x] / uni[y]
+            rows.append((x, y, c, score))
+    want = (
+        pd.DataFrame(rows, columns=["w1", "w2", "pair_n", "score"])
+        .sort_values(
+            ["score", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(_PMI_K)
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want) > 0
+    assert out["w1"].tolist() == want["w1"].tolist()
+    assert out["w2"].tolist() == want["w2"].tolist()
+    assert (out["score"].to_numpy() == want["score"].to_numpy()).all()  # bit-exact
+
+
+def test_levenshtein_matches_duckdb():
+    import random
+    import string
+
+    import duckdb
+
+    from outage_data_scraper_ray.functions.relational import _levenshtein
+
+    rng = random.Random(7)
+    words = ["", "a", "ab", "small ring", "red widget", "levenshtein",
+             "levenshtien"]
+    words += [
+        "".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 15)))
+        for _ in range(20)
+    ]
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            want = con.sql("select levenshtein(?::VARCHAR, ?::VARCHAR)"
+                           .replace("?", "$x", 1).replace("?", "$y", 1),
+                           params={"x": a, "y": b}).fetchone()[0]
+            assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_join_paths_and_values(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _FUZZY_MAX_DIST,
+        _levenshtein,
+        fuzzy_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    driver = _canon_frame(fuzzy_join(sf))
+    dist = _canon_frame(fuzzy_join(sf, driver_threshold=0))
+    pd.testing.assert_frame_equal(driver, dist)
+
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    j = part.merge(part, on=["p_brand", "p_type"], suffixes=("_a", "_b"))
+    j = j[j["p_partkey_a"] < j["p_partkey_b"]]
+    d = j.apply(lambda r: _levenshtein(r["p_name_a"], r["p_name_b"]), axis=1)
+    want = j[d <= _FUZZY_MAX_DIST]
+    assert len(driver) == len(want) > 0
+    wk = set(zip(want["p_partkey_a"], want["p_partkey_b"]))
+    assert set(zip(driver["part_a"], driver["part_b"])) == wk
