@@ -5834,3 +5834,290 @@ SQL_QUERIES: dict[str, tuple[Callable, str]] = {
 from .graph import pagerank, PAGERANK_SQL  # noqa: E402  (uses _read/_gated helpers)
 
 SQL_QUERIES["pagerank"] = (pagerank, PAGERANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram: global 20-bin histogram of lineitem price in integer
+# cents. Two passes by construction (bin edges depend on the global min/max):
+# pass 1 reduces each block to a (mn, mx) scalar pair, pass 2 reduces each
+# block to a 20-row bincount partial — the driver only ever sums bin-grain
+# partials (20 x blocks rows), never sees data rows. All arithmetic is
+# integer (idx = (x-mn)*20 // (mx-mn+1)), so the distributed result is
+# bit-identical to the sequential oracle at any block split.
+
+_HIST_NBINS = 20
+
+
+def histogram_bins(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_to_even"),
+            pa.int64(),
+        )
+        return pa.table({"x_c": x})
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+    mm = cents.map_batches(
+        lambda t: pa.table(
+            {
+                "mn": pa.array([pc.min(t["x_c"]).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(t["x_c"]).as_py()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().dropna()
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+    den = mx - mn + 1
+
+    def _bins(t: pa.Table) -> pa.Table:
+        x = t["x_c"].to_numpy()
+        idx = (x - mn) * _HIST_NBINS // den
+        cnt = np.bincount(idx, minlength=_HIST_NBINS)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(_HIST_NBINS, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = cents.map_batches(_bins, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bin", as_index=False).agg(n=("n", "sum"))
+    out = out[out["n"] > 0].reset_index(drop=True)
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+HISTOGRAM_SQL = """
+WITH v AS (
+    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x_c FROM lineitem
+), b AS (
+    SELECT MIN(x_c) AS mn, MAX(x_c) AS mx FROM v
+)
+SELECT CAST((v.x_c - b.mn) * 20 // (b.mx - b.mn + 1) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v, b
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# z-score normalization: global standardization of events.value — the
+# feature-scaling stage of a training-data pipeline. Moments come from
+# EXACT integer sums over cents (per-block scalar partials, driver sums
+# ints), then mean/sd are derived in ONE fixed double expression mirrored
+# verbatim in the SQL, so every emitted z is bit-identical. Two passes by
+# construction (row output depends on global moments). Overflow envelope:
+# sum(x_c^2) fits int64 up to ~3.8e3 T rows at this value range; the cents
+# partials would switch to HUGEINT-style (hi, lo) pairs beyond that.
+
+def zscore_normalize(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_to_even"),
+            pa.int64(),
+        )
+        return pa.table({"event_id": t["event_id"], "x_c": x})
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+
+    def _mom(t: pa.Table) -> pa.Table:
+        x = t["x_c"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([int(x.sum())], pa.int64()),
+                "ss": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    mm = cents.map_batches(_mom, batch_format="pyarrow").to_pandas()
+    n = int(mm["n"].sum())
+    s = int(mm["s"].sum())
+    ss = int(mm["ss"].sum())
+    mean = float(s) / n
+    sd = float(np.sqrt(float(ss) / n - mean * mean))
+
+    def _z(t: pa.Table) -> pa.Table:
+        x = t["x_c"].to_numpy().astype(np.float64)
+        return pa.table({"event_id": t["event_id"], "z": (x - mean) / sd})
+
+    return cents.map_batches(_z, batch_format="pyarrow")
+
+
+ZSCORE_SQL = """
+WITH v AS (
+    SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS x_c FROM events
+), agg AS (
+    SELECT COUNT(*) AS n, SUM(x_c) AS s, SUM(x_c * x_c) AS ss FROM v
+), m AS (
+    SELECT CAST(s AS DOUBLE) / n AS mean,
+           SQRT(CAST(ss AS DOUBLE) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+    FROM agg
+)
+SELECT v.event_id, (CAST(v.x_c AS DOUBLE) - m.mean) / m.sd AS z
+FROM v, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: incremental-crawl delta between two table snapshots —
+# added / removed / changed keys. The generic operator takes two tagged
+# sides, unions them, and resolves per-key status inside co-located blocks
+# after ONE hash shuffle on the key (gated to a driver pass below the usual
+# bound); rows carry (key, side, content-hash) only, never payloads, so the
+# shuffle is scalar-width. The query synthesises the two snapshots
+# deterministically from documents (old = doc_id%7!=0; new = doc_id%5!=0
+# with every doc_id%3==0 text edited) and must emit the exact delta.
+
+def _diff_block(df: pd.DataFrame) -> pd.DataFrame:
+    o = df[df["side"] == 0][["doc_id", "h"]]
+    n = df[df["side"] == 1][["doc_id", "h"]]
+    m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+    status = np.where(
+        m["h_o"].isna(), "added",
+        np.where(m["h_n"].isna(), "removed",
+                 np.where(m["h_o"] != m["h_n"], "changed", "unchanged")),
+    )
+    out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"), "status": status})
+    return out[out["status"] != "unchanged"]
+
+
+def snapshot_diff(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _sides(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy()
+        txt = df["text"].fillna("")
+        h_old = txt.map(lambda t: hashlib.md5(t.encode("utf8")).hexdigest())
+        txt_new = txt.where(did % 3 != 0, txt + " [v2]")
+        h_new = txt_new.map(lambda t: hashlib.md5(t.encode("utf8")).hexdigest())
+        old = pd.DataFrame(
+            {"doc_id": did, "side": 0, "h": h_old.to_numpy()}
+        )[did % 7 != 0]
+        new = pd.DataFrame(
+            {"doc_id": did, "side": 1, "h": h_new.to_numpy()}
+        )[did % 5 != 0]
+        return pd.concat([old, new], ignore_index=True)
+
+    tagged = docs.map_batches(_sides, batch_format="pandas")
+    return _gated_grouped(
+        tagged, ["doc_id"], _diff_block,
+        2 * _table_rows(sf_dir, "documents"), driver_threshold,
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+    SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), old AS (
+    SELECT doc_id, md5(text) AS h FROM base WHERE doc_id % 7 <> 0
+), new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]' ELSE text END) AS h
+    FROM base WHERE doc_id % 5 <> 0
+), m AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.h AS ho, n.h AS hn
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM m
+WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring: train a unigram language model on the corpus (exact
+# integer counts via per-batch partials + the gated combine), broadcast the
+# vocab once, then score every document vectorized: avg log-likelihood
+# (sum ln(c_w) - n_tok * ln(N)) / n_tok. This is the classic
+# perplexity-style quality scorer of LLM data pipelines as a two-stage
+# train -> broadcast -> score Ray pipeline. At corpus scale where the vocab
+# outgrows a broadcast, the score stage becomes a hash join on the word key
+# (the term_doc_freq combine already produces the distributed count table).
+# Logs are libm doubles on both sides; the 6dp gate canon absorbs the
+# sub-ulp summation-order noise.
+
+def ngram_lm_score(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        c = words.explode().dropna().value_counts()
+        return pd.DataFrame({"w": c.index.to_numpy(), "n": c.to_numpy(np.int64)})
+
+    partials = docs.map_batches(_counts, batch_format="pandas")
+
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False).agg(n=("n", "sum"))
+
+    vocab = _gated_grouped(
+        partials, ["w"], _sum_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    ).to_pandas()  # vocab-sized, not corpus-sized
+    total = int(vocab["n"].sum())
+    cmap = dict(zip(vocab["w"], vocab["n"].astype("int64")))
+    ln_total = float(np.log(float(total)))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("w")).explode("w").dropna()
+        ln = np.log(e["w"].map(cmap).to_numpy(np.float64))
+        g = pd.DataFrame(
+            {"doc_id": e["doc_id"].to_numpy(np.int64), "ln": ln}
+        ).groupby("doc_id", as_index=False).agg(
+            n_tok=("ln", "size"), sl=("ln", "sum")
+        )
+        n_tok = g["n_tok"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tok": n_tok,
+                "avg_ll": (g["sl"].to_numpy() - n_tok * ln_total) / n_tok,
+            }
+        )
+        return out
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
+NGRAM_LM_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS w
+    FROM documents
+), c AS (
+    SELECT w, COUNT(*) AS cw FROM tok GROUP BY w
+), tot AS (
+    SELECT COUNT(*) AS nt FROM tok
+), per AS (
+    SELECT t.doc_id, COUNT(*) AS n_tok, SUM(LN(CAST(c.cw AS DOUBLE))) AS sl
+    FROM tok t JOIN c ON t.w = c.w
+    GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       (sl - n_tok * LN(CAST(tot.nt AS DOUBLE))) / n_tok AS avg_ll
+FROM per, tot
+"""
+
+
+SQL_QUERIES["histogram_bins"] = (histogram_bins, HISTOGRAM_SQL)
+SQL_QUERIES["zscore_normalize"] = (zscore_normalize, ZSCORE_SQL)
+SQL_QUERIES["snapshot_diff"] = (snapshot_diff, SNAPSHOT_DIFF_SQL)
+SQL_QUERIES["ngram_lm_score"] = (ngram_lm_score, NGRAM_LM_SQL)

@@ -2010,3 +2010,49 @@ def test_fuzzy_join_paths_and_values(ray_session):
     assert len(driver) == len(want) > 0
     wk = set(zip(want["p_partkey_a"], want["p_partkey_b"]))
     assert set(zip(driver["part_a"], driver["part_b"])) == wk
+
+
+def test_batch1_r5b_forced_distributed_matches_driver(ray_session):
+    """snapshot_diff / ngram_lm_score gated combine sites: the forced
+    hash-shuffle branch must reproduce the driver branch bit-exactly."""
+    from outage_data_scraper_ray.functions.relational import (
+        ngram_lm_score,
+        snapshot_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in ((snapshot_diff, ["doc_id"]), (ngram_lm_score, ["doc_id"])):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_histogram_bins_block_split_invariant(ray_session):
+    """Equi-width histogram: pure-integer binning must be identical at any
+    parallelism; partials only ever carry bin-grain rows."""
+    import ray.data as rd
+    from outage_data_scraper_ray.functions.relational import histogram_bins
+
+    sf = "/root/testdata/sf0.001"
+    out = histogram_bins(sf)
+    assert out["n"].sum() == 6000  # sf0.001 lineitem row count
+    assert (out["bin"] >= 0).all() and (out["bin"] < 20).all()
+    # bins partition the rows exactly once
+    assert out["bin"].is_unique
+
+
+def test_zscore_normalize_moments(ray_session):
+    """Global z-scores: mean ~0, sd ~1 over the emitted column (sanity on
+    the broadcast-moments arithmetic)."""
+    from outage_data_scraper_ray.functions.relational import zscore_normalize
+
+    sf = "/root/testdata/sf0.001"
+    z = zscore_normalize(sf).to_pandas()["z"].to_numpy()
+    assert abs(z.mean()) < 1e-9
+    assert abs(z.std() - 1.0) < 1e-6
