@@ -6121,3 +6121,298 @@ SQL_QUERIES["histogram_bins"] = (histogram_bins, HISTOGRAM_SQL)
 SQL_QUERIES["zscore_normalize"] = (zscore_normalize, ZSCORE_SQL)
 SQL_QUERIES["snapshot_diff"] = (snapshot_diff, SNAPSHOT_DIFF_SQL)
 SQL_QUERIES["ngram_lm_score"] = (ngram_lm_score, NGRAM_LM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# keyword tagging: multi-pattern document tagging (topic routing / domain
+# filtering in LLM data pipelines). The keyword list is a fixed broadcast;
+# each batch tokenizes ONCE, then runs one vectorized membership pass per
+# keyword (K passes over the batch, never a per-row Python loop over
+# keywords x rows). Tags join in the fixed keyword order, so output is
+# deterministic. Embarrassingly parallel — no shuffle.
+
+_TAG_KEYWORDS = ("spark", "join", "window", "hash", "stream", "filter")
+
+
+def keyword_tag(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re).map(set)
+        flags = np.stack(
+            [words.map(lambda s, k=k: k in s).to_numpy() for k in _TAG_KEYWORDS],
+            axis=1,
+        )
+        tags = np.full(len(df), "", dtype=object)
+        for j, k in enumerate(_TAG_KEYWORDS):
+            hit = flags[:, j]
+            tags = np.where(hit, np.where(tags == "", k, tags + "," + k), tags)
+        n_tags = flags.sum(axis=1).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "tags": tags,
+                "n_tags": n_tags,
+            }
+        )
+        return out[n_tags > 0]
+
+    return docs.map_batches(_tag, batch_format="pandas")
+
+
+KEYWORD_TAG_SQL = r"""
+WITH kw AS (
+    SELECT ['spark', 'join', 'window', 'hash', 'stream', 'filter'] AS ks
+), t AS (
+    SELECT doc_id,
+           list_distinct(regexp_extract_all(lower(COALESCE(text, '')), '\w+'))
+               AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id, list_filter(kw.ks, k -> list_contains(t.ws, k)) AS hits
+    FROM t, kw
+)
+SELECT doc_id, array_to_string(hits, ',') AS tags,
+       CAST(len(hits) AS BIGINT) AS n_tags
+FROM m WHERE len(hits) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority dedup: exact content dedup that keeps the replica from the
+# HIGHEST-priority source (cross-source corpus merging: curated > scraped),
+# ties broken by min doc_id. Per-batch argmax partials reduce each batch to
+# (hash, best_prio, best_id, n) — mergeable, so the shuffle carries one row
+# per distinct text per batch, never payloads; the gated combine re-runs
+# the same argmax. The query plants cross-source replicas deterministically
+# (every doc_id%3==0 doc is mirrored into a rotated source at doc_id+1e6).
+
+def _prio_pick_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(
+        ["h", "prio", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = df.groupby("h", as_index=False).agg(
+        doc_id=("doc_id", "first"), priority=("prio", "first"),
+        n_copies=("n", "sum"),
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].astype("int64"),
+            "priority": out["priority"].astype("int64"),
+            "n_copies": out["n_copies"].astype("int64"),
+        }
+    )
+
+
+def priority_dedup(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        txt = df["text"].fillna("")
+        src_num = (
+            df["source"].str.extract(r"(\d+)")[0].astype(int).to_numpy(np.int64)
+        )
+        h = txt.map(lambda t: hashlib.md5(t.encode("utf8")).hexdigest()).to_numpy()
+        base = pd.DataFrame({"doc_id": did, "h": h, "prio": src_num % 4, "n": 1})
+        rep = did % 3 == 0
+        mirror = pd.DataFrame(
+            {
+                "doc_id": did[rep] + 1_000_000,
+                "h": h[rep],
+                "prio": (src_num[rep] + 7) % 20 % 4,
+                "n": 1,
+            }
+        )
+        both = pd.concat([base, mirror], ignore_index=True)
+        both = both.sort_values(
+            ["h", "prio", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return both.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "first"), prio=("prio", "first"), n=("n", "sum")
+        )
+
+    partials = docs.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["h"], _prio_pick_block,
+        2 * _table_rows(sf_dir, "documents"), driver_threshold,
+    )
+
+
+PRIORITY_DEDUP_SQL = r"""
+WITH aug AS (
+    SELECT doc_id, COALESCE(text, '') AS text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, COALESCE(text, ''),
+           'src' || CAST((CAST(regexp_extract(source, '\d+') AS INT) + 7) % 20
+                         AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 0
+), p AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(regexp_extract(source, '\d+') AS INT) % 4 AS prio
+    FROM aug
+), r AS (
+    SELECT doc_id, prio,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY prio DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY h) AS n_copies
+    FROM p
+)
+SELECT doc_id, CAST(prio AS BIGINT) AS priority,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# decayed trailing sum: per-user EWMA-style feature over the 8 most recent
+# events (ordered by ts), weight 2^-j at lag j. DYADIC weights make every
+# term an exact double (value-cents x 2^-j), and the 8-term sum stays under
+# the 53-bit significand, so the result is bit-exact under ANY summation
+# order — no float-determinism caveat at all. One hash shuffle on user_id
+# (gated), block kernel = one stable sort + 7 vectorized shifted adds.
+
+_DECAY_LAGS = 8
+
+
+def _decay_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    x = df["x_c"].to_numpy(np.int64).astype(np.float64)
+    d = x.copy()
+    for j in range(1, _DECAY_LAGS):
+        same = uid[j:] == uid[:-j]
+        d[j:] += np.where(same, x[:-j] * (0.5 ** j), 0.0)
+    return pd.DataFrame(
+        {"event_id": df["event_id"].to_numpy(np.int64), "decayed": d}
+    )
+
+
+def decayed_sum(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_to_even"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "x_c": x,
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return _gated_grouped(
+        prepped, ["user_id"], _decay_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+DECAYED_SUM_SQL = """
+WITH v AS (
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS x_c
+    FROM events
+)
+SELECT event_id,
+       CAST(x_c AS DOUBLE)
+       + COALESCE(LAG(x_c, 1) OVER w, 0) * 0.5
+       + COALESCE(LAG(x_c, 2) OVER w, 0) * 0.25
+       + COALESCE(LAG(x_c, 3) OVER w, 0) * 0.125
+       + COALESCE(LAG(x_c, 4) OVER w, 0) * 0.0625
+       + COALESCE(LAG(x_c, 5) OVER w, 0) * 0.03125
+       + COALESCE(LAG(x_c, 6) OVER w, 0) * 0.015625
+       + COALESCE(LAG(x_c, 7) OVER w, 0) * 0.0078125 AS decayed
+FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation: corr(quantity, price-in-dollars) per return
+# flag — the grouped_stats doctrine extended to cross-moments. Per-batch
+# partials carry exact integer (n, sx, sy, sxx, syy, sxy) per flag (flag-
+# grain, tiny); the driver sums ints and evaluates ONE fixed double
+# expression mirrored in the SQL, so corr is bit-identical. Integer units:
+# quantity and price are truncated to whole units ((cents // 100) — no
+# rounding boundary), which keeps syy inside int64 out to ~1e8 rows per
+# partial and exact python-int addition beyond.
+
+def grouped_corr(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def _mom(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["l_quantity"].to_numpy() * 100.0).astype(np.int64) // 100
+        y = (
+            np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+            // 100
+        )
+        g = pd.DataFrame(
+            {
+                "flag": df["l_returnflag"].to_numpy(),
+                "one": 1, "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+            }
+        )
+        return g.groupby("flag", as_index=False).agg(
+            n=("one", "sum"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+
+    parts = ds.map_batches(_mom, batch_format="pandas").to_pandas()
+    a = parts.groupby("flag", as_index=False).sum()
+    n = a["n"].to_numpy(np.int64).astype(np.float64)
+    sx = a["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = a["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = a["sxx"].to_numpy(np.int64).astype(np.float64)
+    syy = a["syy"].to_numpy(np.int64).astype(np.float64)
+    sxy = a["sxy"].to_numpy(np.int64).astype(np.float64)
+    corr = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "flag": a["flag"].to_numpy(),
+            "n": a["n"].astype("int64"),
+            "corr": corr,
+        }
+    )
+
+
+GROUPED_CORR_SQL = """
+WITH v AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) // 100 AS x,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS y
+    FROM lineitem
+), a AS (
+    SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+    FROM v GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM a
+"""
+
+
+SQL_QUERIES["keyword_tag"] = (keyword_tag, KEYWORD_TAG_SQL)
+SQL_QUERIES["priority_dedup"] = (priority_dedup, PRIORITY_DEDUP_SQL)
+SQL_QUERIES["decayed_sum"] = (decayed_sum, DECAYED_SUM_SQL)
+SQL_QUERIES["grouped_corr"] = (grouped_corr, GROUPED_CORR_SQL)

@@ -2056,3 +2056,87 @@ def test_zscore_normalize_moments(ray_session):
     z = zscore_normalize(sf).to_pandas()["z"].to_numpy()
     assert abs(z.mean()) < 1e-9
     assert abs(z.std() - 1.0) < 1e-6
+
+
+def test_batch2_r5b_forced_distributed_matches_driver(ray_session):
+    """priority_dedup / decayed_sum gated combine sites: forced hash-shuffle
+    branch must reproduce the driver branch bit-exactly (decayed_sum's
+    dyadic weights make even the doubles order-independent)."""
+    from outage_data_scraper_ray.functions.relational import (
+        decayed_sum,
+        priority_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in ((priority_dedup, ["doc_id"]), (decayed_sum, ["event_id"])):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_keyword_tag_hand_check(ray_session):
+    """Tags come back in fixed keyword order and match a per-doc set
+    re-derivation."""
+    import re as _re
+
+    from outage_data_scraper_ray.functions.relational import (
+        _TAG_KEYWORDS,
+        keyword_tag,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = keyword_tag(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rx = _re.compile(r"\w+")
+    for _, row in docs.head(50).iterrows():
+        ws = set(rx.findall((row["text"] or "").lower()))
+        want = [k for k in _TAG_KEYWORDS if k in ws]
+        if not want:
+            assert row["doc_id"] not in got.index
+        else:
+            assert got.loc[row["doc_id"], "tags"] == ",".join(want)
+            assert got.loc[row["doc_id"], "n_tags"] == len(want)
+
+
+def test_decayed_sum_hand_check(ray_session):
+    """First two events of one user: decayed = x1 + 0.5*x0 exactly."""
+    from outage_data_scraper_ray.functions.relational import decayed_sum
+
+    sf = "/root/testdata/sf0.001"
+    got = decayed_sum(sf)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).set_index(
+        "event_id"
+    )["decayed"]
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["x_c"] = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    u = ev[ev["user_id"] == ev["user_id"].iloc[0]].sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    assert got[u["event_id"].iloc[0]] == float(u["x_c"].iloc[0])
+    assert got[u["event_id"].iloc[1]] == float(u["x_c"].iloc[1]) + 0.5 * float(
+        u["x_c"].iloc[0]
+    )
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    """corr per flag within 1e-9 of pandas' own Pearson on the same integer
+    units (different formula arrangement, same math)."""
+    from outage_data_scraper_ray.functions.relational import grouped_corr
+
+    sf = "/root/testdata/sf0.001"
+    got = grouped_corr(sf).set_index("flag")["corr"]
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li["x"] = np.round(li["l_quantity"] * 100).astype("int64") // 100
+    li["y"] = np.round(li["l_extendedprice"] * 100).astype("int64") // 100
+    for flag, grp in li.groupby("l_returnflag"):
+        assert abs(got[flag] - grp["x"].corr(grp["y"])) < 1e-9
