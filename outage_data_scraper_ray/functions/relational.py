@@ -6416,3 +6416,298 @@ SQL_QUERIES["keyword_tag"] = (keyword_tag, KEYWORD_TAG_SQL)
 SQL_QUERIES["priority_dedup"] = (priority_dedup, PRIORITY_DEDUP_SQL)
 SQL_QUERIES["decayed_sum"] = (decayed_sum, DECAYED_SUM_SQL)
 SQL_QUERIES["grouped_corr"] = (grouped_corr, GROUPED_CORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation: all four grouping sets of (returnflag, linestatus) in
+# one pass — the OLAP companion to rollup_sum (which only walks the
+# hierarchy). One arrow partial-agg shrinks every block to the finest
+# grain; the three coarser sets derive from the finest on the driver
+# (category-sized, never data-sized), exactly once, in integer cents.
+
+def cube_sum(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(
+            pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_to_even"),
+            pa.int64(),
+        )
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+            }
+        )
+        g = tb.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "qty_c": g["qty_c_sum"],
+            }
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)["qty_c"]
+        .sum()
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False)["qty_c"].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False)["qty_c"].sum()
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "qty_c": [fine["qty_c"].sum()]}
+    )
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out = out.rename(columns={"qty_c": "sum_qty_c"})
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], kind="mergesort"
+    ).reset_index(drop=True)[["l_returnflag", "l_linestatus", "sum_qty_c"]]
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped outlier detection: flag events whose value sits > 3 sigma from
+# their event_type's mean — grouped standardization, the anomaly-detection
+# staple. Per-type moments come from exact integer partials (type-grain,
+# tiny), broadcast back into a stateless filter pass; mean/sd/z use ONE
+# fixed double expression mirrored in the SQL, so the kept set is
+# bit-identical. Same two-pass shape as zscore_normalize, keyed.
+
+def grouped_outliers(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_to_even"),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "x_c": x}
+        )
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+
+    def _mom(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "one": 1,
+                "x": df["x_c"].to_numpy(np.int64),
+                "xx": df["x_c"].to_numpy(np.int64) ** 2,
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n=("one", "sum"), s=("x", "sum"), ss=("xx", "sum")
+        )
+
+    mm = (
+        cents.map_batches(_mom, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    mean = {
+        t: float(s) / n for t, n, s in zip(mm["event_type"], mm["n"], mm["s"])
+    }
+    sd = {
+        t: float(np.sqrt(float(ss) / n - (float(s) / n) * (float(s) / n)))
+        for t, n, s, ss in zip(mm["event_type"], mm["n"], mm["s"], mm["ss"])
+    }
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x_c"].to_numpy(np.int64).astype(np.float64)
+        mu = df["event_type"].map(mean).to_numpy(np.float64)
+        sg = df["event_type"].map(sd).to_numpy(np.float64)
+        z = (x - mu) / sg
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].to_numpy(),
+                "z": z,
+            }
+        )
+        return out[np.abs(z) > 3.0]
+
+    return cents.map_batches(_flag, batch_format="pandas")
+
+
+GROUPED_OUTLIERS_SQL = """
+WITH v AS (
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS x_c
+    FROM events
+), agg AS (
+    SELECT event_type, COUNT(*) AS n, SUM(x_c) AS s, SUM(x_c * x_c) AS ss
+    FROM v GROUP BY event_type
+), m AS (
+    SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+           SQRT(CAST(ss AS DOUBLE) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+    FROM agg
+)
+SELECT v.event_id, v.event_type,
+       (CAST(v.x_c AS DOUBLE) - m.mean) / m.sd AS z
+FROM v JOIN m USING (event_type)
+WHERE ABS((CAST(v.x_c AS DOUBLE) - m.mean) / m.sd) > 3.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# timeline gap-fill: densify each user's event history to one row per
+# calendar day between their first and last event, zero-filled — the
+# regularization step before windowed features on sparse series. Per-batch
+# partials shrink the shuffle to (user, day, n) grain; the gated block
+# kernel expands each user's day range vectorized (repeat + arange, no
+# per-user Python loop) and left-joins the counts. Output is span-sized
+# (users x days), never corpus-sized.
+
+def _gapfill_block(df: pd.DataFrame) -> pd.DataFrame:
+    agg = df.groupby(["user_id", "day"], as_index=False).agg(n=("n", "sum"))
+    b = agg.groupby("user_id").agg(mn=("day", "min"), mx=("day", "max"))
+    reps = (b["mx"] - b["mn"] + 1).to_numpy(np.int64)
+    uid = np.repeat(b.index.to_numpy(np.int64), reps)
+    starts = np.repeat(b["mn"].to_numpy(np.int64), reps)
+    offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps
+    )
+    cal = pd.DataFrame({"user_id": uid, "day": starts + offs})
+    out = cal.merge(agg, on=["user_id", "day"], how="left")
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "day": out["day"].astype("int64"),
+            "n_events": out["n"].fillna(0).astype("int64"),
+        }
+    )
+
+
+def gapfill_days(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day, "n": 1}
+        )
+        return g.groupby(["user_id", "day"], as_index=False).agg(n=("n", "sum"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["user_id"], _gapfill_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+GAPFILL_SQL = """
+WITH d AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+    SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+), b AS (
+    SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM d GROUP BY user_id
+), cal AS (
+    SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM b
+)
+SELECT cal.user_id, CAST(cal.day AS BIGINT) AS day,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM cal LEFT JOIN c USING (user_id, day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization: per-dimension min-max scalar quantization of the
+# embedding column to uint8 levels — the storage-compression step before
+# shipping vectors into an ANN index (4x smaller than f32). Pass 1 reduces
+# each block to a dim-grain (mn, mx) partial; pass 2 quantizes vectorized
+# against the broadcast ranges. floor((x - mn) * 255 / (mx - mn)) is one
+# fixed double expression on both sides (FLOOR has no half-boundary), so
+# every level is bit-identical; x == mx lands exactly on level 255.
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mm(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0)),
+                "mx": pa.array(m.max(axis=0)),
+            }
+        )
+
+    mm = (
+        ds.map_batches(_mm, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("dim")
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+        .sort_index()
+    )
+    mn = mm["mn"].to_numpy()
+    scale = mm["mx"].to_numpy() - mn
+
+    def _q(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.floor((m - mn) * 255.0 / scale).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(t["vec_id"].to_numpy(), d).astype(np.int64)
+                ),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(m))),
+                "q": pa.array(q.ravel()),
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           unnest(range(len(embedding))) AS dim
+    FROM embeddings
+), s AS (
+    SELECT dim, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+    FROM e GROUP BY dim
+)
+SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+       CAST(FLOOR((CAST(e.x AS DOUBLE) - s.mn) * 255.0 / (s.mx - s.mn))
+            AS BIGINT) AS q
+FROM e JOIN s USING (dim)
+"""
+
+
+SQL_QUERIES["cube_sum"] = (cube_sum, CUBE_SQL)
+SQL_QUERIES["grouped_outliers"] = (grouped_outliers, GROUPED_OUTLIERS_SQL)
+SQL_QUERIES["gapfill_days"] = (gapfill_days, GAPFILL_SQL)
+SQL_QUERIES["embedding_quantize"] = (embedding_quantize, EMBEDDING_QUANTIZE_SQL)

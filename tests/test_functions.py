@@ -2140,3 +2140,67 @@ def test_grouped_corr_matches_pandas(ray_session):
     li["y"] = np.round(li["l_extendedprice"] * 100).astype("int64") // 100
     for flag, grp in li.groupby("l_returnflag"):
         assert abs(got[flag] - grp["x"].corr(grp["y"])) < 1e-9
+
+
+def test_gapfill_days_forced_distributed_and_values(ray_session):
+    """gapfill: forced hash-shuffle branch bit-exact vs driver; every user's
+    day range is dense with zero-filled gaps and counts re-derive."""
+    from outage_data_scraper_ray.functions.relational import gapfill_days
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(gapfill_days(sf)).sort_values(["user_id", "day"]).reset_index(drop=True)
+    b = _pd(gapfill_days(sf, driver_threshold=0)).sort_values(
+        ["user_id", "day"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    want = ev.groupby(["user_id", "day"]).size()
+    for uid, grp in a.groupby("user_id"):
+        days = grp["day"].to_numpy()
+        assert (np.diff(days) == 1).all()  # dense
+        for _, r in grp.iterrows():
+            assert r["n_events"] == want.get((uid, r["day"]), 0)
+        if len(grp) > 300:
+            break
+
+
+def test_embedding_quantize_bounds_roundtrip(ray_session):
+    """Quantized levels are in [0,255], per-dim max hits 255 and min hits 0,
+    and dequantizing recovers each value within one level width."""
+    from outage_data_scraper_ray.functions.relational import embedding_quantize
+
+    sf = "/root/testdata/sf0.001"
+    q = embedding_quantize(sf).to_pandas()
+    assert q["q"].between(0, 255).all()
+    per_dim = q.groupby("dim")["q"].agg(["min", "max"])
+    assert (per_dim["min"] == 0).all()
+    assert (per_dim["max"] == 255).all()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    width = (mx - mn) / 255.0
+    deq = mn[q["dim"]] + (q["q"].to_numpy() + 0.5) * width[q["dim"]]
+    orig = m[emb["vec_id"].to_numpy().argsort()][q["vec_id"], q["dim"]]
+    assert np.abs(deq - orig).max() <= width.max() * 0.5 + 1e-12
+
+
+def test_cube_sum_sets(ray_session):
+    """CUBE emits all four grouping sets and each coarser set sums the
+    finest grain exactly."""
+    from outage_data_scraper_ray.functions.relational import cube_sum
+
+    out = cube_sum("/root/testdata/sf0.001")
+    fine = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+    tot = out[(out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "ALL")]
+    assert len(tot) == 1
+    assert tot["sum_qty_c"].iloc[0] == fine["sum_qty_c"].sum()
+    by_flag = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")]
+    assert (
+        by_flag.set_index("l_returnflag")["sum_qty_c"]
+        == fine.groupby("l_returnflag")["sum_qty_c"].sum()
+    ).all()
