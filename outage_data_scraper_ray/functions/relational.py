@@ -6711,3 +6711,281 @@ SQL_QUERIES["cube_sum"] = (cube_sum, CUBE_SQL)
 SQL_QUERIES["grouped_outliers"] = (grouped_outliers, GROUPED_OUTLIERS_SQL)
 SQL_QUERIES["gapfill_days"] = (gapfill_days, GAPFILL_SQL)
 SQL_QUERIES["embedding_quantize"] = (embedding_quantize, EMBEDDING_QUANTIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# inactivity-gap sessionization over the events table: a new session starts
+# when a user is idle > 30 minutes — the generic web-analytics counterpart
+# to the POUS threshold sessionizer. One hash shuffle on user_id (gated);
+# the block kernel is ONE stable sort + vectorized gap/break/segment-id
+# arithmetic (the sessionize.py run-split doctrine — no per-user Python
+# dispatch), then one groupby over segment ids. All int64 microseconds.
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _event_sessions_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    brk = np.ones(len(df), dtype=bool)
+    if len(df) > 1:
+        brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > _SESSION_GAP_US)
+    seg = np.cumsum(brk)
+    g = pd.DataFrame({"user_id": uid, "ts_us": ts, "seg": seg}).groupby(
+        "seg", as_index=False, sort=False
+    ).agg(
+        user_id=("user_id", "first"),
+        session_start_us=("ts_us", "min"),
+        session_end_us=("ts_us", "max"),
+        n_events=("ts_us", "size"),
+    )
+    return pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype("int64"),
+            "session_start_us": g["session_start_us"].astype("int64"),
+            "session_end_us": g["session_end_us"].astype("int64"),
+            "n_events": g["n_events"].astype("int64"),
+        }
+    )
+
+
+def event_sessions(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _event_sessions_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+EVENT_SESSIONS_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), g AS (
+    SELECT user_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                     OR ts_us - LAG(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+    SELECT user_id, ts_us,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING
+           ) AS seg
+    FROM g
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split: the dataset-assembly stage every
+# training pipeline needs. Assignment is a pure function of the id (Knuth
+# multiplicative hash mod 100 -> 80/10/10), so it is reproducible across
+# re-runs, resumes, and any partitioning — no RNG state anywhere. Stateless
+# single pass, no shuffle.
+
+def train_test_split(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        b = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pd.DataFrame(
+            {"doc_id": ids.astype("int64"), "split": split}
+        )
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 AS b
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand co-occurrence: market-basket pair counts — how many orders contain
+# both brands. Stage 1 shrinks each batch to distinct (order, brand) via a
+# broadcast partkey->brand lookup (25-brand dimension, ray_guide broadcast
+# doctrine); stage 2 needs per-order completeness, so it runs per co-located
+# block after the gated shuffle on l_orderkey: a vectorized SELF-MERGE on
+# the order key (b1 < b2) enumerates pairs — output bounded by
+# brands-per-order^2, never corpus^2; stage 3 sums pair-grain partials on
+# the driver (<= 300 pairs).
+
+def brand_cooccurrence(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    nb = len(brands)
+    code_of = {b: i for i, b in enumerate(brands)}
+    code_map = {
+        k: code_of[b] for k, b in zip(part["p_partkey"], part["p_brand"])
+    }
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "code": df["l_partkey"].map(code_map).to_numpy(np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    def _pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        # exact upper-triangle expansion (repeat/arange index arithmetic:
+        # k(k-1)/2 pairs per order, never the k^2 self-merge), then ONE
+        # bincount over nb^2 integer pair codes — no string groupby in the
+        # hot path (the first cut paid 60 s of pandas string-pair groupby
+        # at sf10; this kernel took the query 83 -> 30 s, BASELINE.md)
+        d = df.drop_duplicates().sort_values(
+            ["l_orderkey", "code"], kind="mergesort"
+        )
+        ok = d["l_orderkey"].to_numpy(np.int64)
+        code = d["code"].to_numpy(np.int64)
+        change = np.ones(len(d), dtype=bool)
+        change[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(d)))
+        within = np.arange(len(d), dtype=np.int64) - np.repeat(starts, lens)
+        cnt1 = np.repeat(lens, lens) - 1 - within  # partners after each row
+        a_idx = np.repeat(np.arange(len(d), dtype=np.int64), cnt1)
+        csum = np.cumsum(cnt1)
+        total = int(csum[-1]) if len(csum) else 0
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            csum - cnt1, cnt1
+        ) + 1
+        pair = code[a_idx] * nb + code[a_idx + off]
+        cnt = np.bincount(pair, minlength=nb * nb)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"pair": nz.astype(np.int64), "n": cnt[nz]})
+
+    distinct = ds.map_batches(_distinct, batch_format="pandas")
+    pair_partials = _gated_grouped(
+        distinct, ["l_orderkey"], _pairs_block,
+        _table_rows(sf_dir, "lineitem"), driver_threshold,
+    )
+    pairs = (
+        pair_partials.to_pandas()  # pair-grain: <= nb^2 rows per block
+        .groupby("pair", as_index=False)
+        .agg(n_orders=("n", "sum"))
+    )
+    out = pd.DataFrame(
+        {
+            "brand_a": brands[pairs["pair"] // nb],
+            "brand_b": brands[pairs["pair"] % nb],
+            "n_orders": pairs["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values(
+        ["brand_a", "brand_b"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+BRAND_COOCCURRENCE_SQL = """
+WITH d AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.brand AS brand_a, b.brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users per day: growth accounting (DAU onboarding
+# curve). Per-batch partials reduce to (user, min day); the gated combine
+# takes the global min per user (first-seen day), then day-grain counts and
+# ONE driver cumsum over the day axis (days, not rows). Integer epoch-days
+# everywhere.
+
+def cumulative_users(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day}
+        )
+        return g.groupby("user_id", as_index=False).agg(day=("day", "min"))
+
+    def _min_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(day=("day", "min"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    first_seen = _gated_grouped(
+        partials, ["user_id"], _min_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    ).to_pandas()  # user-grain, not event-grain
+    per_day = (
+        first_seen.groupby("day").size().sort_index()
+    )
+    out = pd.DataFrame(
+        {
+            "day": per_day.index.to_numpy(np.int64),
+            "new_users": per_day.to_numpy(np.int64),
+            "cum_users": per_day.cumsum().to_numpy(np.int64),
+        }
+    )
+    return out
+
+
+CUMULATIVE_USERS_SQL = """
+WITH f AS (
+    SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+    FROM events GROUP BY user_id
+), d AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+SQL_QUERIES["event_sessions"] = (event_sessions, EVENT_SESSIONS_SQL)
+SQL_QUERIES["train_test_split"] = (train_test_split, TRAIN_TEST_SPLIT_SQL)
+SQL_QUERIES["brand_cooccurrence"] = (brand_cooccurrence, BRAND_COOCCURRENCE_SQL)
+SQL_QUERIES["cumulative_users"] = (cumulative_users, CUMULATIVE_USERS_SQL)

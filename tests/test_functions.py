@@ -2204,3 +2204,63 @@ def test_cube_sum_sets(ray_session):
         by_flag.set_index("l_returnflag")["sum_qty_c"]
         == fine.groupby("l_returnflag")["sum_qty_c"].sum()
     ).all()
+
+
+def test_batch4_r5b_forced_distributed_matches_driver(ray_session):
+    """event_sessions / brand_cooccurrence / cumulative_users gated sites:
+    forced hash-shuffle branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        brand_cooccurrence,
+        cumulative_users,
+        event_sessions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in (
+        (event_sessions, ["user_id", "session_start_us"]),
+        (brand_cooccurrence, ["brand_a", "brand_b"]),
+        (cumulative_users, ["day"]),
+    ):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_event_sessions_gap_semantics(ray_session):
+    """Within a session consecutive gaps are <= 30 min; across consecutive
+    sessions of one user the gap is > 30 min; event counts conserve."""
+    from outage_data_scraper_ray.functions.relational import event_sessions
+
+    sf = "/root/testdata/sf0.001"
+    out = event_sessions(sf)
+    out = (out if isinstance(out, pd.DataFrame) else out.to_pandas()).sort_values(
+        ["user_id", "session_start_us"]
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    assert out["n_events"].sum() == len(ev)
+    gap = 30 * 60 * 1_000_000
+    for uid, grp in out.groupby("user_id"):
+        s = grp["session_start_us"].to_numpy()
+        e = grp["session_end_us"].to_numpy()
+        assert (e >= s).all()
+        if len(grp) > 1:
+            assert (s[1:] - e[:-1] > gap).all()
+
+
+def test_train_test_split_fractions(ray_session):
+    """Deterministic assignment, same on re-run, roughly 80/10/10."""
+    from outage_data_scraper_ray.functions.relational import train_test_split
+
+    sf = "/root/testdata/sf0.001"
+    a = train_test_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = train_test_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.6 < frac["train"] < 0.95
+    assert set(frac.index) <= {"train", "val", "test"}
