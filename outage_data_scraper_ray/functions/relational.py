@@ -6989,3 +6989,243 @@ SQL_QUERIES["event_sessions"] = (event_sessions, EVENT_SESSIONS_SQL)
 SQL_QUERIES["train_test_split"] = (train_test_split, TRAIN_TEST_SPLIT_SQL)
 SQL_QUERIES["brand_cooccurrence"] = (brand_cooccurrence, BRAND_COOCCURRENCE_SQL)
 SQL_QUERIES["cumulative_users"] = (cumulative_users, CUMULATIVE_USERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span masking: deterministic denoising-objective prep — every
+# (pos % 7 == 3) token becomes the sentinel "<X>" in the input and moves to
+# the target sequence. Doc-local, so embarrassingly parallel: one explode +
+# cumcount + two grouped joins per batch, no shuffle. Deterministic mask
+# positions (no RNG) keep re-runs and resumes identical.
+
+def span_mask(sf_dir: str) -> rd.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _mask(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("tok")).explode("tok").dropna()
+        e["pos"] = e.groupby("doc_id").cumcount()
+        m = (e["pos"] % 7) == 3
+        e["out_tok"] = np.where(m, "<X>", e["tok"])
+        g = e.groupby("doc_id", sort=False)
+        inp = g["out_tok"].agg(" ".join)
+        tgt = e[m].groupby("doc_id", sort=False)["tok"].agg(" ".join)
+        n_masked = m.groupby(e["doc_id"]).sum()
+        out = pd.DataFrame(
+            {
+                "doc_id": inp.index.to_numpy(np.int64),
+                "masked_input": inp.to_numpy(),
+                "n_masked": n_masked.to_numpy(np.int64),
+            }
+        )
+        out["target"] = pd.Series(out["doc_id"]).map(tgt).fillna("").to_numpy()
+        return out
+
+    return docs.map_batches(_mask, batch_format="pandas")
+
+
+SPAN_MASK_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS tok,
+           unnest(range(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '\w+')))) AS pos
+    FROM documents
+)
+SELECT doc_id,
+       string_agg(CASE WHEN pos % 7 = 3 THEN '<X>' ELSE tok END, ' '
+                  ORDER BY pos) AS masked_input,
+       CAST(COUNT(*) FILTER (WHERE pos % 7 = 3) AS BIGINT) AS n_masked,
+       COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE pos % 7 = 3), '') AS target
+FROM t GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tokenization to vocab ids: build a top-100 vocabulary from corpus counts
+# (gated combine, vocab-sized), broadcast it once, encode each document's
+# first 32 tokens to rank ids (OOV -> 0) — the train -> broadcast -> encode
+# shape of a real tokenizer stage, with the id table derived from the data
+# rather than shipped per batch.
+
+_VOCAB_K = 100
+_TOK_MAXLEN = 32
+
+
+def tokenize_ids(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        c = words.explode().dropna().value_counts()
+        return pd.DataFrame({"w": c.index.to_numpy(), "n": c.to_numpy(np.int64)})
+
+    partials = docs.map_batches(_counts, batch_format="pandas")
+
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False).agg(n=("n", "sum"))
+
+    vocab = _gated_grouped(
+        partials, ["w"], _sum_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    ).to_pandas()
+    top = vocab.sort_values(
+        ["n", "w"], ascending=[False, True], kind="mergesort"
+    ).head(_VOCAB_K)
+    ids = {w: i + 1 for i, w in enumerate(top["w"])}
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("tok")).explode("tok").dropna()
+        e["pos"] = e.groupby("doc_id").cumcount()
+        e = e[e["pos"] < _TOK_MAXLEN]
+        e["id"] = (
+            e["tok"].map(ids).fillna(0).astype(np.int64).astype(str)
+        )
+        g = e.groupby("doc_id", sort=False)["id"].agg(",".join)
+        return pd.DataFrame(
+            {"doc_id": g.index.to_numpy(np.int64), "ids_csv": g.to_numpy()}
+        )
+
+    return docs.map_batches(_enc, batch_format="pandas")
+
+
+TOKENIZE_IDS_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS tok,
+           unnest(range(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                               '\w+')))) AS pos
+    FROM documents
+), c AS (
+    SELECT tok AS w, COUNT(*) AS n FROM tok GROUP BY tok
+), v AS (
+    SELECT w, id FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS id FROM c
+    ) WHERE id <= 100
+), e AS (
+    SELECT tok.doc_id, tok.pos, COALESCE(v.id, 0) AS id
+    FROM tok LEFT JOIN v ON tok.tok = v.w
+    WHERE tok.pos < 32
+)
+SELECT doc_id,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+FROM e GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree histogram: distribution of per-user activity (distinct active
+# days) — the degree-distribution profile of the user-day bipartite graph.
+# Distinct (user, day) partials -> gated per-user degree -> driver bincount
+# over degrees (degree-domain-sized, bounded by the calendar span).
+
+def degree_histogram(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day}
+        ).drop_duplicates()
+
+    def _deg_block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return d.groupby("user_id", as_index=False).agg(degree=("day", "size"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    deg = _gated_grouped(
+        partials, ["user_id"], _deg_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    ).to_pandas()  # user-grain
+    h = deg.groupby("degree").size().sort_index()
+    return pd.DataFrame(
+        {
+            "degree": h.index.to_numpy(np.int64),
+            "n_users": h.to_numpy(np.int64),
+        }
+    )
+
+
+DEGREE_HISTOGRAM_SQL = """
+WITH d AS (
+    SELECT user_id,
+           COUNT(DISTINCT epoch_us(ts) // 86400000000) AS degree
+    FROM events GROUP BY user_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY degree
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user behavioral entropy: Shannon entropy of each user's event-type
+# distribution — the diversity score used to downweight monotone sources in
+# data curation. (user, type, c) count partials shrink the shuffle to the
+# count grain; per-user entropy is ONE fixed expression
+# ln(n) - sum(c*ln(c))/n from exact integer counts, mirrored in the SQL
+# (the ~5-term float sum's order noise sits at 1e-15, absorbed by the 6dp
+# gate canon).
+
+def _entropy_block(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["user_id", "event_type"], as_index=False).agg(
+        c=("c", "sum")
+    )
+    cn = c["c"].to_numpy(np.int64).astype(np.float64)
+    c["sl"] = cn * np.log(cn)
+    a = c.groupby("user_id", as_index=False).agg(n=("c", "sum"), sl=("sl", "sum"))
+    n = a["n"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "user_id": a["user_id"].astype("int64"),
+            "n": a["n"].astype("int64"),
+            "entropy": np.log(n) - a["sl"].to_numpy() / n,
+        }
+    )
+
+
+def user_entropy(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False, sort=False)
+        out = g.size().rename(columns={"size": "c"})
+        return out
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["user_id"], _entropy_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+USER_ENTROPY_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), a AS (
+    SELECT user_id, SUM(c) AS n,
+           SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sl
+    FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       LN(CAST(n AS DOUBLE)) - sl / CAST(n AS DOUBLE) AS entropy
+FROM a
+"""
+
+
+SQL_QUERIES["span_mask"] = (span_mask, SPAN_MASK_SQL)
+SQL_QUERIES["tokenize_ids"] = (tokenize_ids, TOKENIZE_IDS_SQL)
+SQL_QUERIES["degree_histogram"] = (degree_histogram, DEGREE_HISTOGRAM_SQL)
+SQL_QUERIES["user_entropy"] = (user_entropy, USER_ENTROPY_SQL)

@@ -2264,3 +2264,75 @@ def test_train_test_split_fractions(ray_session):
     frac = a["split"].value_counts(normalize=True)
     assert 0.6 < frac["train"] < 0.95
     assert set(frac.index) <= {"train", "val", "test"}
+
+
+def test_batch5_r5b_forced_distributed_matches_driver(ray_session):
+    """tokenize_ids / degree_histogram / user_entropy gated sites: forced
+    hash-shuffle branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        degree_histogram,
+        tokenize_ids,
+        user_entropy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in (
+        (tokenize_ids, ["doc_id"]),
+        (degree_histogram, ["degree"]),
+        (user_entropy, ["user_id"]),
+    ):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_span_mask_semantics(ray_session):
+    """Masked input has <X> exactly at pos%7==3; target re-derives; token
+    counts conserve."""
+    import re as _re
+
+    from outage_data_scraper_ray.functions.relational import span_mask
+
+    sf = "/root/testdata/sf0.001"
+    got = span_mask(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rx = _re.compile(r"\w+")
+    for _, row in docs.head(30).iterrows():
+        toks = rx.findall((row["text"] or "").lower())
+        if not toks:
+            assert row["doc_id"] not in got.index
+            continue
+        r = got.loc[row["doc_id"]]
+        inp = r["masked_input"].split(" ")
+        assert len(inp) == len(toks)
+        # "<X>" cannot be a \w+ token, so sentinel positions identify masks
+        want_mask = [i % 7 == 3 for i in range(len(toks))]
+        assert [w == "<X>" for w in inp] == want_mask
+        assert r["n_masked"] == sum(want_mask)
+        assert r["target"] == " ".join(
+            t for i, t in enumerate(toks) if i % 7 == 3
+        )
+
+
+def test_user_entropy_rederived(ray_session):
+    """Entropy matches a scipy-free re-derivation per user."""
+    from outage_data_scraper_ray.functions.relational import user_entropy
+
+    sf = "/root/testdata/sf0.001"
+    got = user_entropy(sf)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).set_index(
+        "user_id"
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    for uid, grp in list(ev.groupby("user_id"))[:25]:
+        c = grp["event_type"].value_counts().to_numpy().astype(float)
+        n = c.sum()
+        want = np.log(n) - (c * np.log(c)).sum() / n
+        assert abs(got.loc[uid, "entropy"] - want) < 1e-9
+        assert got.loc[uid, "n"] == int(n)
