@@ -7229,3 +7229,309 @@ SQL_QUERIES["span_mask"] = (span_mask, SPAN_MASK_SQL)
 SQL_QUERIES["tokenize_ids"] = (tokenize_ids, TOKENIZE_IDS_SQL)
 SQL_QUERIES["degree_histogram"] = (degree_histogram, DEGREE_HISTOGRAM_SQL)
 SQL_QUERIES["user_entropy"] = (user_entropy, USER_ENTROPY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mixture report: per-source token counts and corpus share — the weights
+# table a mixture-sampling stage consumes. Source-grain integer partials
+# (sum of per-doc token counts), driver combine, share as one fixed double
+# division from exact integers.
+
+def mixture_report(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    word_re = re.compile(r"\w+")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = df["text"].fillna("").str.lower().str.count(word_re).astype(
+            "int64"
+        )
+        g = pd.DataFrame(
+            {"source": df["source"].to_numpy(), "n_docs": 1, "n_tokens": ntok}
+        )
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        )
+
+    parts = (
+        docs.map_batches(_partial, batch_format="pandas")
+        .to_pandas()  # source-grain
+        .groupby("source", as_index=False)
+        .sum()
+    )
+    total = int(parts["n_tokens"].sum())
+    out = pd.DataFrame(
+        {
+            "source": parts["source"].to_numpy(),
+            "n_docs": parts["n_docs"].astype("int64"),
+            "n_tokens": parts["n_tokens"].astype("int64"),
+            "token_share": parts["n_tokens"].to_numpy(np.int64).astype(
+                np.float64
+            )
+            / float(total),
+        }
+    )
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+MIXTURE_REPORT_SQL = r"""
+WITH d AS (
+    SELECT source,
+           len(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS ntok
+    FROM documents
+), a AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM d GROUP BY source
+), t AS (
+    SELECT SUM(n_tokens) AS total FROM a
+)
+SELECT a.source, a.n_docs, a.n_tokens,
+       CAST(a.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS token_share
+FROM a, t
+ORDER BY a.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test: is document language independent of source?
+# The contingency table comes from (lang, source) count partials (cell-
+# grain, tiny); expected counts and the statistic are ONE fixed double
+# expression over exact integers, computed cell-by-cell in (lang, source)
+# order on both sides (order noise absorbed by the 6dp canon). Emits the
+# statistic and the table dimensions — the data-drift check a corpus
+# refresh pipeline runs per epoch.
+
+def chi_square(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False, sort=False)
+        return g.size().rename(columns={"size": "c"})
+
+    cells = (
+        docs.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)
+        .agg(c=("c", "sum"))
+    )
+    n = int(cells["c"].sum())
+    row_tot = cells.groupby("lang")["c"].sum()
+    col_tot = cells.groupby("source")["c"].sum()
+    o = cells["c"].to_numpy(np.int64).astype(np.float64)
+    r = row_tot.loc[cells["lang"]].to_numpy(np.int64).astype(np.float64)
+    cl = col_tot.loc[cells["source"]].to_numpy(np.int64).astype(np.float64)
+    e = r * cl / float(n)
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    return pd.DataFrame(
+        {
+            "n_langs": [int(len(row_tot))],
+            "n_sources": [int(len(col_tot))],
+            "n_cells": [int(len(cells))],
+            "chi2": [chi2],
+        }
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH c AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+), r AS (
+    SELECT lang, SUM(c) AS rt FROM c GROUP BY lang
+), s AS (
+    SELECT source, SUM(c) AS ct FROM c GROUP BY source
+), t AS (
+    SELECT SUM(c) AS n FROM c
+), e AS (
+    SELECT c.c,
+           CAST(r.rt AS DOUBLE) * CAST(s.ct AS DOUBLE) / CAST(t.n AS DOUBLE)
+               AS e
+    FROM c JOIN r USING (lang) JOIN s USING (source), t
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_langs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       SUM((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e) AS chi2
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# column profiling: the schema-health report a data engine prints before a
+# run — per column: rows, nulls, exact distinct count. Per-batch partials
+# carry per-column null counts (scalar) and per-column DISTINCT VALUE SETS
+# (deduped per batch, stringified); the combine dedups the union per
+# column. Distinct sets are value-domain-sized, not row-sized — user_id is
+# the largest domain here; a column with row-sized cardinality would switch
+# to the HLL sketch (grouped_hll) instead, which is why both live in the
+# battery.
+
+_PROFILE_COLS = ("user_id", "event_type", "value")
+
+
+def profile_columns(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", list(_PROFILE_COLS))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in _PROFILE_COLS:
+            col = df[c]
+            vals = col.dropna().astype(str).unique()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "col": c,
+                        "v": vals,
+                        "n_rows": 0,
+                        "n_null": 0,
+                    }
+                )
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "col": [c],
+                        "v": [None],
+                        "n_rows": [len(col)],
+                        "n_null": [int(col.isna().sum())],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def _combine_block(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["v"].isna()].groupby("col", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_null=("n_null", "sum")
+        )
+        dist = (
+            df[df["v"].notna()][["col", "v"]]
+            .drop_duplicates()
+            .groupby("col", as_index=False)
+            .agg(n_distinct=("v", "size"))
+        )
+        out = stats.merge(dist, on="col", how="left")
+        out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["n_null"] = out["n_null"].astype("int64")
+        return out[["col", "n_rows", "n_null", "n_distinct"]]
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["col"], _combine_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+PROFILE_COLUMNS_SQL = """
+SELECT 'event_type' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
+           AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT CAST(value AS VARCHAR)) AS BIGINT)
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: users cohorted by first-seen day; for each (cohort,
+# day-offset) the fraction of the cohort active that day. ONE hash shuffle
+# on user_id co-locates each user's full history; the block kernel derives
+# first-seen + offsets per user vectorized and emits (cohort, offset)
+# partials — matrix-grain (days x days), never user- or event-sized. Rate
+# is one fixed double division from exact integers.
+
+def _cohort_block(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.drop_duplicates()
+    first = d.groupby("user_id")["day"].transform("min")
+    out = pd.DataFrame(
+        {
+            "cohort_day": first.to_numpy(np.int64),
+            "offset": d["day"].to_numpy(np.int64) - first.to_numpy(np.int64),
+        }
+    )
+    return out.groupby(["cohort_day", "offset"], as_index=False).agg(
+        n_active=("offset", "size")
+    )
+
+
+def cohort_retention(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day}
+        ).drop_duplicates()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    cells = (
+        _gated_grouped(
+            partials, ["user_id"], _cohort_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # matrix-grain
+        .groupby(["cohort_day", "offset"], as_index=False)
+        .agg(n_active=("n_active", "sum"))
+    )
+    size = (
+        cells[cells["offset"] == 0]
+        .set_index("cohort_day")["n_active"]
+    )
+    cs = size.loc[cells["cohort_day"]].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "cohort_day": cells["cohort_day"].astype("int64"),
+            "offset": cells["offset"].astype("int64"),
+            "n_active": cells["n_active"].astype("int64"),
+            "retention": cells["n_active"].to_numpy(np.int64).astype(np.float64)
+            / cs.astype(np.float64),
+        }
+    )
+    return out.sort_values(
+        ["cohort_day", "offset"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+COHORT_RETENTION_SQL = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day
+    FROM events
+), f AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+), c AS (
+    SELECT f.cohort_day, d.day - f.cohort_day AS "offset",
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+), s AS (
+    SELECT cohort_day, n_active AS cohort_size FROM c WHERE "offset" = 0
+)
+SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+       CAST(c."offset" AS BIGINT) AS "offset",
+       c.n_active,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM c JOIN s USING (cohort_day)
+ORDER BY 1, 2
+"""
+
+
+SQL_QUERIES["mixture_report"] = (mixture_report, MIXTURE_REPORT_SQL)
+SQL_QUERIES["chi_square"] = (chi_square, CHI_SQUARE_SQL)
+SQL_QUERIES["profile_columns"] = (profile_columns, PROFILE_COLUMNS_SQL)
+SQL_QUERIES["cohort_retention"] = (cohort_retention, COHORT_RETENTION_SQL)

@@ -2336,3 +2336,58 @@ def test_user_entropy_rederived(ray_session):
         want = np.log(n) - (c * np.log(c)).sum() / n
         assert abs(got.loc[uid, "entropy"] - want) < 1e-9
         assert got.loc[uid, "n"] == int(n)
+
+
+def test_batch6_r5b_forced_distributed_matches_driver(ray_session):
+    """profile_columns / cohort_retention gated sites: forced hash-shuffle
+    branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        cohort_retention,
+        profile_columns,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in (
+        (profile_columns, ["col"]),
+        (cohort_retention, ["cohort_day", "offset"]),
+    ):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_mixture_report_shares_sum_to_one(ray_session):
+    from outage_data_scraper_ray.functions.relational import mixture_report
+
+    out = mixture_report("/root/testdata/sf0.001")
+    assert abs(out["token_share"].sum() - 1.0) < 1e-9
+    assert (out["n_docs"] > 0).all()
+
+
+def test_chi_square_matches_scipy_free_rederivation(ray_session):
+    from outage_data_scraper_ray.functions.relational import chi_square
+
+    sf = "/root/testdata/sf0.001"
+    got = chi_square(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "source"])
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    o = ct.to_numpy().astype(float)
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    want = ((o - e) ** 2 / e)[o > 0].sum()  # engine sums observed cells only
+    assert abs(got["chi2"].iloc[0] - want) < 1e-6
+    assert got["n_cells"].iloc[0] == int((o > 0).sum())
+
+
+def test_cohort_retention_offset_zero_is_one(ray_session):
+    from outage_data_scraper_ray.functions.relational import cohort_retention
+
+    out = cohort_retention("/root/testdata/sf0.001")
+    z = out[out["offset"] == 0]
+    assert (z["retention"] == 1.0).all()
+    assert (out["retention"] <= 1.0).all() and (out["retention"] > 0).all()
