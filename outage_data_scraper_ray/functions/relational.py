@@ -7535,3 +7535,327 @@ SQL_QUERIES["mixture_report"] = (mixture_report, MIXTURE_REPORT_SQL)
 SQL_QUERIES["chi_square"] = (chi_square, CHI_SQUARE_SQL)
 SQL_QUERIES["profile_columns"] = (profile_columns, PROFILE_COLUMNS_SQL)
 SQL_QUERIES["cohort_retention"] = (cohort_retention, COHORT_RETENTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sweep-line max concurrency: per day, the maximum number of simultaneously
+# open intervals (events open [ts, ts + cents-seconds]) — capacity planning
+# over the crawl's own interval model. The classic sweep needs a GLOBAL
+# running sum; the scale shape here avoids the global sort entirely:
+# (1) day-grain delta totals (tiny partials) give each day's OPENING
+# concurrency via one driver prefix over days; (2) one hash shuffle on day
+# co-locates each day's boundaries, and the block kernel sweeps each day
+# locally from its opening value. Ties at equal (t, d) are permutation-
+# invariant for the per-day max (constant delta inside a tie group), so the
+# result is deterministic at any parallelism.
+
+def max_concurrency(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame | rd.Dataset:
+    import ray
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _bounds(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        dur = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        e = s + dur * 1_000_000
+        t = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
+        )
+        return pd.DataFrame({"day": t // 86_400_000_000, "t": t, "d": d})
+
+    bounds = ds.map_batches(_bounds, batch_format="pandas")
+
+    # pass 1: day-grain delta totals -> opening concurrency per day
+    def _day_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False).agg(sd=("d", "sum"))
+
+    days = (
+        bounds.map_batches(_day_sum, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .agg(sd=("sd", "sum"))
+        .sort_values("day")
+    )
+    opening = dict(
+        zip(days["day"], days["sd"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    opening_ref = ray.put(opening)
+
+    def _sweep_block(df: pd.DataFrame) -> pd.DataFrame:
+        op = ray.get(opening_ref)
+        df = df.sort_values(["day", "t", "d"], kind="mergesort")
+        day = df["day"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        cum = np.cumsum(d)
+        first_idx = np.flatnonzero(
+            np.concatenate(([True], day[1:] != day[:-1]))
+        )
+        runs = np.diff(np.append(first_idx, len(df)))
+        base = np.repeat(cum[first_idx] - d[first_idx], runs)
+        conc = cum - base + pd.Series(day).map(op).to_numpy(np.int64)
+        return (
+            pd.DataFrame({"day": day, "conc": conc})
+            .groupby("day", as_index=False)
+            .agg(max_concurrent=("conc", "max"))
+        )
+
+    out = _gated_grouped(
+        bounds, ["day"], _sweep_block,
+        2 * _table_rows(sf_dir, "events"), driver_threshold,
+    )
+    res = (
+        out.to_pandas()  # day-grain
+        .groupby("day", as_index=False)
+        .agg(max_concurrent=("max_concurrent", "max"))
+    )
+    res["day"] = res["day"].astype("int64")
+    res["max_concurrent"] = res["max_concurrent"].astype("int64")
+    return res.sort_values("day").reset_index(drop=True)
+
+
+MAX_CONCURRENCY_SQL = """
+WITH iv AS (
+    SELECT epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000000 AS e_us
+    FROM events
+), b AS (
+    SELECT s_us AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT e_us, -1 FROM iv
+), c AS (
+    SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+    FROM b
+)
+SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style nation revenue: the 4-table star chain lineitem -> orders ->
+# customer -> nation, grouped revenue in exact integer e4 units (the q1
+# doctrine). Small regime: two broadcast key maps, zero shuffles. Large
+# regime (orders past the bound): lineitem pre-aggregates to ORDER grain
+# per batch, ONE Dataset.join ships order-grain rows (never lineitem-grain),
+# a hash-shuffle combine collapses to CUSTOMER grain, the second hop gates
+# broadcast-vs-join on customer size, and nation (25 rows) always
+# broadcasts.
+
+def q5_nation_revenue(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    nation = (
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        .to_pandas().set_index("n_nationkey")["n_name"].to_dict()
+    )
+
+    def _li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100.0
+        ).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "rev": price_c * (100 - disc),
+                "n": 1,
+            }
+        )
+        return g.groupby("l_orderkey", as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum")
+        )
+
+    lp = li.map_batches(_li_partial, batch_format="pandas")
+
+    if _table_rows(sf_dir, "orders") <= driver_threshold:
+        o2c = (
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+            .to_pandas().set_index("o_orderkey")["o_custkey"].to_dict()
+        )
+        c2n = (
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .to_pandas().set_index("c_custkey")["c_nationkey"].to_dict()
+        )
+        o2c_ref, c2n_ref = ray.put(o2c), ray.put(c2n)
+
+        def _to_nation(df: pd.DataFrame, _o=o2c_ref, _c=c2n_ref) -> pd.DataFrame:
+            oc, cn = ray.get(_o), ray.get(_c)
+            nk = df["l_orderkey"].map(oc).map(cn)
+            g = pd.DataFrame(
+                {"n_nationkey": nk.to_numpy(np.int64),
+                 "rev": df["rev"].to_numpy(np.int64),
+                 "n": df["n"].to_numpy(np.int64)}
+            )
+            return g.groupby("n_nationkey", as_index=False).agg(
+                rev=("rev", "sum"), n=("n", "sum")
+            )
+
+        agg = (
+            lp.map_batches(_to_nation, batch_format="pandas")
+            .to_pandas()  # nation-grain
+            .groupby("n_nationkey", as_index=False)
+            .sum()
+        )
+    else:
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        j1 = lp.join(
+            orders, join_type="inner", num_partitions=8, on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def _cust_grain(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("o_custkey", as_index=False).agg(
+                rev=("rev", "sum"), n=("n", "sum")
+            )
+
+        cg = hash_partitioned_map_batches(j1, ["o_custkey"], _cust_grain)
+        if _table_rows(sf_dir, "customer") <= driver_threshold:
+            c2n = (
+                _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                .to_pandas().set_index("c_custkey")["c_nationkey"].to_dict()
+            )
+            c2n_ref = ray.put(c2n)
+
+            def _nat(df: pd.DataFrame, _c=c2n_ref) -> pd.DataFrame:
+                g = pd.DataFrame(
+                    {
+                        "n_nationkey": df["o_custkey"].map(
+                            ray.get(_c)
+                        ).to_numpy(np.int64),
+                        "rev": df["rev"].to_numpy(np.int64),
+                        "n": df["n"].to_numpy(np.int64),
+                    }
+                )
+                return g.groupby("n_nationkey", as_index=False).agg(
+                    rev=("rev", "sum"), n=("n", "sum")
+                )
+
+            ng = cg.map_batches(_nat, batch_format="pandas")
+        else:
+            cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            j2 = cg.join(
+                cust, join_type="inner", num_partitions=8, on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+
+            def _nat2(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("c_nationkey", as_index=False).agg(
+                    rev=("rev", "sum"), n=("n", "sum")
+                ).rename(columns={"c_nationkey": "n_nationkey"})
+
+            ng = j2.map_batches(_nat2, batch_format="pandas")
+        agg = (
+            ng.to_pandas()  # nation-grain
+            .groupby("n_nationkey", as_index=False)
+            .sum()
+        )
+    out = pd.DataFrame(
+        {
+            "n_name": agg["n_nationkey"].map(nation).to_numpy(),
+            "revenue_e4": agg["rev"].astype("int64"),
+            "n_rows": agg["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_name", kind="mergesort").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# out-of-order arrival report: per user, how many events arrived (by
+# event_id order — the ingest sequence) with a timestamp EARLIER than the
+# running max — the watermark-health metric a streaming pipeline monitors.
+# One hash shuffle on user_id; block kernel = one stable sort + vectorized
+# running max (np.maximum.accumulate).
+
+def _ooo_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    first = np.concatenate(([True], uid[1:] != uid[:-1])) if len(df) else np.zeros(0, bool)
+    # segmented running max via the offset trick: normalize ts to the block
+    # min (a month-scale span uses ~2^41 of the int64 range), then add
+    # seg_id * (span+1) so later segments strictly dominate earlier ones —
+    # one global np.maximum.accumulate then restarts per user for free.
+    # Overflow guard: users-per-block x span must stay under 2^63 (holds to
+    # ~3M users per block at a month span; assert rather than corrupt).
+    if len(df):
+        seg_id = np.cumsum(first) - 1
+        tsn = ts - ts.min()
+        stride = np.int64(tsn.max()) + 1
+        assert int(seg_id[-1]) * int(stride) < (1 << 62), "ooo block overflow"
+        adj = tsn + seg_id * stride
+        prev = np.empty(len(df), dtype=np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = np.maximum.accumulate(adj)[:-1]
+        late = np.zeros(len(df), dtype=bool)
+        late[~first] = adj[~first] < prev[~first]
+    else:
+        late = np.zeros(0, dtype=bool)
+    out = pd.DataFrame({"user_id": uid, "late": late.astype(np.int64), "n": 1})
+    return out.groupby("user_id", as_index=False).agg(
+        n_events=("n", "sum"), n_late=("late", "sum")
+    )
+
+
+def ooo_events(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _ooo_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+OOO_EVENTS_SQL = """
+WITH v AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), m AS (
+    SELECT user_id, ts_us,
+           MAX(ts_us) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM v
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE ts_us < prev_max) AS BIGINT) AS n_late
+FROM m GROUP BY user_id
+"""
+
+
+SQL_QUERIES["max_concurrency"] = (max_concurrency, MAX_CONCURRENCY_SQL)
+SQL_QUERIES["q5_nation_revenue"] = (q5_nation_revenue, Q5_SQL)
+SQL_QUERIES["ooo_events"] = (ooo_events, OOO_EVENTS_SQL)

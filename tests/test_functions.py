@@ -2391,3 +2391,67 @@ def test_cohort_retention_offset_zero_is_one(ray_session):
     z = out[out["offset"] == 0]
     assert (z["retention"] == 1.0).all()
     assert (out["retention"] <= 1.0).all() and (out["retention"] > 0).all()
+
+
+def test_batch7_r5b_forced_distributed_matches_driver(ray_session):
+    """max_concurrency / q5_nation_revenue / ooo_events: forced distributed
+    branches (hash shuffle / Dataset.join chain) bit-exact vs driver."""
+    from outage_data_scraper_ray.functions.relational import (
+        max_concurrency,
+        ooo_events,
+        q5_nation_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in (
+        (max_concurrency, ["day"]),
+        (q5_nation_revenue, ["n_name"]),
+        (ooo_events, ["user_id"]),
+    ):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_max_concurrency_brute_force(ray_session):
+    """Sweep result equals an O(n^2)-ish brute force on the raw intervals."""
+    from outage_data_scraper_ray.functions.relational import max_concurrency
+
+    sf = "/root/testdata/sf0.001"
+    got = max_concurrency(sf).set_index("day")["max_concurrent"]
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    s = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    e = s + np.round(ev["value"].to_numpy() * 100).astype(np.int64) * 1_000_000
+    t = np.concatenate([s, e])
+    d = np.concatenate([np.ones(len(s), int), -np.ones(len(s), int)])
+    order = np.lexsort((d, t))
+    conc = np.cumsum(d[order])
+    day = t[order] // 86_400_000_000
+    want = pd.DataFrame({"day": day, "conc": conc}).groupby("day")["conc"].max()
+    pd.testing.assert_series_equal(
+        got.sort_index(), want.sort_index(), check_names=False
+    )
+
+
+def test_ooo_events_planted(ray_session):
+    """A hand-built series with known inversions reports the exact late
+    count through the block kernel."""
+    from outage_data_scraper_ray.functions.relational import _ooo_block
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 1, 2],
+            # user1: 10, 5 (late), 20, 15 (late); user2: 7, 7 (not late)
+            "ts_us": [10, 5, 20, 15, 7, 7],
+        }
+    )
+    out = _ooo_block(df).set_index("user_id")
+    assert out.loc[1, "n_late"] == 2 and out.loc[1, "n_events"] == 4
+    assert out.loc[2, "n_late"] == 0 and out.loc[2, "n_events"] == 2
