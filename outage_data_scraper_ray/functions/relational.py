@@ -7859,3 +7859,163 @@ FROM m GROUP BY user_id
 SQL_QUERIES["max_concurrency"] = (max_concurrency, MAX_CONCURRENCY_SQL)
 SQL_QUERIES["q5_nation_revenue"] = (q5_nation_revenue, Q5_SQL)
 SQL_QUERIES["ooo_events"] = (ooo_events, OOO_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (record linkage): candidate pairs are rows
+# within rank distance <= 2 in the global (p_name, p_partkey) sort order
+# that share a 6-char name prefix — the SNM alternative to fuzzy_join's
+# attribute blocking. The distributed shape is the interesting part: a
+# global sort's ADJACENCY crosses block boundaries, so the engine emits
+# (1) local pairs inside each pinned sorted block and (2) the <= 4 EDGE
+# rows per block with exact global ranks (block row-count prefix); the
+# driver stitches only edge-row pairs whose members sit in DIFFERENT
+# blocks — block-grain driver state, never row-grain.
+
+_SNM_WINDOW = 2
+_SNM_PREFIX = 6
+
+
+def _snm_pairs_local(name: np.ndarray, pk: np.ndarray, rank: np.ndarray):
+    pfx = pd.Series(name).str[:_SNM_PREFIX].to_numpy()
+    outs = []
+    for w in range(1, _SNM_WINDOW + 1):
+        if len(name) <= w:
+            continue
+        keep = pfx[:-w] == pfx[w:]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "part_a": pk[:-w][keep],
+                    "part_b": pk[w:][keep],
+                    "rank_dist": np.int64(w),
+                }
+            )
+        )
+    if not outs:
+        return pd.DataFrame(
+            {"part_a": pd.Series(dtype="int64"),
+             "part_b": pd.Series(dtype="int64"),
+             "rank_dist": pd.Series(dtype="int64")}
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def sorted_neighborhood(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    n_rows = _table_rows(sf_dir, "part")
+
+    if n_rows <= driver_threshold:
+        df = ds.to_pandas().sort_values(
+            ["p_name", "p_partkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        out = _snm_pairs_local(
+            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64),
+            np.arange(len(df)),
+        )
+        return out.sort_values(["part_a", "part_b"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    ranged = ds.sort(["p_name", "p_partkey"]).materialize()
+
+    # pass 1: local pairs inside each sorted block
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return _snm_pairs_local(
+            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64),
+            np.arange(len(df)),
+        )
+
+    local_pairs = ranged.map_batches(
+        _local, batch_format="pandas", batch_size=None
+    ).to_pandas()  # output-sized (candidate pairs), not corpus-sized
+
+    # pass 2: block edges (first/last WINDOW rows) + row counts
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"p_name": pd.Series(dtype=object),
+                 "p_partkey": pd.Series(dtype="int64"),
+                 "pos": pd.Series(dtype="int64"),
+                 "blk_name": pd.Series(dtype=object),
+                 "blk_pk": pd.Series(dtype="int64"),
+                 "blk_rows": pd.Series(dtype="int64")}
+            )
+        idx = sorted(set(range(min(_SNM_WINDOW, n))) | {
+            i for i in range(max(0, n - _SNM_WINDOW), n)
+        })
+        sub = df.iloc[idx]
+        return pd.DataFrame(
+            {
+                "p_name": sub["p_name"].to_numpy(),
+                "p_partkey": sub["p_partkey"].to_numpy(np.int64),
+                "pos": np.array(idx, dtype=np.int64),
+                "blk_name": df["p_name"].iloc[0],
+                "blk_pk": np.int64(df["p_partkey"].iloc[0]),
+                "blk_rows": np.int64(n),
+            }
+        )
+
+    edges = ranged.map_batches(
+        _edges, batch_format="pandas", batch_size=None
+    ).to_pandas()  # block-grain: <= 2*WINDOW rows per block
+    blocks = (
+        edges[["blk_name", "blk_pk", "blk_rows"]]
+        .drop_duplicates()
+        .sort_values(["blk_name", "blk_pk"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    blocks["offset"] = blocks["blk_rows"].cumsum().shift(1, fill_value=0)
+    blocks["blk_id"] = np.arange(len(blocks), dtype=np.int64)
+    edges = edges.merge(blocks, on=["blk_name", "blk_pk", "blk_rows"])
+    edges["rank"] = edges["offset"] + edges["pos"]
+    edges = edges.sort_values("rank", kind="mergesort").reset_index(drop=True)
+    # cross-block pairs only: rank distance <= WINDOW, different blocks
+    cross = []
+    rk = edges["rank"].to_numpy(np.int64)
+    bk = edges["blk_id"].to_numpy(np.int64)
+    nm = edges["p_name"].to_numpy()
+    pk = edges["p_partkey"].to_numpy(np.int64)
+    for w in range(1, _SNM_WINDOW + 1):
+        for i in range(len(edges)):
+            j = i + 1
+            while j < len(edges) and rk[j] - rk[i] <= w:
+                if rk[j] - rk[i] == w and bk[j] != bk[i] and (
+                    nm[i][:_SNM_PREFIX] == nm[j][:_SNM_PREFIX]
+                ):
+                    cross.append((pk[i], pk[j], w))
+                j += 1
+    cross_df = pd.DataFrame(
+        cross, columns=["part_a", "part_b", "rank_dist"]
+    ) if cross else pd.DataFrame(
+        {"part_a": pd.Series(dtype="int64"),
+         "part_b": pd.Series(dtype="int64"),
+         "rank_dist": pd.Series(dtype="int64")}
+    )
+    out = pd.concat([local_pairs, cross_df], ignore_index=True)
+    out["part_a"] = out["part_a"].astype("int64")
+    out["part_b"] = out["part_b"].astype("int64")
+    out["rank_dist"] = out["rank_dist"].astype("int64")
+    return out.sort_values(
+        ["part_a", "part_b", "rank_dist"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH r AS (
+    SELECT p_partkey, p_name,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+    FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+FROM r a JOIN r b ON b.rn - a.rn IN (1, 2)
+WHERE substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
+ORDER BY 1, 2, 3
+"""
+
+
+SQL_QUERIES["sorted_neighborhood"] = (sorted_neighborhood, SORTED_NEIGHBORHOOD_SQL)

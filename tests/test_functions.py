@@ -2455,3 +2455,38 @@ def test_ooo_events_planted(ray_session):
     out = _ooo_block(df).set_index("user_id")
     assert out.loc[1, "n_late"] == 2 and out.loc[1, "n_events"] == 4
     assert out.loc[2, "n_late"] == 0 and out.loc[2, "n_events"] == 2
+
+
+def test_sorted_neighborhood_forced_distributed(ray_session):
+    """Distributed path (global sort + local pairs + edge stitching) must
+    equal the driver path exactly — including pairs that CROSS sorted-block
+    boundaries (the override forces many small blocks)."""
+    from outage_data_scraper_ray.functions.relational import sorted_neighborhood
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted_neighborhood(sf)
+    b = sorted_neighborhood(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) > 0
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    from outage_data_scraper_ray.functions.relational import sorted_neighborhood
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted_neighborhood(sf)
+    part = pd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey", "p_name"])
+    part = part.sort_values(["p_name", "p_partkey"]).reset_index(drop=True)
+    want = []
+    for w in (1, 2):
+        for i in range(len(part) - w):
+            if part["p_name"].iloc[i][:6] == part["p_name"].iloc[i + w][:6]:
+                want.append(
+                    (part["p_partkey"].iloc[i], part["p_partkey"].iloc[i + w], w)
+                )
+    want_df = pd.DataFrame(
+        want, columns=["part_a", "part_b", "rank_dist"]
+    ).sort_values(["part_a", "part_b", "rank_dist"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want_df.astype("int64"), check_exact=True
+    )
