@@ -8019,3 +8019,247 @@ ORDER BY 1, 2, 3
 
 
 SQL_QUERIES["sorted_neighborhood"] = (sorted_neighborhood, SORTED_NEIGHBORHOOD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CDC merge: apply a changelog to reach final state — last op per key wins
+# in (ts, event_id) order; a trailing delete removes the key (the
+# upsert/delete compaction every incremental table maintains). The events
+# table doubles as the changelog: event_type 'view' is a delete, everything
+# else upserts the value. Per-batch argmax partials carry one (key, last_ts,
+# last_id, op, value) row per key per batch — mergeable, so the shuffle is
+# key-grain; the gated combine re-runs the same argmax then drops deletes.
+
+def _cdc_pick_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(
+        ["user_id", "ts_us", "event_id"], ascending=[True, False, False],
+        kind="mergesort",
+    )
+    last = df.drop_duplicates("user_id", keep="first")
+    live = last[last["op"] == 0]
+    return pd.DataFrame(
+        {
+            "user_id": live["user_id"].astype("int64"),
+            "ts_us": live["ts_us"].astype("int64"),
+            "event_id": live["event_id"].astype("int64"),
+            "value_c": live["value_c"].astype("int64"),
+            "op": live["op"].astype("int64"),
+        }
+    )
+
+
+def cdc_merge(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value_c": np.round(
+                    df["value"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "op": (df["event_type"] == "view").to_numpy().astype(np.int64),
+            }
+        )
+        # keep only each key's last row per batch (mergeable argmax) but
+        # RETAIN deletes — a delete can win the global argmax
+        out = out.sort_values(
+            ["user_id", "ts_us", "event_id"], ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return out.drop_duplicates("user_id", keep="first")
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["user_id"], _cdc_pick_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+CDC_MERGE_SQL = """
+WITH log AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS op
+    FROM events
+), r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+    ) AS rn
+    FROM log
+)
+SELECT user_id, ts_us, event_id, value_c, CAST(op AS BIGINT) AS op
+FROM r WHERE rn = 1 AND op = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream-stream window join: pairs of events by the SAME user within 300 s
+# of each other, counted per unordered type pair — the self-join-in-time
+# every co-click/co-visit feature needs. One hash shuffle on user_id; the
+# block kernel sweeps lags vectorized (lag j compares two shifted slices;
+# the loop runs until no pair at lag j fits the window — bounded by max
+# events per user per window, NOT by group size), emitting type-pair-grain
+# partials.
+
+_WINDOW_JOIN_US = 300 * 1_000_000
+
+
+def _window_join_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    outs = []
+    j = 1
+    while j < len(df):
+        same = uid[j:] == uid[:-j]
+        close = (ts[j:] - ts[:-j]) <= _WINDOW_JOIN_US
+        m = same & close
+        if not m.any():
+            break
+        a, b = et[:-j][m], et[j:][m]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        outs.append(pd.DataFrame({"type_a": lo[keep], "type_b": hi[keep]}))
+        j += 1
+    if not outs:
+        return pd.DataFrame(
+            {"type_a": pd.Series(dtype=object),
+             "type_b": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64")}
+        )
+    allp = pd.concat(outs, ignore_index=True)
+    return allp.groupby(["type_a", "type_b"], as_index=False).agg(
+        n=("type_a", "size")
+    )
+
+
+def window_pair_join(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"].to_numpy(),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    parts = _gated_grouped(
+        prepped, ["user_id"], _window_join_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+    out = (
+        parts.to_pandas()  # type-pair-grain
+        .groupby(["type_a", "type_b"], as_index=False)
+        .agg(n_pairs=("n", "sum"))
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["type_a", "type_b"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+WINDOW_PAIR_JOIN_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+)
+SELECT LEAST(a.event_type, b.event_type) AS type_a,
+       GREATEST(a.event_type, b.event_type) AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM v a JOIN v b
+  ON a.user_id = b.user_id
+ AND b.ts_us - a.ts_us BETWEEN 0 AND 300000000
+ AND (a.ts_us < b.ts_us OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+ AND a.event_type <> b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort-merge join: the second physical join plan — co-partition both sides
+# with ONE tagged-union hash shuffle, then an in-block pandas merge (sorted
+# probe). Same logical result as hash_join's plans; a row-count-per-order
+# projection keeps the oracle small. The tagged union moves each side
+# exactly once and never builds a driver-side map, so it is the preferred
+# plan when BOTH sides are corpus-sized (broadcast needs a small side,
+# Dataset.join spawns its aggregator fleet).
+
+def _smj_block(df: pd.DataFrame) -> pd.DataFrame:
+    o = df[df["side"] == 0]
+    li = df[df["side"] == 1]
+    m = o[["k", "o_totalprice_c"]].merge(
+        li[["k", "n"]], on="k", how="inner"
+    )
+    g = m.groupby(["k", "o_totalprice_c"], as_index=False).agg(
+        n_items=("n", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "o_orderkey": g["k"].astype("int64"),
+            "o_totalprice_c": g["o_totalprice_c"].astype("int64"),
+            "n_items": g["n_items"].astype("int64"),
+        }
+    )
+
+
+def merge_join(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def _tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["o_orderkey"].to_numpy(np.int64),
+                "side": np.int8(0),
+                "o_totalprice_c": np.round(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "n": np.int64(0),
+            }
+        )
+
+    def _tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"k": df["l_orderkey"].to_numpy(np.int64), "n": 1})
+            .groupby("k", as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        g["side"] = np.int8(1)
+        g["o_totalprice_c"] = np.int64(0)
+        return g[["k", "side", "o_totalprice_c", "n"]]
+
+    tagged = orders.map_batches(_tag_o, batch_format="pandas").union(
+        li.map_batches(_tag_l, batch_format="pandas")
+    )
+    n = _table_rows(sf_dir, "orders") + _table_rows(sf_dir, "lineitem")
+    return _gated_grouped(tagged, ["k"], _smj_block, n, driver_threshold)
+
+
+MERGE_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+SQL_QUERIES["cdc_merge"] = (cdc_merge, CDC_MERGE_SQL)
+SQL_QUERIES["window_pair_join"] = (window_pair_join, WINDOW_PAIR_JOIN_SQL)
+SQL_QUERIES["merge_join"] = (merge_join, MERGE_JOIN_SQL)

@@ -2490,3 +2490,71 @@ def test_sorted_neighborhood_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want_df.astype("int64"), check_exact=True
     )
+
+
+def test_batch8_r5b_forced_distributed_matches_driver(ray_session):
+    """cdc_merge / window_pair_join / merge_join gated sites: forced
+    hash-shuffle branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        cdc_merge,
+        merge_join,
+        window_pair_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in (
+        (cdc_merge, ["user_id"]),
+        (window_pair_join, ["type_a", "type_b"]),
+        (merge_join, ["o_orderkey"]),
+    ):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_cdc_merge_semantics(ray_session):
+    """Planted changelog: last op wins in (ts, id) order; trailing delete
+    removes the key."""
+    from outage_data_scraper_ray.functions.relational import _cdc_pick_block
+
+    log = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts_us": [10, 20, 30, 10, 20, 10],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "value_c": [100, 200, 300, 400, 500, 600],
+            # user1 ends on upsert(300); user2 ends on delete; user3 upsert
+            "op": [0, 1, 0, 0, 1, 0],
+        }
+    )
+    out = _cdc_pick_block(log).set_index("user_id")
+    assert list(out.index) == [1, 3]
+    assert out.loc[1, "value_c"] == 300
+    assert out.loc[3, "value_c"] == 600
+
+
+def test_window_pair_join_planted(ray_session):
+    """Hand-built series: only same-user pairs within 300 s with different
+    types count, unordered."""
+    from outage_data_scraper_ray.functions.relational import _window_join_block
+
+    us = 1_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts_us": [0, 100 * us, 500 * us, 0, 400 * us],
+            "event_type": ["a", "b", "a", "a", "b"],
+        }
+    )
+    out = _window_join_block(df).set_index(["type_a", "type_b"])
+    # user1: (a@0, b@100) within; (b@100, a@500) outside (400s); (a@0,a@500) same type+outside
+    # user2: (a@0, b@400) outside
+    assert out.loc[("a", "b"), "n"] == 1
+    assert len(out) == 1
