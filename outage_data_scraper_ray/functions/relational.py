@@ -8263,3 +8263,216 @@ GROUP BY 1, 2
 SQL_QUERIES["cdc_merge"] = (cdc_merge, CDC_MERGE_SQL)
 SQL_QUERIES["window_pair_join"] = (window_pair_join, WINDOW_PAIR_JOIN_SQL)
 SQL_QUERIES["merge_join"] = (merge_join, MERGE_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stratified train/val/test split: exact 80/10/10 WITHIN each source (the
+# global hash split drifts per stratum; mixture curation needs the
+# per-source fractions exact). Deterministic rank = Knuth hash of doc_id
+# (ties by id) inside each source; one hash shuffle on source (gated), the
+# block kernel ranks vectorized. floor(0.8n)/floor(0.9n) cutoffs match the
+# SQL integer arithmetic exactly.
+
+def _strat_split_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    src = df["source"].to_numpy()
+    first = np.concatenate(([True], src[1:] != src[:-1])) if len(df) else (
+        np.zeros(0, bool)
+    )
+    seg_start = np.flatnonzero(first)
+    runs = np.diff(np.append(seg_start, len(df)))
+    rank = np.arange(len(df), dtype=np.int64) - np.repeat(seg_start, runs) + 1
+    n = np.repeat(runs, runs).astype(np.int64)
+    split = np.where(
+        rank <= n * 80 // 100, "train",
+        np.where(rank <= n * 90 // 100, "val", "test"),
+    )
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].astype("int64"), "split": split}
+    )
+
+
+def stratified_split(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype("int64"),
+                "source": df["source"].to_numpy(),
+                "h": h.astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["source"], _strat_split_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    )
+
+
+STRATIFIED_SPLIT_SQL = """
+WITH h AS (
+    SELECT doc_id, source,
+           ((doc_id % 4294967296) * 2654435761) % 4294967296 AS h
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM h
+)
+SELECT doc_id,
+       CASE WHEN rn <= n * 80 // 100 THEN 'train'
+            WHEN rn <= n * 90 // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier report: robust per-type outlier detection — median and median
+# absolute deviation instead of mean/sd (grouped_outliers' 3-sigma rule
+# breaks under heavy tails; 5*MAD doesn't). The whole computation runs on
+# the (type, value) HISTOGRAM: per-batch count partials shrink the shuffle
+# to the value-domain grain, the block kernel finds the rank-(50n+99)//100
+# median from cumulative counts, derives the |x-med| distribution FROM THE
+# SAME histogram (no second data pass), and counts outliers > 5*MAD —
+# all exact integers, bit-identical at any split.
+
+def _mad_block(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["event_type", "x"], as_index=False).agg(c=("c", "sum"))
+    outs = []
+    for et, grp in c.groupby("event_type", sort=False):
+        grp = grp.sort_values("x", kind="mergesort")
+        v = grp["x"].to_numpy(np.int64)
+        cnt = grp["c"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        rank = (50 * n + 99) // 100
+        med = int(v[np.searchsorted(np.cumsum(cnt), rank)])
+        ad = np.abs(v - med)
+        order = np.argsort(ad, kind="mergesort")
+        mad = int(ad[order][np.searchsorted(np.cumsum(cnt[order]), rank)])
+        n_out = int(cnt[ad > 5 * mad].sum())
+        outs.append((et, med, mad, n_out, n))
+    return pd.DataFrame(
+        outs, columns=["event_type", "med_c", "mad_c", "n_outliers", "n"]
+    ).astype({"med_c": "int64", "mad_c": "int64",
+              "n_outliers": "int64", "n": "int64"})
+
+
+def mad_outliers(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "x": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+                "c": 1,
+            }
+        )
+        return g.groupby(["event_type", "x"], as_index=False).agg(c=("c", "sum"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["event_type"], _mad_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH v AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+), r AS (
+    SELECT event_type, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+), m AS (
+    SELECT event_type,
+           MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN x END) AS med,
+           MAX(n) AS n
+    FROM r GROUP BY 1
+), d AS (
+    SELECT v.event_type, ABS(v.x - m.med) AS ad, m.med FROM v
+    JOIN m USING (event_type)
+), r2 AS (
+    SELECT event_type, ad, med,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM d
+), m2 AS (
+    SELECT event_type, MAX(med) AS med,
+           MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN ad END) AS mad
+    FROM r2 GROUP BY 1
+)
+SELECT v.event_type, CAST(m2.med AS BIGINT) AS med_c,
+       CAST(m2.mad AS BIGINT) AS mad_c,
+       CAST(COUNT(*) FILTER (WHERE ABS(v.x - m2.med) > 5 * m2.mad)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v JOIN m2 USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily deltas: per (day, event_type) counts with day-over-day change — the
+# report row a monitoring dashboard reads. Day x type grain partials (tiny),
+# driver LAG over existing rows per type (gap days lag to the previous
+# EXISTING day, SQL-identical).
+
+def daily_deltas(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "day": day, "n": 1}
+        )
+        return g.groupby(["event_type", "day"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()  # day x type grain
+        .groupby(["event_type", "day"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["event_type", "day"], kind="mergesort")
+    )
+    prev = cells.groupby("event_type")["n"].shift(1)
+    cells["delta"] = (cells["n"] - prev).fillna(0).astype("int64")
+    cells["day"] = cells["day"].astype("int64")
+    cells["n"] = cells["n"].astype("int64")
+    return cells.reset_index(drop=True)
+
+
+DAILY_DELTAS_SQL = """
+WITH c AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(COALESCE(n - LAG(n) OVER (
+           PARTITION BY event_type ORDER BY day
+       ), 0) AS BIGINT) AS delta
+FROM c
+"""
+
+
+SQL_QUERIES["stratified_split"] = (stratified_split, STRATIFIED_SPLIT_SQL)
+SQL_QUERIES["mad_outliers"] = (mad_outliers, MAD_OUTLIERS_SQL)
+SQL_QUERIES["daily_deltas"] = (daily_deltas, DAILY_DELTAS_SQL)

@@ -2558,3 +2558,66 @@ def test_window_pair_join_planted(ray_session):
     # user2: (a@0, b@400) outside
     assert out.loc[("a", "b"), "n"] == 1
     assert len(out) == 1
+
+
+def test_batch9_r5b_forced_distributed_matches_driver(ray_session):
+    """stratified_split / mad_outliers gated sites: forced hash-shuffle
+    branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        mad_outliers,
+        stratified_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in ((stratified_split, ["doc_id"]), (mad_outliers, ["event_type"])):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_stratified_split_exact_fractions(ray_session):
+    """Each source gets exactly floor(0.8n)/floor(0.9n)-floor(0.8n)/rest."""
+    from outage_data_scraper_ray.functions.relational import stratified_split
+
+    sf = "/root/testdata/sf0.001"
+    out = stratified_split(sf)
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    j = out.merge(docs, on="doc_id")
+    for src, grp in j.groupby("source"):
+        n = len(grp)
+        vc = grp["split"].value_counts()
+        assert vc.get("train", 0) == n * 80 // 100
+        assert vc.get("val", 0) == n * 90 // 100 - n * 80 // 100
+        assert vc.get("test", 0) == n - n * 90 // 100
+
+
+def test_mad_outliers_rederived(ray_session):
+    """Median / MAD / outlier counts re-derive from raw values with the
+    same ceil-rank convention."""
+    from outage_data_scraper_ray.functions.relational import mad_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = mad_outliers(sf)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).set_index(
+        "event_type"
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    ev["x"] = np.round(ev["value"] * 100).astype("int64")
+    for et, grp in ev.groupby("event_type"):
+        v = np.sort(grp["x"].to_numpy())
+        n = len(v)
+        med = int(v[(50 * n + 99) // 100 - 1])
+        ad = np.sort(np.abs(grp["x"].to_numpy() - med))
+        mad = int(ad[(50 * n + 99) // 100 - 1])
+        assert got.loc[et, "med_c"] == med
+        assert got.loc[et, "mad_c"] == mad
+        assert got.loc[et, "n_outliers"] == int(
+            (np.abs(grp["x"].to_numpy() - med) > 5 * mad).sum()
+        )
