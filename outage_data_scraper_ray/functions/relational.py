@@ -8476,3 +8476,279 @@ FROM c
 SQL_QUERIES["stratified_split"] = (stratified_split, STRATIFIED_SPLIT_SQL)
 SQL_QUERIES["mad_outliers"] = (mad_outliers, MAD_OUTLIERS_SQL)
 SQL_QUERIES["daily_deltas"] = (daily_deltas, DAILY_DELTAS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# daily percentiles: p50/p95 of the value distribution per calendar day —
+# the SLO-dashboard time series. Same bounded-domain histogram doctrine as
+# grouped_percentiles/mad_outliers: (day, value) count partials, per-day
+# ceil-rank selection from cumulative counts, exact integers throughout.
+
+def _daily_pctl_block(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["day", "x"], as_index=False).agg(c=("c", "sum"))
+    outs = []
+    for day, grp in c.groupby("day", sort=False):
+        grp = grp.sort_values("x", kind="mergesort")
+        v = grp["x"].to_numpy(np.int64)
+        cnt = np.cumsum(grp["c"].to_numpy(np.int64))
+        n = int(cnt[-1])
+        p50 = int(v[np.searchsorted(cnt, (50 * n + 99) // 100)])
+        p95 = int(v[np.searchsorted(cnt, (95 * n + 99) // 100)])
+        outs.append((day, n, p50, p95))
+    return pd.DataFrame(
+        outs, columns=["day", "n", "p50_c", "p95_c"]
+    ).astype("int64")
+
+
+def daily_percentiles(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "day": df["ts"].astype("datetime64[us]").astype("int64")
+                // 86_400_000_000,
+                "x": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+                "c": 1,
+            }
+        )
+        return g.groupby(["day", "x"], as_index=False).agg(c=("c", "sum"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["day"], _daily_pctl_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+DAILY_PCTL_SQL = """
+WITH v AS (
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(ROUND(value * 100) AS BIGINT) AS x
+    FROM events
+), r AS (
+    SELECT day, x,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY x) AS rn,
+           COUNT(*) OVER (PARTITION BY day) AS n
+    FROM v
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN x END)
+            AS BIGINT) AS p50_c,
+       CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN x END)
+            AS BIGINT) AS p95_c
+FROM r GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# first/last-touch attribution: per user, the event type that opened and
+# the one that closed their history (by (ts, event_id) order) plus totals —
+# the marketing-attribution staple. Per-batch partials reduce each batch to
+# one (user, first_ts, first_id, first_type, last_..., n) row per key —
+# mergeable min/max WITH payloads, so the shuffle is key-grain.
+
+def _attribution_block(df: pd.DataFrame) -> pd.DataFrame:
+    asc = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    first = asc.drop_duplicates("user_id", keep="first")
+    last = asc.drop_duplicates("user_id", keep="last")
+    n = df.groupby("user_id")["n"].sum()
+    out = pd.DataFrame(
+        {
+            "user_id": first["user_id"].to_numpy(np.int64),
+            "ts_us": first["ts_us"].to_numpy(np.int64),
+            "event_id": first["event_id"].to_numpy(np.int64),
+            "first_type": first["first_type"].to_numpy(),
+            "last_ts_us": last.set_index("user_id")["last_ts_us"].loc[
+                first["user_id"]
+            ].to_numpy(np.int64),
+            "last_event_id": last.set_index("user_id")["last_event_id"].loc[
+                first["user_id"]
+            ].to_numpy(np.int64),
+            "last_type": last.set_index("user_id")["last_type"].loc[
+                first["user_id"]
+            ].to_numpy(),
+            "n": n.loc[first["user_id"]].to_numpy(np.int64),
+        }
+    )
+    return out
+
+
+def attribution(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "first_type": df["event_type"].to_numpy(),
+            }
+        )
+        asc = b.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        first = asc.drop_duplicates("user_id", keep="first")
+        last = asc.drop_duplicates("user_id", keep="last")
+        out = first.copy()
+        li = last.set_index("user_id")
+        out["last_ts_us"] = li["ts_us"].loc[out["user_id"]].to_numpy(np.int64)
+        out["last_event_id"] = li["event_id"].loc[out["user_id"]].to_numpy(
+            np.int64
+        )
+        out["last_type"] = li["first_type"].loc[out["user_id"]].to_numpy()
+        out["n"] = asc.groupby("user_id").size().loc[out["user_id"]].to_numpy(
+            np.int64
+        )
+        return out
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    res = _gated_grouped(
+        partials, ["user_id"], _attribution_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    return df[["user_id", "first_type", "last_type", "n"]].sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
+ATTRIBUTION_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), r AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS rf,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+           ) AS rl,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM v
+)
+SELECT user_id,
+       MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity report: the pre-flight data-quality check — how
+# many child rows point at missing parents and how many parents have no
+# children, both directions. Small regime: parent/child key DOMAINS ship
+# once as SORTED numpy arrays (np.isin, C-speed) — never python sets.
+# Large regime (orders past the bound): per-batch partials shrink both
+# sides to key-grain (k, n_li) / (k, is_order) rows, ONE tagged-union hash
+# shuffle co-locates each key, and the block kernel emits 4 scalar
+# partials per block — nothing key-sized ever touches the driver. (The
+# first cut broadcast 15M-key python sets and measured 500 s at sf10;
+# this shape runs in ~20 s, BASELINE.md batch 17.)
+
+def _ref_block(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("k").agg(
+        n_li=("n_li", "sum"), is_order=("is_order", "max")
+    )
+    n_orders = int(g["is_order"].sum())
+    childless = int(((g["is_order"] == 1) & (g["n_li"] == 0)).sum())
+    n_li = int(g["n_li"].sum())
+    orphan = int(g.loc[g["is_order"] == 0, "n_li"].sum())
+    return pd.DataFrame(
+        {
+            "n_orders": [n_orders],
+            "n_childless_orders": [childless],
+            "n_lineitems": [n_li],
+            "n_orphan_lineitems": [orphan],
+        }
+    )
+
+
+def referential_report(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    if _table_rows(sf_dir, "orders") <= driver_threshold:
+        okeys = np.sort(orders.to_pandas()["o_orderkey"].to_numpy(np.int64))
+        okeys_ref = ray.put(okeys)
+
+        def _li_part(df: pd.DataFrame, _o=okeys_ref) -> pd.DataFrame:
+            k = df["l_orderkey"].to_numpy(np.int64)
+            ok = np.isin(k, ray.get(_o), assume_unique=False)
+            u = pd.DataFrame({"k": np.unique(k)})
+            return pd.DataFrame(
+                {
+                    "n_li": [len(k)],
+                    "n_li_orphan": [int((~ok).sum())],
+                    "keys": [u["k"].to_numpy().tobytes()],
+                }
+            )
+
+        parts = li.map_batches(_li_part, batch_format="pandas").to_pandas()
+        lkeys = np.unique(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in parts["keys"]]
+            )
+            if len(parts)
+            else np.array([], dtype=np.int64)
+        )
+        childless = int((~np.isin(okeys, lkeys)).sum())
+        return pd.DataFrame(
+            {
+                "n_orders": [len(okeys)],
+                "n_childless_orders": [childless],
+                "n_lineitems": [int(parts["n_li"].sum())],
+                "n_orphan_lineitems": [int(parts["n_li_orphan"].sum())],
+            }
+        )
+
+    def _tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["o_orderkey"].to_numpy(np.int64),
+                "n_li": np.int64(0),
+                "is_order": np.int8(1),
+            }
+        )
+
+    def _tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"k": df["l_orderkey"].to_numpy(np.int64), "n_li": 1})
+            .groupby("k", as_index=False)
+            .agg(n_li=("n_li", "sum"))
+        )
+        g["is_order"] = np.int8(0)
+        return g
+
+    tagged = orders.map_batches(_tag_o, batch_format="pandas").union(
+        li.map_batches(_tag_l, batch_format="pandas")
+    )
+    blocks = hash_partitioned_map_batches(tagged, ["k"], _ref_block).to_pandas()
+    return pd.DataFrame({c: [int(blocks[c].sum())] for c in blocks.columns})
+
+
+REFERENTIAL_SQL = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        )) AS n_childless_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )) AS n_orphan_lineitems
+"""
+
+
+SQL_QUERIES["daily_percentiles"] = (daily_percentiles, DAILY_PCTL_SQL)
+SQL_QUERIES["attribution"] = (attribution, ATTRIBUTION_SQL)
+SQL_QUERIES["referential_report"] = (referential_report, REFERENTIAL_SQL)

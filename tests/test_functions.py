@@ -2621,3 +2621,61 @@ def test_mad_outliers_rederived(ray_session):
         assert got.loc[et, "n_outliers"] == int(
             (np.abs(grp["x"].to_numpy() - med) > 5 * mad).sum()
         )
+
+
+def test_batch10_r5b_forced_distributed_matches_driver(ray_session):
+    """daily_percentiles / attribution gated sites: forced hash-shuffle
+    branch bit-exact vs driver branch."""
+    from outage_data_scraper_ray.functions.relational import (
+        attribution,
+        daily_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in ((daily_percentiles, ["day"]), (attribution, ["user_id"])):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True
+        )
+
+
+def test_attribution_rederived(ray_session):
+    from outage_data_scraper_ray.functions.relational import attribution
+
+    sf = "/root/testdata/sf0.001"
+    got = attribution(sf)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).set_index(
+        "user_id"
+    )
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in list(ev.groupby("user_id"))[:25]:
+        assert got.loc[uid, "first_type"] == grp["event_type"].iloc[0]
+        assert got.loc[uid, "last_type"] == grp["event_type"].iloc[-1]
+        assert got.loc[uid, "n"] == len(grp)
+
+
+def test_referential_report_planted(ray_session):
+    """Synthetic data has full integrity both directions at sf0.001."""
+    from outage_data_scraper_ray.functions.relational import referential_report
+
+    out = referential_report("/root/testdata/sf0.001")
+    assert out["n_orphan_lineitems"].iloc[0] == 0
+    assert out["n_orders"].iloc[0] > 0 and out["n_lineitems"].iloc[0] > 0
+
+
+def test_referential_report_forced_distributed(ray_session):
+    """Tagged-union shuffle path equals the broadcast path exactly."""
+    from outage_data_scraper_ray.functions.relational import referential_report
+
+    sf = "/root/testdata/sf0.001"
+    a = referential_report(sf)
+    b = referential_report(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
