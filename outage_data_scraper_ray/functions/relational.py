@@ -6957,10 +6957,26 @@ def cumulative_users(
     first_seen = _gated_grouped(
         partials, ["user_id"], _min_block,
         _table_rows(sf_dir, "events"), driver_threshold,
-    ).to_pandas()  # user-grain, not event-grain
-    per_day = (
-        first_seen.groupby("day").size().sort_index()
     )
+    if isinstance(first_seen, pd.DataFrame):
+        day_counts = first_seen.groupby("day", as_index=False).agg(
+            n=("day", "size")
+        )
+    else:
+        # shrink user-grain to DAY grain in the workers before the driver
+        # pull — the driver never holds a row per user
+        day_counts = (
+            first_seen.map_batches(
+                lambda df: df.groupby("day", as_index=False).agg(
+                    n=("day", "size")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()  # day-grain
+            .groupby("day", as_index=False)
+            .agg(n=("n", "sum"))
+        )
+    per_day = day_counts.set_index("day")["n"].sort_index()
     out = pd.DataFrame(
         {
             "day": per_day.index.to_numpy(np.int64),
@@ -7146,8 +7162,24 @@ def degree_histogram(
     deg = _gated_grouped(
         partials, ["user_id"], _deg_block,
         _table_rows(sf_dir, "events"), driver_threshold,
-    ).to_pandas()  # user-grain
-    h = deg.groupby("degree").size().sort_index()
+    )
+    if isinstance(deg, pd.DataFrame):
+        dh = deg.groupby("degree", as_index=False).agg(n=("degree", "size"))
+    else:
+        # shrink user-grain to DEGREE grain in the workers before the
+        # driver pull — the driver never holds a row per user
+        dh = (
+            deg.map_batches(
+                lambda df: df.groupby("degree", as_index=False).agg(
+                    n=("degree", "size")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()  # degree-domain grain
+            .groupby("degree", as_index=False)
+            .agg(n=("n", "sum"))
+        )
+    h = dh.set_index("degree")["n"].sort_index()
     return pd.DataFrame(
         {
             "degree": h.index.to_numpy(np.int64),
