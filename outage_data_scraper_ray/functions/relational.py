@@ -6071,14 +6071,16 @@ def ngram_lm_score(
         partials, ["w"], _sum_block,
         _table_rows(sf_dir, "documents"), driver_threshold,
     ).to_pandas()  # vocab-sized, not corpus-sized
+    import ray
+
     total = int(vocab["n"].sum())
-    cmap = dict(zip(vocab["w"], vocab["n"].astype("int64")))
+    cmap_ref = ray.put(dict(zip(vocab["w"], vocab["n"].astype("int64"))))
     ln_total = float(np.log(float(total)))
 
-    def _score(df: pd.DataFrame) -> pd.DataFrame:
+    def _score(df: pd.DataFrame, _c=cmap_ref) -> pd.DataFrame:
         words = df["text"].fillna("").str.lower().str.findall(word_re)
         e = df[["doc_id"]].join(words.rename("w")).explode("w").dropna()
-        ln = np.log(e["w"].map(cmap).to_numpy(np.float64))
+        ln = np.log(e["w"].map(ray.get(_c)).to_numpy(np.float64))
         g = pd.DataFrame(
             {"doc_id": e["doc_id"].to_numpy(np.int64), "ln": ln}
         ).groupby("doc_id", as_index=False).agg(
@@ -6851,16 +6853,18 @@ def brand_cooccurrence(
     brands = np.sort(part["p_brand"].unique())
     nb = len(brands)
     code_of = {b: i for i, b in enumerate(brands)}
-    code_map = {
-        k: code_of[b] for k, b in zip(part["p_partkey"], part["p_brand"])
-    }
+    import ray
+
+    code_map_ref = ray.put(
+        {k: code_of[b] for k, b in zip(part["p_partkey"], part["p_brand"])}
+    )
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+    def _distinct(df: pd.DataFrame, _m=code_map_ref) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-                "code": df["l_partkey"].map(code_map).to_numpy(np.int64),
+                "code": df["l_partkey"].map(ray.get(_m)).to_numpy(np.int64),
             }
         )
         return out.drop_duplicates()
@@ -7093,15 +7097,17 @@ def tokenize_ids(
     top = vocab.sort_values(
         ["n", "w"], ascending=[False, True], kind="mergesort"
     ).head(_VOCAB_K)
-    ids = {w: i + 1 for i, w in enumerate(top["w"])}
+    import ray
 
-    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+    ids_ref = ray.put({w: i + 1 for i, w in enumerate(top["w"])})
+
+    def _enc(df: pd.DataFrame, _i=ids_ref) -> pd.DataFrame:
         words = df["text"].fillna("").str.lower().str.findall(word_re)
         e = df[["doc_id"]].join(words.rename("tok")).explode("tok").dropna()
         e["pos"] = e.groupby("doc_id").cumcount()
         e = e[e["pos"] < _TOK_MAXLEN]
         e["id"] = (
-            e["tok"].map(ids).fillna(0).astype(np.int64).astype(str)
+            e["tok"].map(ray.get(_i)).fillna(0).astype(np.int64).astype(str)
         )
         g = e.groupby("doc_id", sort=False)["id"].agg(",".join)
         return pd.DataFrame(
