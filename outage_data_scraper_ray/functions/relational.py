@@ -8790,3 +8790,173 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
 SQL_QUERIES["daily_percentiles"] = (daily_percentiles, DAILY_PCTL_SQL)
 SQL_QUERIES["attribution"] = (attribution, ATTRIBUTION_SQL)
 SQL_QUERIES["referential_report"] = (referential_report, REFERENTIAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scores: rank documents by how much more likely
+# their tokens are under a TARGET unigram LM (here: the lang='en' slice)
+# than under the SOURCE LM (the whole corpus) — data-selection-by-
+# importance-resampling's scoring stage. Two count passes share one
+# partial kernel; both vocab tables combine gated and broadcast once; the
+# score is sum(ln(c_t / N_t) - ln(c_s / N_s)) / n over the doc's tokens
+# that exist in BOTH vocabs (smoothing-free, mirrored in the SQL join).
+
+def dsir_scores(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    word_re = re.compile(r"\w+")
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = pd.DataFrame(
+            {"w": words.explode().dropna(),
+             "tgt": np.repeat((df["lang"] == "en").to_numpy(),
+                              words.str.len().fillna(0).astype(int))}
+        )
+        g = e.groupby(["w", "tgt"], as_index=False).agg(n=("tgt", "size"))
+        return g
+
+    partials = docs.map_batches(_counts, batch_format="pandas")
+
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["w", "tgt"], as_index=False).agg(n=("n", "sum"))
+
+    vocab = _gated_grouped(
+        partials, ["w", "tgt"], _sum_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    ).to_pandas()  # vocab-sized
+    src_counts = vocab.groupby("w", as_index=False).agg(n=("n", "sum"))
+    tgt_counts = vocab[vocab["tgt"]].groupby("w", as_index=False).agg(
+        n=("n", "sum")
+    )
+    n_src = int(src_counts["n"].sum())
+    n_tgt = int(tgt_counts["n"].sum())
+    src_ref = ray.put(dict(zip(src_counts["w"], src_counts["n"].astype("int64"))))
+    tgt_ref = ray.put(dict(zip(tgt_counts["w"], tgt_counts["n"].astype("int64"))))
+    ln_ns, ln_nt = float(np.log(float(n_src))), float(np.log(float(n_tgt)))
+
+    def _score(df: pd.DataFrame, _s=src_ref, _t=tgt_ref) -> pd.DataFrame:
+        sm, tm = ray.get(_s), ray.get(_t)
+        words = df["text"].fillna("").str.lower().str.findall(word_re)
+        e = df[["doc_id"]].join(words.rename("w")).explode("w").dropna()
+        ct = e["w"].map(tm)
+        keep = ct.notna()
+        e = e[keep]
+        ct = ct[keep].to_numpy(np.float64)
+        cs = e["w"].map(sm).to_numpy(np.float64)
+        term = (np.log(ct) - ln_nt) - (np.log(cs) - ln_ns)
+        g = pd.DataFrame(
+            {"doc_id": e["doc_id"].to_numpy(np.int64), "term": term}
+        ).groupby("doc_id", as_index=False).agg(
+            n_scored=("term", "size"), s=("term", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_scored": g["n_scored"].astype("int64"),
+                "dsir": g["s"].to_numpy() / g["n_scored"].to_numpy(np.float64),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
+DSIR_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\w+')) AS w
+    FROM documents
+), src AS (
+    SELECT w, COUNT(*) AS cs FROM tok GROUP BY w
+), tgt AS (
+    SELECT w, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY w
+), ns AS (
+    SELECT SUM(cs) AS n FROM src
+), nt AS (
+    SELECT SUM(ct) AS n FROM tgt
+), per AS (
+    SELECT t.doc_id, COUNT(*) AS n_scored,
+           SUM((LN(CAST(tgt.ct AS DOUBLE)) - LN(CAST(nt.n AS DOUBLE)))
+               - (LN(CAST(src.cs AS DOUBLE)) - LN(CAST(ns.n AS DOUBLE)))) AS s
+    FROM tok t
+    JOIN tgt ON t.w = tgt.w
+    JOIN src ON t.w = src.w, ns, nt
+    GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
+       s / n_scored AS dsir
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup-rate report: the one-row corpus-health summary an exact-dedup run
+# prints — documents, distinct texts, duplicate share. Per-batch (md5, n)
+# partials, gated distinct combine, then three scalars; the dup_rate is
+# one fixed double division from exact integers.
+
+def dedup_rate_report(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf8")).hexdigest()
+        )
+        g = pd.DataFrame({"h": h.to_numpy(), "n": 1})
+        return g.groupby("h", as_index=False).agg(n=("n", "sum"))
+
+    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(n=("n", "sum"))
+
+    partials = docs.map_batches(_partial, batch_format="pandas")
+    combined = _gated_grouped(
+        partials, ["h"], _sum_block,
+        _table_rows(sf_dir, "documents"), driver_threshold,
+    )
+
+    def _scalars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_docs": [int(df["n"].sum())], "n_unique": [len(df)]}
+        )
+
+    if isinstance(combined, pd.DataFrame):
+        stats = _scalars(combined)
+    else:
+        stats = (
+            combined.map_batches(_scalars, batch_format="pandas")
+            .to_pandas().sum().to_frame().T
+        )
+    n_docs = int(stats["n_docs"].iloc[0])
+    n_unique = int(stats["n_unique"].iloc[0])
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_unique": [n_unique],
+            "dup_rate": [float(n_docs - n_unique) / float(n_docs)],
+        }
+    )
+
+
+DEDUP_RATE_SQL = """
+WITH h AS (
+    SELECT md5(COALESCE(text, '')) AS h FROM documents
+), a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique
+    FROM h
+)
+SELECT n_docs, n_unique,
+       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+FROM a
+"""
+
+
+SQL_QUERIES["dsir_scores"] = (dsir_scores, DSIR_SQL)
+SQL_QUERIES["dedup_rate_report"] = (dedup_rate_report, DEDUP_RATE_SQL)

@@ -2679,3 +2679,39 @@ def test_referential_report_forced_distributed(ray_session):
     a = referential_report(sf)
     b = referential_report(sf, driver_threshold=0)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_batch11_r5b_forced_distributed_matches_driver(ray_session):
+    """dsir_scores / dedup_rate_report gated sites: forced branch equality."""
+    from outage_data_scraper_ray.functions.relational import (
+        dedup_rate_report,
+        dsir_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    for fn, key in ((dsir_scores, ["doc_id"]), (dedup_rate_report, ["n_docs"])):
+        a = _pd(fn(sf)).sort_values(key).reset_index(drop=True)
+        b = _pd(fn(sf, driver_threshold=0)).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_exact=True,
+            atol=0, rtol=0,
+        )
+
+
+def test_dsir_scores_direction(ray_session):
+    """English docs should on average score higher under the en-target LM
+    than non-English docs (the whole point of DSIR)."""
+    from outage_data_scraper_ray.functions.relational import dsir_scores
+
+    sf = "/root/testdata/sf0.001"
+    got = dsir_scores(sf)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    j = got.merge(docs, on="doc_id")
+    en = j.loc[j["lang"] == "en", "dsir"].mean()
+    rest = j.loc[j["lang"] != "en", "dsir"].mean()
+    assert en > rest
