@@ -8960,3 +8960,147 @@ FROM a
 
 SQL_QUERIES["dsir_scores"] = (dsir_scores, DSIR_SQL)
 SQL_QUERIES["dedup_rate_report"] = (dedup_rate_report, DEDUP_RATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier): parts not STRICTLY dominated on (size,
+# retail-price) — the multi-objective shortlist query. Classic distributed
+# shape: each block computes its LOCAL skyline vectorized (per-x max, then
+# y > running-max-over-greater-x), the true skyline is a subset of the
+# union of local skylines (a dominating point in another block can only
+# REMOVE points), so the driver re-runs the identical kernel on the
+# frontier-sized union. Exact integers.
+
+def _skyline_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    mx = df.groupby("x", as_index=False).agg(my=("y", "max")).sort_values(
+        "x", ascending=False, kind="mergesort"
+    )
+    better = mx["my"].cummax().shift(1)
+    thresh = dict(zip(mx["x"], better))
+    t = df["x"].map(thresh)
+    keep = t.isna() | (df["y"] > t)
+    out = df[keep]
+    return pd.DataFrame(
+        {
+            "p_partkey": out["p_partkey"].astype("int64"),
+            "x": out["x"].astype("int64"),
+            "y": out["y"].astype("int64"),
+        }
+    )
+
+
+def skyline_parts(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "x": df["p_size"].to_numpy(np.int64),
+                "y": np.round(
+                    df["p_retailprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return _skyline_kernel(b)
+
+    local = ds.map_batches(_local, batch_format="pandas").to_pandas()
+    out = _skyline_kernel(local)  # frontier-sized input
+    return out.sort_values("p_partkey", kind="mergesort").reset_index(drop=True)
+
+
+SKYLINE_SQL = """
+WITH p AS (
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+    FROM part
+), mx AS (
+    SELECT x, MAX(y) AS my FROM p GROUP BY x
+), r AS (
+    SELECT x,
+           MAX(my) OVER (
+               ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS better
+    FROM mx
+)
+SELECT p.p_partkey, p.x, p.y
+FROM p JOIN r USING (x)
+WHERE r.better IS NULL OR p.y > r.better
+ORDER BY p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TWAP: per-user time-weighted average value — each reading holds until
+# the next one, so the weight is the gap to the next event in seconds
+# (the last reading carries no weight). One hash shuffle on user_id; the
+# block kernel is one stable sort + shifted int64 arithmetic; the final
+# division is one fixed double expression from exact integer sums.
+
+def _twap_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    x = df["x_c"].to_numpy(np.int64)
+    n = len(df)
+    dur_s = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        same = uid[1:] == uid[:-1]
+        dur_s[:-1] = np.where(same, (ts[1:] - ts[:-1]) // 1_000_000, 0)
+    g = pd.DataFrame(
+        {"user_id": uid, "wx": x * dur_s, "w": dur_s}
+    ).groupby("user_id", as_index=False).agg(wx=("wx", "sum"), w=("w", "sum"))
+    g = g[g["w"] > 0]
+    return pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype("int64"),
+            "total_s": g["w"].astype("int64"),
+            "twap_c": g["wx"].to_numpy(np.int64).astype(np.float64)
+            / g["w"].to_numpy(np.int64).astype(np.float64),
+        }
+    )
+
+
+def twap(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "x_c": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _twap_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+TWAP_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS x_c
+    FROM events
+), d AS (
+    SELECT user_id, x_c,
+           COALESCE(LEAD(ts_us) OVER w - ts_us, 0) // 1000000 AS dur_s
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), a AS (
+    SELECT user_id, SUM(x_c * dur_s) AS wx, SUM(dur_s) AS w
+    FROM d GROUP BY user_id
+)
+SELECT user_id, CAST(w AS BIGINT) AS total_s,
+       CAST(wx AS DOUBLE) / CAST(w AS DOUBLE) AS twap_c
+FROM a WHERE w > 0
+"""
+
+
+SQL_QUERIES["skyline_parts"] = (skyline_parts, SKYLINE_SQL)
+SQL_QUERIES["twap"] = (twap, TWAP_SQL)

@@ -2715,3 +2715,59 @@ def test_dsir_scores_direction(ray_session):
     en = j.loc[j["lang"] == "en", "dsir"].mean()
     rest = j.loc[j["lang"] != "en", "dsir"].mean()
     assert en > rest
+
+
+def test_skyline_parts_dominance(ray_session):
+    """No kept point is strictly dominated; every dropped point is
+    dominated by some kept point (spot check) — and the two-level
+    local-then-global kernel equals a single global pass."""
+    from outage_data_scraper_ray.functions.relational import (
+        _skyline_kernel,
+        skyline_parts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = skyline_parts(sf)
+    part = pd.read_parquet(
+        f"{sf}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    b = pd.DataFrame(
+        {
+            "p_partkey": part["p_partkey"].astype("int64"),
+            "x": part["p_size"].astype("int64"),
+            "y": np.round(part["p_retailprice"] * 100).astype("int64"),
+        }
+    )
+    want = _skyline_kernel(b).sort_values("p_partkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    kept = got[["x", "y"]].to_numpy()
+    for x, y in kept[:50]:
+        dom = (b["x"] > x) & (b["y"] > y)
+        assert not dom.any()
+
+
+def test_twap_forced_and_hand_check(ray_session):
+    from outage_data_scraper_ray.functions.relational import _twap_block, twap
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(twap(sf)).sort_values("user_id").reset_index(drop=True)
+    b = _pd(twap(sf, driver_threshold=0)).sort_values("user_id").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # hand check: value 100 for 10s then 200 for 30s -> twap 175
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+            "ts_us": [0, 10_000_000, 40_000_000],
+            "x_c": [100, 200, 999],
+        }
+    )
+    out = _twap_block(df).set_index("user_id")
+    assert out.loc[1, "total_s"] == 40
+    assert out.loc[1, "twap_c"] == (100 * 10 + 200 * 30) / 40
