@@ -9104,3 +9104,147 @@ FROM a WHERE w > 0
 
 SQL_QUERIES["skyline_parts"] = (skyline_parts, SKYLINE_SQL)
 SQL_QUERIES["twap"] = (twap, TWAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation per user: Pearson correlation of consecutive value
+# pairs — the time-series stickiness feature. One hash shuffle on user_id;
+# the block kernel builds same-user (x_t, x_{t+1}) pairs by shifted slices
+# and reduces them to exact integer cross-moments per user; the corr is the
+# grouped_corr fixed expression. Degenerate users (zero variance on either
+# side) are filtered identically on both sides.
+
+def _autocorr_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    x = df["x_c"].to_numpy(np.int64)
+    if len(df) > 1:
+        same = uid[1:] == uid[:-1]
+        a, b, u = x[:-1][same], x[1:][same], uid[1:][same]
+    else:
+        a = b = u = np.array([], dtype=np.int64)
+    g = pd.DataFrame(
+        {"user_id": u, "one": 1, "a": a, "b": b,
+         "aa": a * a, "bb": b * b, "ab": a * b}
+    ).groupby("user_id", as_index=False).agg(
+        n=("one", "sum"), sa=("a", "sum"), sb=("b", "sum"),
+        saa=("aa", "sum"), sbb=("bb", "sum"), sab=("ab", "sum"),
+    )
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    sa = g["sa"].to_numpy(np.int64).astype(np.float64)
+    sb = g["sb"].to_numpy(np.int64).astype(np.float64)
+    saa = g["saa"].to_numpy(np.int64).astype(np.float64)
+    sbb = g["sbb"].to_numpy(np.int64).astype(np.float64)
+    sab = g["sab"].to_numpy(np.int64).astype(np.float64)
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    keep = (g["n"] > 1) & (va > 0) & (vb > 0)
+    corr = (n * sab - sa * sb) / (np.sqrt(va) * np.sqrt(vb))
+    out = pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype("int64"),
+            "n_pairs": g["n"].astype("int64"),
+            "acf1": corr,
+        }
+    )
+    return out[keep.to_numpy()]
+
+
+def autocorr_lag1(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "x_c": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _autocorr_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+AUTOCORR_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS x_c
+    FROM events
+), p AS (
+    SELECT user_id, x_c AS b,
+           LAG(x_c) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS a
+    FROM v
+), g AS (
+    SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+           SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+    FROM p WHERE a IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS acf1
+FROM g
+WHERE n > 1
+  AND CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact global-k deterministic sample: the k=100 documents with the
+# smallest Knuth hash — reproducible at any parallelism, re-run and
+# resume safe (the reservoir-sampling replacement everywhere RNG state
+# would break determinism). Per-batch partial top-k bounds the combine at
+# k x blocks.
+
+_GLOBAL_SAMPLE_K = 100
+
+
+def global_sample_k(sf_dir: str, k: int = _GLOBAL_SAMPLE_K) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        out = pd.DataFrame(
+            {"doc_id": ids.astype("int64"), "h": h.astype("int64")}
+        )
+        return out.nsmallest(k, ["h", "doc_id"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return (
+        parts.nsmallest(k, ["h", "doc_id"])  # k x blocks in, k out
+        .sort_values(["h", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+GLOBAL_SAMPLE_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(((doc_id % 4294967296) * 2654435761) % 4294967296
+                AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 100
+"""
+
+
+SQL_QUERIES["autocorr_lag1"] = (autocorr_lag1, AUTOCORR_SQL)
+SQL_QUERIES["global_sample_k"] = (global_sample_k, GLOBAL_SAMPLE_SQL)

@@ -2771,3 +2771,40 @@ def test_twap_forced_and_hand_check(ray_session):
     out = _twap_block(df).set_index("user_id")
     assert out.loc[1, "total_s"] == 40
     assert out.loc[1, "twap_c"] == (100 * 10 + 200 * 30) / 40
+
+
+def test_autocorr_lag1_paths_and_pandas(ray_session):
+    from outage_data_scraper_ray.functions.relational import autocorr_lag1
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(autocorr_lag1(sf)).sort_values("user_id").reset_index(drop=True)
+    b = _pd(autocorr_lag1(sf, driver_threshold=0)).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["x"] = np.round(ev["value"] * 100).astype("int64")
+    g = a.set_index("user_id")
+    for uid, grp in list(ev.groupby("user_id"))[:20]:
+        x = grp["x"].to_numpy()
+        if len(x) < 3:
+            continue
+        want = np.corrcoef(x[:-1], x[1:])[0, 1]
+        assert abs(g.loc[uid, "acf1"] - want) < 1e-9
+
+
+def test_global_sample_k_deterministic(ray_session):
+    from outage_data_scraper_ray.functions.relational import global_sample_k
+
+    sf = "/root/testdata/sf0.001"
+    a = global_sample_k(sf)
+    b = global_sample_k(sf)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 100
+    assert a["doc_id"].is_unique
