@@ -9248,3 +9248,90 @@ SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 100
 
 SQL_QUERIES["autocorr_lag1"] = (autocorr_lag1, AUTOCORR_SQL)
 SQL_QUERIES["global_sample_k"] = (global_sample_k, GLOBAL_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix: P(next event type | current type) estimated
+# from same-user consecutive pairs — the sequence-model prior a
+# next-action predictor trains against. Shifted-slice pairs per block
+# (after one user shuffle) reduce to (type_a, type_b) count partials;
+# probabilities are one fixed double division from exact integers against
+# the per-row-type totals.
+
+def _markov_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    if len(df) > 1:
+        same = uid[1:] == uid[:-1]
+        a, b = et[:-1][same], et[1:][same]
+    else:
+        a = b = np.array([], dtype=object)
+    return pd.DataFrame({"type_a": a, "type_b": b, "n": 1}).groupby(
+        ["type_a", "type_b"], as_index=False
+    ).agg(n=("n", "sum"))
+
+
+def markov_transitions(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"].to_numpy(),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    cells = (
+        _gated_grouped(
+            prepped, ["user_id"], _markov_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # type x type grain
+        .groupby(["type_a", "type_b"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    tot = cells.groupby("type_a")["n"].sum()
+    out = pd.DataFrame(
+        {
+            "type_a": cells["type_a"].to_numpy(),
+            "type_b": cells["type_b"].to_numpy(),
+            "n": cells["n"].astype("int64"),
+            "p": cells["n"].to_numpy(np.int64).astype(np.float64)
+            / tot.loc[cells["type_a"]].to_numpy(np.int64).astype(np.float64),
+        }
+    )
+    return out.sort_values(["type_a", "type_b"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+MARKOV_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), p AS (
+    SELECT user_id, event_type AS type_b,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS type_a
+    FROM v
+), c AS (
+    SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE type_a IS NOT NULL GROUP BY 1, 2
+), t AS (
+    SELECT type_a, SUM(n) AS tot FROM c GROUP BY type_a
+)
+SELECT c.type_a, c.type_b, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN t USING (type_a)
+ORDER BY 1, 2
+"""
+
+
+SQL_QUERIES["markov_transitions"] = (markov_transitions, MARKOV_SQL)

@@ -2808,3 +2808,15 @@ def test_global_sample_k_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 100
     assert a["doc_id"].is_unique
+
+
+def test_markov_transitions_rows_sum(ray_session):
+    """Each row of the transition matrix sums to 1; paths bit-exact."""
+    from outage_data_scraper_ray.functions.relational import markov_transitions
+
+    sf = "/root/testdata/sf0.001"
+    a = markov_transitions(sf)
+    b = markov_transitions(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    rs = a.groupby("type_a")["p"].sum()
+    assert np.allclose(rs.to_numpy(), 1.0, atol=1e-12)
