@@ -6673,12 +6673,15 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
     )
     mn = mm["mn"].to_numpy()
     scale = mm["mx"].to_numpy() - mn
+    # degenerate (constant) dimension: every value maps to level 0 rather
+    # than dividing by zero — mirrored by the CASE in the SQL
+    safe_scale = np.where(scale == 0.0, 1.0, scale)
 
     def _q(t: pa.Table) -> pa.Table:
         m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
         )
-        q = np.floor((m - mn) * 255.0 / scale).astype(np.int64)
+        q = np.floor((m - mn) * 255.0 / safe_scale).astype(np.int64)
         d = m.shape[1]
         return pa.table(
             {
@@ -6703,8 +6706,9 @@ WITH e AS (
     FROM e GROUP BY dim
 )
 SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
-       CAST(FLOOR((CAST(e.x AS DOUBLE) - s.mn) * 255.0 / (s.mx - s.mn))
-            AS BIGINT) AS q
+       CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((CAST(e.x AS DOUBLE) - s.mn) * 255.0
+                            / (s.mx - s.mn)) AS BIGINT) END AS q
 FROM e JOIN s USING (dim)
 """
 
