@@ -9339,3 +9339,171 @@ ORDER BY 1, 2
 
 
 SQL_QUERIES["markov_transitions"] = (markov_transitions, MARKOV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# label centroids: the mean embedding per label — class prototypes for
+# nearest-centroid classifiers and drift monitors. Element sums use the
+# scaled-integer trick (round(x * 1e6) int64), so per-batch (label, dim)
+# partials combine exactly at any parallelism; the centroid is one fixed
+# double expression from those integers.
+
+_CENTROID_SCALE = 1_000_000.0
+
+
+def _embedding_scaled_partials(t: pa.Table) -> pd.DataFrame:
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    s = np.round(m * _CENTROID_SCALE).astype(np.int64)
+    lab = t["label"].to_numpy()
+    d = m.shape[1]
+    df = pd.DataFrame(
+        {
+            "label": np.repeat(lab, d).astype(np.int64),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(m)),
+            "s": s.ravel(),
+            "n": 1,
+        }
+    )
+    return df.groupby(["label", "dim"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+
+
+def _centroid_table(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    parts = (
+        ds.map_batches(_embedding_scaled_partials, batch_format="pyarrow")
+        .to_pandas()  # (label x dim) grain
+        .groupby(["label", "dim"], as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+    )
+    parts["centroid"] = (
+        parts["s"].to_numpy(np.int64).astype(np.float64)
+        / parts["n"].to_numpy(np.int64)
+    ) / _CENTROID_SCALE
+    return parts
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    parts = _centroid_table(sf_dir)
+    out = parts[["label", "dim", "centroid"]].copy()
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["label", "dim"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+    SELECT label, unnest(embedding) AS x,
+           unnest(range(len(embedding))) AS dim
+    FROM embeddings
+), sc AS (
+    SELECT label, dim,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM e GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(s AS DOUBLE) / n / 1000000.0 AS centroid
+FROM sc ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette per label: how well the label structure separates
+# in embedding space — a(i) = distance to the OWN centroid, b(i) = min
+# distance to any OTHER centroid, s = (b-a)/max(a,b), averaged per label.
+# The centroid table (labels x dims, tiny) broadcasts; the scoring pass is
+# one matmul-free vectorized distance block per batch with label-grain
+# partial sums. The clustering-eval companion to kmeans_clusters.
+
+def label_silhouette(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    cent = _centroid_table(sf_dir)
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["dim"].max()) + 1
+    C = np.zeros((len(labels), d), dtype=np.float64)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    for _, r in cent.iterrows():
+        C[lab_pos[int(r["label"])], int(r["dim"])] = r["centroid"]
+    C_ref = ray.put((C, lab_pos))
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _score(t: pa.Table, _c=C_ref) -> pd.DataFrame:
+        Cm, pos = ray.get(_c)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        lab = t["label"].to_numpy()
+        li = np.array([pos[int(x)] for x in lab], dtype=np.int64)
+        # squared distances to every centroid: (n, k)
+        dd = ((m[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(dd)
+        a = dist[np.arange(len(m)), li]
+        masked = dist.copy()
+        masked[np.arange(len(m)), li] = np.inf
+        b = masked.min(axis=1)
+        sil = (b - a) / np.maximum(a, b)
+        g = pd.DataFrame({"label": lab.astype(np.int64), "sil": sil, "n": 1})
+        return g.groupby("label", as_index=False).agg(
+            s=("sil", "sum"), n=("n", "sum")
+        )
+
+    parts = (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .to_pandas()  # label-grain
+        .groupby("label", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .sort_values("label")
+    )
+    return pd.DataFrame(
+        {
+            "label": parts["label"].astype("int64"),
+            "n": parts["n"].astype("int64"),
+            "mean_sil": parts["s"].to_numpy()
+            / parts["n"].to_numpy(np.int64).astype(np.float64),
+        }
+    ).reset_index(drop=True)
+
+
+LABEL_SILHOUETTE_SQL = """
+WITH e AS (
+    SELECT vec_id, label, unnest(embedding) AS x,
+           unnest(range(len(embedding))) AS dim
+    FROM embeddings
+), sc AS (
+    SELECT label, dim,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM e GROUP BY 1, 2
+), c AS (
+    SELECT label AS clabel, dim,
+           CAST(s AS DOUBLE) / n / 1000000.0 AS cj
+    FROM sc
+), d2 AS (
+    SELECT e.vec_id, e.label, c.clabel,
+           SUM((CAST(e.x AS DOUBLE) - c.cj) * (CAST(e.x AS DOUBLE) - c.cj))
+               AS dd
+    FROM e JOIN c USING (dim)
+    GROUP BY 1, 2, 3
+), ab AS (
+    SELECT vec_id, label,
+           SQRT(MAX(CASE WHEN clabel = label THEN dd END)) AS a,
+           SQRT(MIN(CASE WHEN clabel <> label THEN dd END)) AS b
+    FROM d2 GROUP BY 1, 2
+), s AS (
+    SELECT label, (b - a) / GREATEST(a, b) AS sil FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(sil) / COUNT(*) AS mean_sil
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+SQL_QUERIES["label_centroids"] = (label_centroids, LABEL_CENTROIDS_SQL)
+SQL_QUERIES["label_silhouette"] = (label_silhouette, LABEL_SILHOUETTE_SQL)

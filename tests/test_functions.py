@@ -2820,3 +2820,47 @@ def test_markov_transitions_rows_sum(ray_session):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     rs = a.groupby("type_a")["p"].sum()
     assert np.allclose(rs.to_numpy(), 1.0, atol=1e-12)
+
+
+def test_label_centroids_rederived(ray_session):
+    from outage_data_scraper_ray.functions.relational import label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    got = label_centroids(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    s = np.round(m * 1e6).astype(np.int64)
+    for lab in sorted(emb["label"].unique())[:3]:
+        mask = (emb["label"] == lab).to_numpy()
+        want = s[mask].sum(axis=0).astype(np.float64) / mask.sum() / 1e6
+        g = got[got["label"] == lab].sort_values("dim")["centroid"].to_numpy()
+        assert np.array_equal(g, want)
+
+
+def test_label_silhouette_bounds(ray_session):
+    """Silhouette values live in [-1, 1]; per-label means match a numpy
+    re-derivation."""
+    from outage_data_scraper_ray.functions.relational import label_silhouette
+
+    sf = "/root/testdata/sf0.001"
+    got = label_silhouette(sf).set_index("label")
+    assert got["mean_sil"].between(-1, 1).all()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labs = emb["label"].to_numpy()
+    uniq = np.sort(np.unique(labs))
+    s = np.round(m * 1e6).astype(np.int64)
+    C = np.stack(
+        [s[labs == l].sum(axis=0).astype(np.float64) / (labs == l).sum() / 1e6
+         for l in uniq]
+    )
+    dist = np.sqrt(((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    li = np.searchsorted(uniq, labs)
+    a = dist[np.arange(len(m)), li]
+    masked = dist.copy()
+    masked[np.arange(len(m)), li] = np.inf
+    b = masked.min(axis=1)
+    sil = (b - a) / np.maximum(a, b)
+    for i, l in enumerate(uniq[:4]):
+        want = sil[labs == l].mean()
+        assert abs(got.loc[l, "mean_sil"] - want) < 1e-9
