@@ -55,6 +55,20 @@ def _table_rows(sf_dir: str, table: str) -> int:
 _GROUP_DRIVER_THRESHOLD = 500_000
 
 
+def _knuth_hash_u32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit Knuth multiplicative hash of int64 ids.
+
+    Reduces mod 2^32 BEFORE the multiply — (a*c) mod 2^32 is unchanged and
+    the product never wraps uint64, so the value matches the oracles'
+    HUGEINT arithmetic for the full int64 id range. Shared by every
+    hash-rank sampler/splitter so the engine and all SQL mirrors stay in
+    lockstep."""
+    u = ids.astype(np.uint64)
+    return (
+        (u % np.uint64(1 << 32)) * np.uint64(2654435761)
+    ) % np.uint64(1 << 32)
+
+
 def _gated_grouped(
     ds: rd.Dataset,
     keys: list[str],
@@ -6051,9 +6065,12 @@ WHERE ho IS NULL OR hn IS NULL OR ho <> hn
 # Logs are libm doubles on both sides; the 6dp gate canon absorbs the
 # sub-ulp summation-order noise.
 
-def ngram_lm_score(
-    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
-) -> rd.Dataset | pd.DataFrame:
+def _word_count_vocab(
+    sf_dir: str, driver_threshold: int
+) -> pd.DataFrame:
+    """Corpus unigram counts (w, n) via per-batch value_counts partials and
+    the gated combine — the shared train pass of ngram_lm_score and
+    tokenize_ids (one tokenization definition, one SQL mirror)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     word_re = re.compile(r"\w+")
 
@@ -6067,10 +6084,18 @@ def ngram_lm_score(
     def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("w", as_index=False).agg(n=("n", "sum"))
 
-    vocab = _gated_grouped(
+    return _gated_grouped(
         partials, ["w"], _sum_block,
         _table_rows(sf_dir, "documents"), driver_threshold,
     ).to_pandas()  # vocab-sized, not corpus-sized
+
+
+def ngram_lm_score(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+    vocab = _word_count_vocab(sf_dir, driver_threshold)
     import ray
 
     total = int(vocab["n"].sum())
@@ -6781,7 +6806,7 @@ EVENT_SESSIONS_SQL = """
 WITH v AS (
     SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
 ), g AS (
-    SELECT user_id, ts_us,
+    SELECT user_id, ts_us, event_id,
            CASE WHEN LAG(ts_us) OVER w IS NULL
                      OR ts_us - LAG(ts_us) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS brk
@@ -6789,7 +6814,7 @@ WITH v AS (
 ), s AS (
     SELECT user_id, ts_us,
            SUM(brk) OVER (
-               PARTITION BY user_id ORDER BY ts_us
+               PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS UNBOUNDED PRECEDING
            ) AS seg
     FROM g
@@ -6813,11 +6838,8 @@ def train_test_split(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.uint64)
-        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
-            1 << 32
-        )
-        b = (h % np.uint64(100)).astype(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        b = (_knuth_hash_u32(ids) % np.uint64(100)).astype(np.int64)
         split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
         return pd.DataFrame(
             {"doc_id": ids.astype("int64"), "split": split}
@@ -6829,7 +6851,7 @@ def train_test_split(sf_dir: str) -> rd.Dataset:
 TRAIN_TEST_SPLIT_SQL = """
 WITH h AS (
     SELECT doc_id,
-           ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 AS b
+           (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 % 100 AS b
     FROM documents
 )
 SELECT doc_id,
@@ -6966,24 +6988,20 @@ def cumulative_users(
         partials, ["user_id"], _min_block,
         _table_rows(sf_dir, "events"), driver_threshold,
     )
-    if isinstance(first_seen, pd.DataFrame):
-        day_counts = first_seen.groupby("day", as_index=False).agg(
-            n=("day", "size")
+    # shrink user-grain to DAY grain in the workers before the driver
+    # pull — the driver never holds a row per user (_gated_grouped always
+    # returns a Dataset, including on its driver branch)
+    day_counts = (
+        first_seen.map_batches(
+            lambda df: df.groupby("day", as_index=False).agg(
+                n=("day", "size")
+            ),
+            batch_format="pandas",
         )
-    else:
-        # shrink user-grain to DAY grain in the workers before the driver
-        # pull — the driver never holds a row per user
-        day_counts = (
-            first_seen.map_batches(
-                lambda df: df.groupby("day", as_index=False).agg(
-                    n=("day", "size")
-                ),
-                batch_format="pandas",
-            )
-            .to_pandas()  # day-grain
-            .groupby("day", as_index=False)
-            .agg(n=("n", "sum"))
-        )
+        .to_pandas()  # day-grain
+        .groupby("day", as_index=False)
+        .agg(n=("n", "sum"))
+    )
     per_day = day_counts.set_index("day")["n"].sort_index()
     out = pd.DataFrame(
         {
@@ -7022,31 +7040,36 @@ SQL_QUERIES["cumulative_users"] = (cumulative_users, CUMULATIVE_USERS_SQL)
 # cumcount + two grouped joins per batch, no shuffle. Deterministic mask
 # positions (no RNG) keep re-runs and resumes identical.
 
+_SPAN_MASK_RE = re.compile(r"\w+")
+
+
+def _span_mask_batch(df: pd.DataFrame) -> pd.DataFrame:
+    words = df["text"].fillna("").str.lower().str.findall(_SPAN_MASK_RE)
+    e = df[["doc_id"]].join(words.rename("tok")).explode("tok").dropna()
+    e["pos"] = e.groupby("doc_id").cumcount()
+    m = (e["pos"] % 7) == 3
+    e["out_tok"] = np.where(m, "<X>", e["tok"])
+    e["m"] = m.astype(np.int64)
+    g = e.groupby("doc_id", sort=False)
+    inp = g["out_tok"].agg(" ".join)
+    # same sort=False grouping for every column — a batch whose rows are
+    # not doc_id-sorted must still zip counts against the right doc
+    n_masked = g["m"].sum()
+    tgt = e[m].groupby("doc_id", sort=False)["tok"].agg(" ".join)
+    out = pd.DataFrame(
+        {
+            "doc_id": inp.index.to_numpy(np.int64),
+            "masked_input": inp.to_numpy(),
+            "n_masked": n_masked.to_numpy(np.int64),
+        }
+    )
+    out["target"] = pd.Series(out["doc_id"]).map(tgt).fillna("").to_numpy()
+    return out
+
+
 def span_mask(sf_dir: str) -> rd.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    word_re = re.compile(r"\w+")
-
-    def _mask(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].fillna("").str.lower().str.findall(word_re)
-        e = df[["doc_id"]].join(words.rename("tok")).explode("tok").dropna()
-        e["pos"] = e.groupby("doc_id").cumcount()
-        m = (e["pos"] % 7) == 3
-        e["out_tok"] = np.where(m, "<X>", e["tok"])
-        g = e.groupby("doc_id", sort=False)
-        inp = g["out_tok"].agg(" ".join)
-        tgt = e[m].groupby("doc_id", sort=False)["tok"].agg(" ".join)
-        n_masked = m.groupby(e["doc_id"]).sum()
-        out = pd.DataFrame(
-            {
-                "doc_id": inp.index.to_numpy(np.int64),
-                "masked_input": inp.to_numpy(),
-                "n_masked": n_masked.to_numpy(np.int64),
-            }
-        )
-        out["target"] = pd.Series(out["doc_id"]).map(tgt).fillna("").to_numpy()
-        return out
-
-    return docs.map_batches(_mask, batch_format="pandas")
+    return docs.map_batches(_span_mask_batch, batch_format="pandas")
 
 
 SPAN_MASK_SQL = r"""
@@ -7083,21 +7106,7 @@ def tokenize_ids(
 ) -> rd.Dataset | pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     word_re = re.compile(r"\w+")
-
-    def _counts(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].fillna("").str.lower().str.findall(word_re)
-        c = words.explode().dropna().value_counts()
-        return pd.DataFrame({"w": c.index.to_numpy(), "n": c.to_numpy(np.int64)})
-
-    partials = docs.map_batches(_counts, batch_format="pandas")
-
-    def _sum_block(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("w", as_index=False).agg(n=("n", "sum"))
-
-    vocab = _gated_grouped(
-        partials, ["w"], _sum_block,
-        _table_rows(sf_dir, "documents"), driver_threshold,
-    ).to_pandas()
+    vocab = _word_count_vocab(sf_dir, driver_threshold)
     top = vocab.sort_values(
         ["n", "w"], ascending=[False, True], kind="mergesort"
     ).head(_VOCAB_K)
@@ -7173,22 +7182,20 @@ def degree_histogram(
         partials, ["user_id"], _deg_block,
         _table_rows(sf_dir, "events"), driver_threshold,
     )
-    if isinstance(deg, pd.DataFrame):
-        dh = deg.groupby("degree", as_index=False).agg(n=("degree", "size"))
-    else:
-        # shrink user-grain to DEGREE grain in the workers before the
-        # driver pull — the driver never holds a row per user
-        dh = (
-            deg.map_batches(
-                lambda df: df.groupby("degree", as_index=False).agg(
-                    n=("degree", "size")
-                ),
-                batch_format="pandas",
-            )
-            .to_pandas()  # degree-domain grain
-            .groupby("degree", as_index=False)
-            .agg(n=("n", "sum"))
+    # shrink user-grain to DEGREE grain in the workers before the driver
+    # pull — the driver never holds a row per user (_gated_grouped always
+    # returns a Dataset, including on its driver branch)
+    dh = (
+        deg.map_batches(
+            lambda df: df.groupby("degree", as_index=False).agg(
+                n=("degree", "size")
+            ),
+            batch_format="pandas",
         )
+        .to_pandas()  # degree-domain grain
+        .groupby("degree", as_index=False)
+        .agg(n=("n", "sum"))
+    )
     h = dh.set_index("degree")["n"].sort_index()
     return pd.DataFrame(
         {
@@ -7918,7 +7925,7 @@ _SNM_WINDOW = 2
 _SNM_PREFIX = 6
 
 
-def _snm_pairs_local(name: np.ndarray, pk: np.ndarray, rank: np.ndarray):
+def _snm_pairs_local(name: np.ndarray, pk: np.ndarray):
     pfx = pd.Series(name).str[:_SNM_PREFIX].to_numpy()
     outs = []
     for w in range(1, _SNM_WINDOW + 1):
@@ -7954,8 +7961,7 @@ def sorted_neighborhood(
             ["p_name", "p_partkey"], kind="mergesort"
         ).reset_index(drop=True)
         out = _snm_pairs_local(
-            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64),
-            np.arange(len(df)),
+            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64)
         )
         return out.sort_values(["part_a", "part_b"], kind="mergesort").reset_index(
             drop=True
@@ -7966,8 +7972,7 @@ def sorted_neighborhood(
     # pass 1: local pairs inside each sorted block
     def _local(df: pd.DataFrame) -> pd.DataFrame:
         return _snm_pairs_local(
-            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64),
-            np.arange(len(df)),
+            df["p_name"].to_numpy(), df["p_partkey"].to_numpy(np.int64)
         )
 
     local_pairs = ranged.map_batches(
@@ -8340,15 +8345,12 @@ def stratified_split(
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def _prep(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.uint64)
-        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
-            1 << 32
-        )
+        ids = df["doc_id"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": ids.astype("int64"),
+                "doc_id": ids,
                 "source": df["source"].to_numpy(),
-                "h": h.astype("int64"),
+                "h": _knuth_hash_u32(ids).astype("int64"),
             }
         )
 
@@ -8362,7 +8364,7 @@ def stratified_split(
 STRATIFIED_SPLIT_SQL = """
 WITH h AS (
     SELECT doc_id, source,
-           ((doc_id % 4294967296) * 2654435761) % 4294967296 AS h
+           (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS h
     FROM documents
 ), r AS (
     SELECT doc_id,
@@ -8593,29 +8595,30 @@ FROM r GROUP BY day
 # mergeable min/max WITH payloads, so the shuffle is key-grain.
 
 def _attribution_block(df: pd.DataFrame) -> pd.DataFrame:
+    # first-touch by the FIRST-event coords, last-touch by the LAST-event
+    # coords — partials from interleaving batches (out-of-order timestamps
+    # are real in this data, see ooo_events) differ on the two orderings,
+    # so each side needs its own sort
     asc = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
-    first = asc.drop_duplicates("user_id", keep="first")
-    last = asc.drop_duplicates("user_id", keep="last")
+    first = asc.drop_duplicates("user_id", keep="first").set_index("user_id")
+    desc = df.sort_values(
+        ["user_id", "last_ts_us", "last_event_id"], kind="mergesort"
+    )
+    last = desc.drop_duplicates("user_id", keep="last").set_index("user_id")
     n = df.groupby("user_id")["n"].sum()
-    out = pd.DataFrame(
+    uid = first.index
+    return pd.DataFrame(
         {
-            "user_id": first["user_id"].to_numpy(np.int64),
+            "user_id": uid.to_numpy(np.int64),
             "ts_us": first["ts_us"].to_numpy(np.int64),
             "event_id": first["event_id"].to_numpy(np.int64),
             "first_type": first["first_type"].to_numpy(),
-            "last_ts_us": last.set_index("user_id")["last_ts_us"].loc[
-                first["user_id"]
-            ].to_numpy(np.int64),
-            "last_event_id": last.set_index("user_id")["last_event_id"].loc[
-                first["user_id"]
-            ].to_numpy(np.int64),
-            "last_type": last.set_index("user_id")["last_type"].loc[
-                first["user_id"]
-            ].to_numpy(),
-            "n": n.loc[first["user_id"]].to_numpy(np.int64),
+            "last_ts_us": last["last_ts_us"].loc[uid].to_numpy(np.int64),
+            "last_event_id": last["last_event_id"].loc[uid].to_numpy(np.int64),
+            "last_type": last["last_type"].loc[uid].to_numpy(),
+            "n": n.loc[uid].to_numpy(np.int64),
         }
     )
-    return out
 
 
 def attribution(
@@ -8930,13 +8933,10 @@ def dedup_rate_report(
             {"n_docs": [int(df["n"].sum())], "n_unique": [len(df)]}
         )
 
-    if isinstance(combined, pd.DataFrame):
-        stats = _scalars(combined)
-    else:
-        stats = (
-            combined.map_batches(_scalars, batch_format="pandas")
-            .to_pandas().sum().to_frame().T
-        )
+    stats = (
+        combined.map_batches(_scalars, batch_format="pandas")
+        .to_pandas().sum().to_frame().T
+    )  # _gated_grouped always returns a Dataset, including its driver branch
     n_docs = int(stats["n_docs"].iloc[0])
     n_unique = int(stats["n_unique"].iloc[0])
     return pd.DataFrame(
@@ -9222,12 +9222,9 @@ def global_sample_k(sf_dir: str, k: int = _GLOBAL_SAMPLE_K) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.uint64)
-        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
-            1 << 32
-        )
+        ids = df["doc_id"].to_numpy(np.int64)
         out = pd.DataFrame(
-            {"doc_id": ids.astype("int64"), "h": h.astype("int64")}
+            {"doc_id": ids, "h": _knuth_hash_u32(ids).astype("int64")}
         )
         return out.nsmallest(k, ["h", "doc_id"])
 
@@ -9242,8 +9239,8 @@ def global_sample_k(sf_dir: str, k: int = _GLOBAL_SAMPLE_K) -> pd.DataFrame:
 GLOBAL_SAMPLE_SQL = """
 WITH h AS (
     SELECT doc_id,
-           CAST(((doc_id % 4294967296) * 2654435761) % 4294967296
-                AS BIGINT) AS h
+           CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                % 4294967296 AS BIGINT) AS h
     FROM documents
 )
 SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 100

@@ -2864,3 +2864,71 @@ def test_label_silhouette_bounds(ray_session):
     for i, l in enumerate(uniq[:4]):
         want = sil[labs == l].mean()
         assert abs(got.loc[l, "mean_sil"] - want) < 1e-9
+
+
+def test_attribution_interleaved_partials_regression(ray_session):
+    """Combine must pick last-touch by LAST-event coords: partials from
+    batches whose time ranges interleave (real with out-of-order data)
+    previously selected the wrong last event."""
+    from outage_data_scraper_ray.functions.relational import _attribution_block
+
+    partials = pd.DataFrame(
+        {
+            # batch A partial: first ts=1, last ts=100
+            # batch B partial: first=last=ts=50 (late-arriving event)
+            "user_id": [1, 1],
+            "ts_us": [1, 50],
+            "event_id": [1, 3],
+            "first_type": ["A_first", "B_only"],
+            "last_ts_us": [100, 50],
+            "last_event_id": [2, 3],
+            "last_type": ["A_last", "B_only"],
+            "n": [2, 1],
+        }
+    )
+    out = _attribution_block(partials).set_index("user_id")
+    assert out.loc[1, "first_type"] == "A_first"
+    assert out.loc[1, "last_type"] == "A_last"  # ts=100 beats ts=50
+    assert out.loc[1, "n"] == 3
+
+
+def test_span_mask_unsorted_batch_regression(ray_session):
+    """n_masked must align with masked_input when batch rows are NOT in
+    doc_id order (previous kernel zipped a sorted count vector against
+    appearance-ordered strings)."""
+    from outage_data_scraper_ray.functions.relational import _span_mask_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 2],
+            "text": ["a b c d e f g h i j", "x y z"],
+        }
+    )
+    out = _span_mask_batch(df).set_index("doc_id")
+    # doc 5 has 10 tokens -> pos 3 masked (1); doc 2 has 3 tokens -> none
+    assert out.loc[5, "n_masked"] == 1
+    assert out.loc[2, "n_masked"] == 0
+    assert out.loc[5, "masked_input"].split(" ")[3] == "<X>"
+    assert out.loc[5, "target"] == "d"
+    assert out.loc[2, "target"] == ""
+
+
+def test_knuth_hash_sql_full_range(ray_session):
+    """The HUGEINT oracle hash must agree with the numpy uint64 hash out to
+    the 32-bit residue boundary (the old BIGINT SQL overflowed there)."""
+    import duckdb
+
+    from outage_data_scraper_ray.functions.relational import _knuth_hash_u32
+
+    ids = np.array(
+        [0, 1, 2654435761, 3470000000, 4294967295, 4294967296,
+         10_000_000_000, 2**62], dtype=np.int64
+    )
+    want = _knuth_hash_u32(ids)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST((CAST(i % 4294967296 AS HUGEINT) * 2654435761)"
+        " % 4294967296 AS BIGINT) FROM (SELECT unnest(?) AS i)",
+        [ids.tolist()],
+    ).df().iloc[:, 0].to_numpy(np.uint64)
+    assert np.array_equal(got, want)
