@@ -9504,3 +9504,149 @@ FROM s GROUP BY label ORDER BY label
 
 SQL_QUERIES["label_centroids"] = (label_centroids, LABEL_CENTROIDS_SQL)
 SQL_QUERIES["label_silhouette"] = (label_silhouette, LABEL_SILHOUETTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# max drawdown: per user, the largest drop from a running peak of the
+# value series in (ts, event_id) order — the risk metric of the windowed
+# family. One hash shuffle on user_id; the block kernel reuses the
+# segmented running-max offset trick (ooo_events) so one global
+# np.maximum.accumulate serves every user in the block. Exact integers.
+
+def _drawdown_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    x = df["x_c"].to_numpy(np.int64)
+    n = len(df)
+    if n:
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg_id = np.cumsum(first) - 1
+        xn = x - x.min()
+        stride = np.int64(xn.max()) + 1
+        assert int(seg_id[-1]) * int(stride) < (1 << 62), "drawdown overflow"
+        adj = xn + seg_id * stride
+        runmax = np.maximum.accumulate(adj)
+        dd = runmax - adj  # peak-to-here drop, exact within each segment
+    else:
+        dd = np.zeros(0, dtype=np.int64)
+    g = pd.DataFrame({"user_id": uid, "dd": dd, "n": 1}).groupby(
+        "user_id", as_index=False
+    ).agg(n=("n", "sum"), max_drawdown_c=("dd", "max"))
+    g["n"] = g["n"].astype("int64")
+    g["max_drawdown_c"] = g["max_drawdown_c"].astype("int64")
+    return g
+
+
+def max_drawdown(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "x_c": np.round(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return _gated_grouped(
+        prepped, ["user_id"], _drawdown_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS x_c
+    FROM events
+), r AS (
+    SELECT user_id,
+           MAX(x_c) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) - x_c AS dd
+    FROM v
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(dd) AS BIGINT) AS max_drawdown_c
+FROM r GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# longest streak: each user's longest run of CONSECUTIVE active days —
+# the engagement metric. Distinct (user, day) partials shrink the shuffle;
+# the block kernel uses the day-minus-rank gaps-and-islands identity
+# (consecutive days share day - rank), all integer.
+
+def _streak_block(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.drop_duplicates().sort_values(
+        ["user_id", "day"], kind="mergesort"
+    )
+    uid = d["user_id"].to_numpy(np.int64)
+    day = d["day"].to_numpy(np.int64)
+    if len(d):
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        rank = np.arange(len(d), dtype=np.int64) - np.repeat(
+            np.flatnonzero(first),
+            np.diff(np.append(np.flatnonzero(first), len(d))),
+        )
+        island = day - rank
+    else:
+        island = np.zeros(0, dtype=np.int64)
+    g = pd.DataFrame({"user_id": uid, "island": island, "n": 1}).groupby(
+        ["user_id", "island"], as_index=False
+    ).agg(run=("n", "sum"))
+    out = g.groupby("user_id", as_index=False).agg(
+        streak_days=("run", "max")
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["streak_days"] = out["streak_days"].astype("int64")
+    return out
+
+
+def longest_streak(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day}
+        ).drop_duplicates()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["user_id"], _streak_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    )
+
+
+LONGEST_STREAK_SQL = """
+WITH d AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), r AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+           ) AS island
+    FROM d
+), runs AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run
+    FROM r GROUP BY user_id, island
+)
+SELECT user_id, CAST(MAX(run) AS BIGINT) AS streak_days
+FROM runs GROUP BY user_id
+"""
+
+
+SQL_QUERIES["max_drawdown"] = (max_drawdown, MAX_DRAWDOWN_SQL)
+SQL_QUERIES["longest_streak"] = (longest_streak, LONGEST_STREAK_SQL)

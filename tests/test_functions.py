@@ -2932,3 +2932,58 @@ def test_knuth_hash_sql_full_range(ray_session):
         [ids.tolist()],
     ).df().iloc[:, 0].to_numpy(np.uint64)
     assert np.array_equal(got, want)
+
+
+def test_max_drawdown_hand_and_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _drawdown_block,
+        max_drawdown,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(max_drawdown(sf)).sort_values("user_id").reset_index(drop=True)
+    b = _pd(max_drawdown(sf, driver_threshold=0)).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # hand: 100 -> 150 -> 120 -> 90 -> 140: peak 150, trough 90 -> dd 60
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 5 + [2] * 2,
+            "event_id": range(7),
+            "ts_us": range(7),
+            # user 2 is monotone rising: dd 0 (also guards segment bleed)
+            "x_c": [100, 150, 120, 90, 140, 10, 20],
+        }
+    )
+    out = _drawdown_block(df).set_index("user_id")
+    assert out.loc[1, "max_drawdown_c"] == 60
+    assert out.loc[2, "max_drawdown_c"] == 0
+
+
+def test_longest_streak_hand_and_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _streak_block,
+        longest_streak,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(longest_streak(sf)).sort_values("user_id").reset_index(drop=True)
+    b = _pd(longest_streak(sf, driver_threshold=0)).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # days 1,2,3, 7,8 -> longest 3; duplicate day rows must not inflate
+    df = pd.DataFrame(
+        {"user_id": [1] * 6, "day": [1, 2, 3, 7, 8, 8]}
+    )
+    out = _streak_block(df).set_index("user_id")
+    assert out.loc[1, "streak_days"] == 3
