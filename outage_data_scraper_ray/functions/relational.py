@@ -9650,3 +9650,81 @@ FROM runs GROUP BY user_id
 
 SQL_QUERIES["max_drawdown"] = (max_drawdown, MAX_DRAWDOWN_SQL)
 SQL_QUERIES["longest_streak"] = (longest_streak, LONGEST_STREAK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# weighted median: per return flag, the price (whole dollars) at which
+# HALF the total quantity weight is reached — the weighted counterpart to
+# grouped_percentiles (quantity-weighted price midpoint). Whole computation
+# on the (flag, dollar, weight) histogram: per-batch weight-sum partials,
+# per-flag cumulative weights, lower-median target (W+1)//2 — all exact
+# integers, bit-identical at any split.
+
+def _wmedian_block(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["flag", "v"], as_index=False).agg(w=("w", "sum"))
+    outs = []
+    for flag, grp in c.groupby("flag", sort=False):
+        grp = grp.sort_values("v", kind="mergesort")
+        cw = np.cumsum(grp["w"].to_numpy(np.int64))
+        target = (int(cw[-1]) + 1) // 2
+        med = int(grp["v"].to_numpy(np.int64)[np.searchsorted(cw, target)])
+        outs.append((flag, int(cw[-1]), med))
+    return pd.DataFrame(
+        outs, columns=["flag", "total_w", "wmedian"]
+    ).astype({"total_w": "int64", "wmedian": "int64"})
+
+
+def weighted_median(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "flag": df["l_returnflag"].to_numpy(),
+                "v": np.round(
+                    df["l_extendedprice"].to_numpy() * 100.0
+                ).astype(np.int64)
+                // 100,
+                "w": np.round(df["l_quantity"].to_numpy() * 100.0).astype(
+                    np.int64
+                )
+                // 100,
+            }
+        )
+        return g.groupby(["flag", "v"], as_index=False).agg(w=("w", "sum"))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return _gated_grouped(
+        partials, ["flag"], _wmedian_block,
+        _table_rows(sf_dir, "lineitem"), driver_threshold,
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH v AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS v,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) // 100 AS w
+    FROM lineitem
+), h AS (
+    SELECT flag, v, SUM(w) AS w FROM v GROUP BY 1, 2
+), r AS (
+    SELECT flag, v,
+           SUM(w) OVER (
+               PARTITION BY flag ORDER BY v ROWS UNBOUNDED PRECEDING
+           ) AS cw,
+           SUM(w) OVER (PARTITION BY flag) AS tw
+    FROM h
+)
+SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS BIGINT)
+           AS wmedian
+FROM r GROUP BY flag
+"""
+
+
+SQL_QUERIES["weighted_median"] = (weighted_median, WEIGHTED_MEDIAN_SQL)

@@ -2987,3 +2987,28 @@ def test_longest_streak_hand_and_paths(ray_session):
     )
     out = _streak_block(df).set_index("user_id")
     assert out.loc[1, "streak_days"] == 3
+
+
+def test_weighted_median_hand_and_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _wmedian_block,
+        weighted_median,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(weighted_median(sf)).sort_values("flag").reset_index(drop=True)
+    b = _pd(weighted_median(sf, driver_threshold=0)).sort_values(
+        "flag"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # hand: values 10(w=1), 20(w=2), 30(w=1): W=4, target 2 -> med 20
+    df = pd.DataFrame(
+        {"flag": ["x"] * 3, "v": [10, 20, 30], "w": [1, 2, 1]}
+    )
+    out = _wmedian_block(df).set_index("flag")
+    assert out.loc["x", "wmedian"] == 20
+    assert out.loc["x", "total_w"] == 4
