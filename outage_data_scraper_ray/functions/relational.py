@@ -86,7 +86,15 @@ def _gated_grouped(
             out.reset_index(drop=True), preserve_index=False
         ).replace_schema_metadata(None)
         return rd.from_arrow(t)
-    return hash_partitioned_map_batches(ds, keys, kernel)
+    # scale the partition count with the input so per-block size stays
+    # bounded (~2M rows/block): a fixed cpus-sized count makes each block
+    # grow linearly with the corpus — measured super-linear wall on
+    # merge_join at sf30 (BASELINE.md sf10->sf30 step) before this
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    num_blocks = max(cpus, min(n_rows // 2_000_000 + 1, 2000))
+    return hash_partitioned_map_batches(ds, keys, kernel, num_blocks=num_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -7755,9 +7763,10 @@ def q5_nation_revenue(
         )
     else:
         orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        n_parts = max(8, min(_table_rows(sf_dir, "orders") // 2_000_000 + 1, 512))
         j1 = lp.join(
-            orders, join_type="inner", num_partitions=8, on=("l_orderkey",),
-            right_on=("o_orderkey",),
+            orders, join_type="inner", num_partitions=n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
         )
 
         def _cust_grain(df: pd.DataFrame) -> pd.DataFrame:
@@ -7791,8 +7800,11 @@ def q5_nation_revenue(
         else:
             cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
             j2 = cg.join(
-                cust, join_type="inner", num_partitions=8, on=("o_custkey",),
-                right_on=("c_custkey",),
+                cust, join_type="inner",
+                num_partitions=max(
+                    8, min(_table_rows(sf_dir, "customer") // 2_000_000 + 1, 512)
+                ),
+                on=("o_custkey",), right_on=("c_custkey",),
             )
 
             def _nat2(df: pd.DataFrame) -> pd.DataFrame:

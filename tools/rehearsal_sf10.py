@@ -49,9 +49,14 @@ def main() -> None:
     if os.environ.get("GRAFT_SF10_PAIRS") == "1":
         names.append("cosine_pairs_exact")
     res = {"num_cpus": num_cpus, "queries": {}}
+    pairs_env = os.environ.get("GRAFT_SF_PAIR")  # "tagA:dirA,tagB:dirB"
+    if pairs_env:
+        pair = [tuple(p.split(":", 1)) for p in pairs_env.split(",")]
+    else:
+        pair = [("sf1", "/tmp/odsr_sf1"), ("sf10", "/tmp/odsr_sf10")]
     for name in names:
         row = {}
-        for sf_tag, sf_dir in (("sf1", "/tmp/odsr_sf1"), ("sf10", "/tmp/odsr_sf10")):
+        for sf_tag, sf_dir in pair:
             t0 = time.perf_counter()
             out = qs[name](sf_dir)
             if isinstance(out, rd.Dataset):
@@ -60,7 +65,8 @@ def main() -> None:
                 n = len(out)
             row[sf_tag] = round(time.perf_counter() - t0, 2)
             row[f"{sf_tag}_rows"] = int(n)
-        row["ratio"] = round(row["sf10"] / max(row["sf1"], 1e-9), 1)
+        tag_a, tag_b = pair[0][0], pair[1][0]
+        row["ratio"] = round(row[tag_b] / max(row[tag_a], 1e-9), 1)
         res["queries"][name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     print(json.dumps(res))
