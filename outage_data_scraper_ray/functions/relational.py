@@ -9740,3 +9740,105 @@ FROM r GROUP BY flag
 
 
 SQL_QUERIES["weighted_median"] = (weighted_median, WEIGHTED_MEDIAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert: for every 'view', the hours until that user's NEXT
+# 'purchase' (within 7 days), reported as an hour-bucket histogram — the
+# conversion-latency curve. The block kernel computes next-purchase-after-
+# each-row via one REVERSED segmented running-min (the ooo offset trick,
+# mirrored), so it is one sort + one accumulate per block, no per-user
+# loop; partials are hour-bucket-grain.
+
+_CONVERT_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _ttc_block(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts_us"].to_numpy(np.int64)
+    is_v = (df["event_type"] == "view").to_numpy()
+    is_p = (df["event_type"] == "purchase").to_numpy()
+    n = len(df)
+    if n:
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg_id = np.cumsum(first) - 1
+        base = ts.min()
+        tsn = ts - base
+        stride = np.int64(tsn.max()) + 1
+        assert int(seg_id[-1]) * int(stride) < (1 << 62), "ttc overflow"
+        adj = tsn + seg_id * stride
+        big = np.iinfo(np.int64).max // 2
+        p_adj = np.where(is_p, adj, big)
+        # reversed running min = next purchase's adj at or after each row
+        nxt = np.minimum.accumulate(p_adj[::-1])[::-1]
+        # rows whose next purchase falls in a LATER segment see a value
+        # from a later user only if their own segment has none; later
+        # segments have LARGER adj, so a cross-segment value can only
+        # appear when the own-segment min is `big` — but a later segment's
+        # adj is still < big, so mask by same-segment explicitly:
+        nxt_seg = nxt // stride
+        valid = (nxt < big) & (nxt_seg == seg_id)
+        delta = np.where(valid, (nxt - adj), -1)
+        m = is_v & valid & (delta >= 0) & (delta <= _CONVERT_WINDOW_US)
+        hours = delta[m] // 3_600_000_000
+    else:
+        hours = np.zeros(0, dtype=np.int64)
+    g = pd.DataFrame({"hour": hours.astype(np.int64), "n": 1}).groupby(
+        "hour", as_index=False
+    ).agg(n=("n", "sum"))
+    return g
+
+
+def time_to_convert(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"].to_numpy(),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    cells = (
+        _gated_grouped(
+            prepped, ["user_id"], _ttc_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # hour-bucket grain (<= 168 buckets)
+        .groupby("hour", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("hour")
+    )
+    cells["hour"] = cells["hour"].astype("int64")
+    cells["n"] = cells["n"].astype("int64")
+    return cells.reset_index(drop=True)
+
+
+TIME_TO_CONVERT_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), nx AS (
+    SELECT user_id, ts_us, event_type,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_p
+    FROM v
+)
+SELECT CAST((next_p - ts_us) // 3600000000 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nx
+WHERE event_type = 'view' AND next_p IS NOT NULL
+  AND next_p - ts_us <= 604800000000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_QUERIES["time_to_convert"] = (time_to_convert, TIME_TO_CONVERT_SQL)

@@ -3012,3 +3012,28 @@ def test_weighted_median_hand_and_paths(ray_session):
     out = _wmedian_block(df).set_index("flag")
     assert out.loc["x", "wmedian"] == 20
     assert out.loc["x", "total_w"] == 4
+
+
+def test_time_to_convert_hand_and_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        _ttc_block,
+        time_to_convert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = time_to_convert(sf)
+    b = time_to_convert(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    hr = 3_600_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts_us": [0, 2 * hr, 3 * hr, 0, 1 * hr],
+            # user1: view@0 -> purchase@2h (bucket 2); view@3h no purchase
+            # user2: view@0 -> NO purchase of their own (user1's must not leak)
+            "event_type": ["view", "purchase", "view", "view", "click"],
+        }
+    )
+    out = _ttc_block(df)
+    assert out.set_index("hour")["n"].to_dict() == {2: 1}
