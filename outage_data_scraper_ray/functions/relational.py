@@ -9842,3 +9842,150 @@ GROUP BY 1 ORDER BY 1
 
 
 SQL_QUERIES["time_to_convert"] = (time_to_convert, TIME_TO_CONVERT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# basket lift: association strength of brand pairs — lift = n_ab * N /
+# (n_a * n_b) over order baskets, in RATIO form (the pmi doctrine: fixed
+# operand order, no log, doubles hash bit-exact). Reuses the
+# brand_cooccurrence machinery (integer pair codes, triangle expansion) and
+# adds the marginal counts; the final arithmetic is driver-side over the
+# pair-grain table.
+
+_LIFT_MIN_PAIRS = 5
+
+
+def basket_lift(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    pairs = brand_cooccurrence(sf_dir, driver_threshold)
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_map_ref = ray.put(
+        dict(zip(part["p_partkey"], part["p_brand"]))
+    )
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    # marginals must dedup (order, brand) GLOBALLY (batch-level distinct
+    # over-counts cross-batch repeats), so they ride the gated distinct
+    # machinery: per-batch distinct partials, one hash shuffle on the
+    # order key, per-block exact counts (each order fully co-located)
+    def _distinct_ob(df: pd.DataFrame, _m=brand_map_ref) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "brand": df["l_partkey"].map(ray.get(_m)).to_numpy(),
+            }
+        ).drop_duplicates()
+
+    def _count_block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("brand", as_index=False).agg(n=("brand", "size"))
+        o = pd.DataFrame(
+            {"brand": ["__orders__"], "n": [d["l_orderkey"].nunique()]}
+        )
+        return pd.concat([g, o], ignore_index=True)
+
+    dist = ds.map_batches(_distinct_ob, batch_format="pandas")
+    counts = (
+        _gated_grouped(
+            dist, ["l_orderkey"], _count_block,
+            _table_rows(sf_dir, "lineitem"), driver_threshold,
+        )
+        .to_pandas()  # brand-grain (+1 order-count row per block)
+        .groupby("brand", as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    n_orders = int(counts.loc[counts["brand"] == "__orders__", "n"].iloc[0])
+    brand_n = counts[counts["brand"] != "__orders__"].set_index("brand")["n"]
+    p = pairs[pairs["n_orders"] >= _LIFT_MIN_PAIRS].copy()
+    n_ab = p["n_orders"].to_numpy(np.int64).astype(np.float64)
+    n_a = brand_n.loc[p["brand_a"]].to_numpy(np.int64).astype(np.float64)
+    n_b = brand_n.loc[p["brand_b"]].to_numpy(np.int64).astype(np.float64)
+    # FIXED operand order, mirrored in the SQL
+    lift = n_ab * float(n_orders) / n_a / n_b
+    out = pd.DataFrame(
+        {
+            "brand_a": p["brand_a"].to_numpy(),
+            "brand_b": p["brand_b"].to_numpy(),
+            "n_pairs": p["n_orders"].astype("int64"),
+            "lift": lift,
+        }
+    )
+    return out.sort_values(["brand_a", "brand_b"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH d AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), m AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY brand
+), o AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+), pr AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT pr.brand_a, pr.brand_b, pr.n_pairs,
+       CAST(pr.n_pairs AS DOUBLE) * CAST(o.n_orders AS DOUBLE)
+       / CAST(ma.n AS DOUBLE) / CAST(mb.n AS DOUBLE) AS lift
+FROM pr
+JOIN m ma ON pr.brand_a = ma.brand
+JOIN m mb ON pr.brand_b = mb.brand, o
+WHERE pr.n_pairs >= 5
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# activity profile: event counts per (day-of-week, hour-of-day) — the
+# cyclic-time feature grid. Grid-grain partials (<= 168 cells), driver
+# combine; dow derives from epoch days with the same arithmetic in the SQL
+# (1970-01-01 was a Thursday: dow = (day + 4) % 7, 0 = Sunday).
+
+def activity_profile(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = us // 86_400_000_000
+        g = pd.DataFrame(
+            {
+                "dow": (day + 4) % 7,
+                "hour": us % 86_400_000_000 // 3_600_000_000,
+                "n": 1,
+            }
+        )
+        return g.groupby(["dow", "hour"], as_index=False).agg(n=("n", "sum"))
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()  # <= 168 cells per block
+        .groupby(["dow", "hour"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["dow", "hour"], kind="mergesort")
+    )
+    return cells.astype("int64").reset_index(drop=True)
+
+
+ACTIVITY_PROFILE_SQL = """
+WITH v AS (
+    SELECT epoch_us(ts) AS us FROM events
+)
+SELECT CAST((us // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST(us % 86400000000 // 3600000000 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL_QUERIES["basket_lift"] = (basket_lift, BASKET_LIFT_SQL)
+SQL_QUERIES["activity_profile"] = (activity_profile, ACTIVITY_PROFILE_SQL)

@@ -3037,3 +3037,42 @@ def test_time_to_convert_hand_and_paths(ray_session):
     )
     out = _ttc_block(df)
     assert out.set_index("hour")["n"].to_dict() == {2: 1}
+
+
+def test_basket_lift_forced_and_rederived(ray_session):
+    from outage_data_scraper_ray.functions.relational import basket_lift
+
+    sf = "/root/testdata/sf0.001"
+    a = basket_lift(sf)
+    b = basket_lift(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # re-derive one pair's lift from raw tables
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    part = pd.read_parquet(f"{sf}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    d = li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    n_orders = li["l_orderkey"].nunique()
+    row = a.iloc[0]
+    na = (d["p_brand"] == row["brand_a"]).sum()
+    nb = (d["p_brand"] == row["brand_b"]).sum()
+    m = d.merge(d, on="l_orderkey")
+    nab = (
+        (m["p_brand_x"] == row["brand_a"]) & (m["p_brand_y"] == row["brand_b"])
+    ).sum()
+    want = nab * float(n_orders) / na / nb
+    assert abs(row["lift"] - want) < 1e-9
+    assert row["n_pairs"] == nab
+
+
+def test_activity_profile_conserves(ray_session):
+    from outage_data_scraper_ray.functions.relational import activity_profile
+
+    sf = "/root/testdata/sf0.001"
+    out = activity_profile(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts"])
+    assert out["n"].sum() == len(ev)
+    assert out["dow"].between(0, 6).all()
+    assert out["hour"].between(0, 23).all()
