@@ -9989,3 +9989,173 @@ FROM v GROUP BY 1, 2 ORDER BY 1, 2
 
 SQL_QUERIES["basket_lift"] = (basket_lift, BASKET_LIFT_SQL)
 SQL_QUERIES["activity_profile"] = (activity_profile, ACTIVITY_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation grid: users quintiled on Recency (last purchase ts),
+# Frequency (purchase count) and Monetary (total cents), reported as the
+# 125-cell (r, f, m) population grid. Per-user aggregates come from
+# mergeable partials; the quintile is the EXPLICIT rank formula
+# (rank-1)*5 // n + 1 over a deterministic (metric, user_id) order on both
+# sides (NTILE's uneven-split tie semantics are avoided entirely). The
+# user-grain ranking runs on the driver under the standard gate; past it,
+# the percent_rank/ntile_buckets range-partition machinery is the scale
+# path (documented there).
+
+def _rfm_rank(vals: np.ndarray, uids: np.ndarray) -> np.ndarray:
+    order = np.lexsort((uids, vals))
+    rank = np.empty(len(vals), dtype=np.int64)
+    rank[order] = np.arange(len(vals), dtype=np.int64)
+    return rank * 5 // len(vals) + 1
+
+
+def rfm_cells(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        if not len(p):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "last_ts": pd.Series(dtype="int64"),
+                 "freq": pd.Series(dtype="int64"),
+                 "mon": pd.Series(dtype="int64")}
+            )
+        g = pd.DataFrame(
+            {
+                "user_id": p["user_id"].to_numpy(np.int64),
+                "last_ts": p["ts"].astype("datetime64[us]").astype("int64"),
+                "freq": 1,
+                "mon": np.round(p["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        return g.groupby("user_id", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"), mon=("mon", "sum")
+        )
+
+    def _merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"), mon=("mon", "sum")
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    users = _gated_grouped(
+        partials, ["user_id"], _merge_block,
+        _table_rows(sf_dir, "events"), driver_threshold,
+    ).to_pandas()  # user-grain; see docstring for the beyond-gate path
+    uid = users["user_id"].to_numpy(np.int64)
+    r = _rfm_rank(users["last_ts"].to_numpy(np.int64), uid)
+    f = _rfm_rank(users["freq"].to_numpy(np.int64), uid)
+    m = _rfm_rank(users["mon"].to_numpy(np.int64), uid)
+    out = pd.DataFrame({"r": r, "f": f, "m": m, "n": 1}).groupby(
+        ["r", "f", "m"], as_index=False
+    ).agg(n_users=("n", "sum"))
+    return out.astype("int64").sort_values(["r", "f", "m"]).reset_index(
+        drop=True
+    )
+
+
+RFM_SQL = """
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(ROUND(value * 100) AS BIGINT) AS v_c
+    FROM events WHERE event_type = 'purchase'
+), u AS (
+    SELECT user_id, MAX(ts_us) AS last_ts, COUNT(*) AS freq, SUM(v_c) AS mon
+    FROM p GROUP BY user_id
+), ranked AS (
+    SELECT user_id,
+           (ROW_NUMBER() OVER (ORDER BY last_ts, user_id) - 1) * 5
+               // (SELECT COUNT(*) FROM u) + 1 AS r,
+           (ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1) * 5
+               // (SELECT COUNT(*) FROM u) + 1 AS f,
+           (ROW_NUMBER() OVER (ORDER BY mon, user_id) - 1) * 5
+               // (SELECT COUNT(*) FROM u) + 1 AS m
+    FROM u
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ranked GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# new vs returning: per day, how many active users are first-timers vs
+# returners. One hash shuffle on user_id co-locates each user's distinct
+# day set; the block kernel marks each user's min day and emits
+# (day, is_new) grain partials — day-sized, never user-sized, on the
+# driver.
+
+def _nvr_block(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.drop_duplicates()
+    first = d.groupby("user_id")["day"].transform("min")
+    out = pd.DataFrame(
+        {
+            "day": d["day"].to_numpy(np.int64),
+            "is_new": (d["day"].to_numpy(np.int64) == first.to_numpy(np.int64))
+            .astype(np.int64),
+            "n": 1,
+        }
+    )
+    return out.groupby(["day", "is_new"], as_index=False).agg(n=("n", "sum"))
+
+
+def new_vs_returning(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day}
+        ).drop_duplicates()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    cells = (
+        _gated_grouped(
+            partials, ["user_id"], _nvr_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # (day, is_new) grain
+        .groupby(["day", "is_new"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    piv = cells.pivot_table(
+        index="day", columns="is_new", values="n", aggfunc="sum", fill_value=0
+    )
+    out = pd.DataFrame(
+        {
+            "day": piv.index.to_numpy(np.int64),
+            "n_new": piv.get(1, pd.Series(0, index=piv.index)).to_numpy(
+                np.int64
+            ),
+            "n_returning": piv.get(0, pd.Series(0, index=piv.index)).to_numpy(
+                np.int64
+            ),
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+NEW_VS_RETURNING_SQL = """
+WITH d AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+    SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COUNT(*) FILTER (WHERE d.day = f.first_day) AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (WHERE d.day <> f.first_day) AS BIGINT)
+           AS n_returning
+FROM d JOIN f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_QUERIES["rfm_cells"] = (rfm_cells, RFM_SQL)
+SQL_QUERIES["new_vs_returning"] = (new_vs_returning, NEW_VS_RETURNING_SQL)

@@ -3076,3 +3076,32 @@ def test_activity_profile_conserves(ray_session):
     assert out["n"].sum() == len(ev)
     assert out["dow"].between(0, 6).all()
     assert out["hour"].between(0, 23).all()
+
+
+def test_rfm_cells_forced_and_totals(ray_session):
+    from outage_data_scraper_ray.functions.relational import rfm_cells
+
+    sf = "/root/testdata/sf0.001"
+    a = rfm_cells(sf)
+    b = rfm_cells(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type"])
+    n_buyers = ev.loc[ev["event_type"] == "purchase", "user_id"].nunique()
+    assert a["n_users"].sum() == n_buyers
+    assert a[["r", "f", "m"]].min().min() >= 1
+    assert a[["r", "f", "m"]].max().max() <= 5
+
+
+def test_new_vs_returning_conserves(ray_session):
+    from outage_data_scraper_ray.functions.relational import new_vs_returning
+
+    sf = "/root/testdata/sf0.001"
+    a = new_vs_returning(sf)
+    b = new_vs_returning(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    n_user_days = len(ev[["user_id", "day"]].drop_duplicates())
+    assert (a["n_new"] + a["n_returning"]).sum() == n_user_days
+    assert a["n_new"].sum() == ev["user_id"].nunique()
