@@ -10159,3 +10159,152 @@ GROUP BY 1 ORDER BY 1
 
 SQL_QUERIES["rfm_cells"] = (rfm_cells, RFM_SQL)
 SQL_QUERIES["new_vs_returning"] = (new_vs_returning, NEW_VS_RETURNING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# session-duration percentiles: p50/p95 of inactivity-gap session lengths
+# in whole minutes — the engagement-depth summary on top of
+# event_sessions. The session kernel is reused verbatim per co-located
+# block; durations reduce to a bounded minute-domain histogram (calendar
+# span bounded), and the ceil-rank selection is exact integers.
+
+def session_duration_pctl(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def _dur_hist_block(df: pd.DataFrame) -> pd.DataFrame:
+        s = _event_sessions_block(df)
+        mins = (
+            s["session_end_us"].to_numpy(np.int64)
+            - s["session_start_us"].to_numpy(np.int64)
+        ) // 60_000_000
+        g = pd.DataFrame({"mins": mins, "c": 1})
+        return g.groupby("mins", as_index=False).agg(c=("c", "sum"))
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    hist = (
+        _gated_grouped(
+            prepped, ["user_id"], _dur_hist_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # minute-domain grain
+        .groupby("mins", as_index=False)
+        .agg(c=("c", "sum"))
+        .sort_values("mins")
+    )
+    cw = np.cumsum(hist["c"].to_numpy(np.int64))
+    n = int(cw[-1])
+    v = hist["mins"].to_numpy(np.int64)
+    p50 = int(v[np.searchsorted(cw, (50 * n + 99) // 100)])
+    p95 = int(v[np.searchsorted(cw, (95 * n + 99) // 100)])
+    return pd.DataFrame({"n_sessions": [n], "p50_min": [p50], "p95_min": [p95]})
+
+
+SESSION_DURATION_SQL = """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), g AS (
+    SELECT user_id, ts_us, event_id,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                     OR ts_us - LAG(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+    SELECT user_id, ts_us,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS seg
+    FROM g
+), sess AS (
+    SELECT (MAX(ts_us) - MIN(ts_us)) // 60000000 AS mins
+    FROM s GROUP BY user_id, seg
+), r AS (
+    SELECT mins, ROW_NUMBER() OVER (ORDER BY mins) AS rn,
+           COUNT(*) OVER () AS n
+    FROM sess
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p50_min,
+       CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p95_min
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomalous days: days whose event volume sits > 2 sigma from the all-days
+# mean — the volume-anomaly monitor. Day-grain count partials; moments over
+# the DAY series are driver arithmetic (days, not rows); one fixed double
+# expression both sides.
+
+def anomalous_days(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        return pd.DataFrame({"day": day, "n": 1}).groupby(
+            "day", as_index=False
+        ).agg(n=("n", "sum"))
+
+    days = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()  # day-grain
+        .groupby("day", as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    cnt = days["n"].to_numpy(np.int64)
+    k = len(cnt)
+    s = int(cnt.sum())
+    ss = int((cnt * cnt).sum())
+    mean = float(s) / k
+    sd = float(np.sqrt(float(ss) / k - mean * mean))
+    z = (cnt.astype(np.float64) - mean) / sd
+    out = pd.DataFrame(
+        {"day": days["day"].astype("int64"), "n": days["n"].astype("int64"),
+         "z": z}
+    )
+    return (
+        out[np.abs(z) > 2.0]
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+ANOMALOUS_DAYS_SQL = """
+WITH d AS (
+    SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), m AS (
+    SELECT COUNT(*) AS k, SUM(n) AS s, SUM(n * n) AS ss FROM d
+), mm AS (
+    SELECT CAST(s AS DOUBLE) / k AS mean,
+           SQRT(CAST(ss AS DOUBLE) / k
+                - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) AS sd
+    FROM m
+)
+SELECT CAST(d.day AS BIGINT) AS day, CAST(d.n AS BIGINT) AS n,
+       (CAST(d.n AS DOUBLE) - mm.mean) / mm.sd AS z
+FROM d, mm
+WHERE ABS((CAST(d.n AS DOUBLE) - mm.mean) / mm.sd) > 2.0
+ORDER BY 1
+"""
+
+
+SQL_QUERIES["session_duration_pctl"] = (
+    session_duration_pctl, SESSION_DURATION_SQL
+)
+SQL_QUERIES["anomalous_days"] = (anomalous_days, ANOMALOUS_DAYS_SQL)

@@ -3105,3 +3105,23 @@ def test_new_vs_returning_conserves(ray_session):
     n_user_days = len(ev[["user_id", "day"]].drop_duplicates())
     assert (a["n_new"] + a["n_returning"]).sum() == n_user_days
     assert a["n_new"].sum() == ev["user_id"].nunique()
+
+
+def test_session_duration_pctl_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import (
+        session_duration_pctl,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = session_duration_pctl(sf)
+    b = session_duration_pctl(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert a["p95_min"].iloc[0] >= a["p50_min"].iloc[0] >= 0
+    assert a["n_sessions"].iloc[0] > 0
+
+
+def test_anomalous_days_zscores(ray_session):
+    from outage_data_scraper_ray.functions.relational import anomalous_days
+
+    out = anomalous_days("/root/testdata/sf0.001")
+    assert (np.abs(out["z"]) > 2.0).all()
