@@ -10308,3 +10308,89 @@ SQL_QUERIES["session_duration_pctl"] = (
     session_duration_pctl, SESSION_DURATION_SQL
 )
 SQL_QUERIES["anomalous_days"] = (anomalous_days, ANOMALOUS_DAYS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: how many of the heaviest users cover 80% of all
+# events — the 80/20 skew report that sizes per-key salting decisions.
+# Per-user counts reduce to a COUNT-DOMAIN histogram (how many users have
+# exactly c events), which is all the cumulative-share scan needs: iterate
+# the domain descending until the event share crosses 80%. Domain-sized
+# driver state, exact integers, and the minimal user rank is determined by
+# counts alone (ties are interchangeable), so it equals the SQL's
+# ranked-user cumsum.
+
+def pareto_users(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64), "n": 1})
+        return g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+
+    def _count_block(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        h = u.groupby("n", as_index=False).agg(n_users=("n", "size"))
+        return h
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    hist = (
+        _gated_grouped(
+            partials, ["user_id"], _count_block,
+            _table_rows(sf_dir, "events"), driver_threshold,
+        )
+        .to_pandas()  # count-domain grain
+        .groupby("n", as_index=False)
+        .agg(n_users=("n_users", "sum"))
+        .sort_values("n", ascending=False)
+    )
+    c = hist["n"].to_numpy(np.int64)
+    nu = hist["n_users"].to_numpy(np.int64)
+    total_events = int((c * nu).sum())
+    total_users = int(nu.sum())
+    # ceil(0.8 * total) in all-positive arithmetic: DuckDB's // truncates
+    # toward zero while numpy/python floor, so the -(-x//d) ceil trick
+    # DIVERGES on the two sides; (x*80 + 99)//100 is identical everywhere
+    target = (total_events * 80 + 99) // 100
+    cum_events = np.cumsum(c * nu)
+    i = int(np.searchsorted(cum_events, target))
+    # users strictly above bucket i fully counted; within bucket i only as
+    # many users as needed
+    users_before = int(nu[:i].sum())
+    ev_before = int(cum_events[i - 1]) if i > 0 else 0
+    need = target - ev_before
+    extra = (need + int(c[i]) - 1) // int(c[i])  # ceil, all-positive
+    n80 = users_before + int(extra)
+    return pd.DataFrame(
+        {
+            "total_users": [total_users],
+            "total_events": [total_events],
+            "n_users_80": [n80],
+        }
+    )
+
+
+PARETO_SQL = """
+WITH u AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), r AS (
+    SELECT n,
+           SUM(n) OVER (
+               ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING
+           ) AS cum,
+           ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn
+    FROM u
+), t AS (
+    SELECT SUM(n) AS total_events, COUNT(*) AS total_users FROM u
+)
+SELECT CAST(t.total_users AS BIGINT) AS total_users,
+       CAST(t.total_events AS BIGINT) AS total_events,
+       CAST(MIN(r.rn) AS BIGINT) AS n_users_80
+FROM r, t
+WHERE r.cum >= (t.total_events * 80 + 99) // 100
+GROUP BY 1, 2
+"""
+
+
+SQL_QUERIES["pareto_users"] = (pareto_users, PARETO_SQL)

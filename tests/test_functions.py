@@ -3125,3 +3125,18 @@ def test_anomalous_days_zscores(ray_session):
 
     out = anomalous_days("/root/testdata/sf0.001")
     assert (np.abs(out["z"]) > 2.0).all()
+
+
+def test_pareto_users_hand_and_paths(ray_session):
+    from outage_data_scraper_ray.functions.relational import pareto_users
+
+    sf = "/root/testdata/sf0.001"
+    a = pareto_users(sf)
+    b = pareto_users(sf, driver_threshold=0)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    u = ev.groupby("user_id").size().sort_values(ascending=False)
+    target = (len(ev) * 80 + 99) // 100
+    want = int(np.searchsorted(u.cumsum().to_numpy(), target)) + 1
+    assert a["n_users_80"].iloc[0] == want
+    assert a["total_users"].iloc[0] == len(u)
