@@ -10394,3 +10394,93 @@ GROUP BY 1, 2
 
 
 SQL_QUERIES["pareto_users"] = (pareto_users, PARETO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# normalized dedup: exact dedup AFTER canonical text normalization
+# (NFC + lower + whitespace collapse + trim — the normalize_text kernel),
+# catching trivially-reformatted duplicates raw exact dedup misses. The
+# query plants reformatted replicas deterministically (every doc_id%4==0
+# doc mirrored with scrambled case/whitespace at doc_id+2e6) and must
+# collapse them; keep-min-id argmax partials ride the usual gated combine
+# with (hash, id, n) scalar rows through the shuffle.
+
+def _norm_arrow(txt: pa.Array) -> pa.Array:
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(txt, form="NFC")), r"\s+", " "
+        )
+    )
+
+
+def normalized_dedup(
+    sf_dir: str, driver_threshold: int = _GROUP_DRIVER_THRESHOLD
+) -> rd.Dataset | pd.DataFrame:
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = _norm_arrow(pc.fill_null(t.column("text"), "")).to_pandas()
+        # planted replicas: UPPERCASED with doubled spaces and padding —
+        # identical after normalization
+        rep_mask = did % 4 == 0
+        rep_raw = (
+            "  " + base[rep_mask].str.upper().str.replace(" ", "  ") + " "
+        )
+        rep_norm = _norm_arrow(pa.array(rep_raw.tolist())).to_pandas()
+        h = pd.concat(
+            [base, rep_norm], ignore_index=True
+        ).map(lambda s: hashlib.md5(s.encode("utf8")).hexdigest())
+        ids = np.concatenate([did, did[rep_mask] + 2_000_000])
+        g = pd.DataFrame({"h": h.to_numpy(), "doc_id": ids, "n": 1})
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        return g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "first"), n=("n", "sum")
+        )
+
+    def _pick_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        out = df.groupby("h", as_index=False).agg(
+            keep_id=("doc_id", "first"), n_copies=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["keep_id"].astype("int64"),
+                "n_copies": out["n_copies"].astype("int64"),
+            }
+        )
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    return _gated_grouped(
+        partials, ["h"], _pick_block,
+        2 * _table_rows(sf_dir, "documents"), driver_threshold,
+    )
+
+
+NORMALIZED_DEDUP_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                               '\s+', ' ', 'g')) AS nt
+    FROM documents
+), aug AS (
+    SELECT doc_id, nt FROM norm
+    UNION ALL
+    -- the planted replica normalizes back to the SAME nt
+    SELECT doc_id + 2000000, nt FROM norm WHERE doc_id % 4 = 0
+), r AS (
+    SELECT doc_id, md5(nt) AS h,
+           ROW_NUMBER() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY md5(nt)) AS n_copies
+    FROM aug
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+SQL_QUERIES["normalized_dedup"] = (normalized_dedup, NORMALIZED_DEDUP_SQL)

@@ -3140,3 +3140,23 @@ def test_pareto_users_hand_and_paths(ray_session):
     want = int(np.searchsorted(u.cumsum().to_numpy(), target)) + 1
     assert a["n_users_80"].iloc[0] == want
     assert a["total_users"].iloc[0] == len(u)
+
+
+def test_normalized_dedup_collapses_replicas(ray_session):
+    from outage_data_scraper_ray.functions.relational import normalized_dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    a = _pd(normalized_dedup(sf)).sort_values("doc_id").reset_index(drop=True)
+    b = _pd(normalized_dedup(sf, driver_threshold=0)).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    # every planted replica (doc_id%4==0) collapses onto the base id
+    planted = (docs["doc_id"] % 4 == 0).sum()
+    assert (a["n_copies"] >= 2).sum() >= planted
+    assert not a["doc_id"].ge(2_000_000).any()  # replicas never win keep-min
