@@ -10484,3 +10484,77 @@ FROM r WHERE rn = 1
 
 
 SQL_QUERIES["normalized_dedup"] = (normalized_dedup, NORMALIZED_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# grouped skewness: the third standardized moment per event type — the
+# grouped_stats doctrine extended one moment up. Integer DOLLAR units keep
+# sum(x^3) comfortably inside int64 (x <= ~500 here; the envelope note on
+# zscore_normalize applies one power higher); one fixed double expression
+# from the exact integer moments on both sides.
+
+def grouped_skew(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _mom(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["value"].to_numpy() * 100.0).astype(np.int64) // 100
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "one": 1, "x": x, "x2": x * x, "x3": x * x * x,
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n=("one", "sum"), s1=("x", "sum"), s2=("x2", "sum"), s3=("x3", "sum")
+        )
+
+    a = (
+        ds.map_batches(_mom, batch_format="pandas")
+        .to_pandas()  # type-grain
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    n = a["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = a["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = a["s2"].to_numpy(np.int64).astype(np.float64)
+    s3 = a["s3"].to_numpy(np.int64).astype(np.float64)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+    skew = m3 / (np.sqrt(var) * np.sqrt(var) * np.sqrt(var))
+    return pd.DataFrame(
+        {
+            "event_type": a["event_type"].to_numpy(),
+            "n": a["n"].astype("int64"),
+            "skew": skew,
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+GROUPED_SKEW_SQL = """
+WITH v AS (
+    SELECT event_type,
+           CAST(ROUND(value * 100) AS BIGINT) // 100 AS x
+    FROM events
+), a AS (
+    SELECT event_type, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+           SUM(x * x * x) AS s3
+    FROM v GROUP BY event_type
+), m AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS mean,
+           CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS var,
+           CAST(s3 AS DOUBLE) / n
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3
+    FROM a
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       m3 / (SQRT(var) * SQRT(var) * SQRT(var)) AS skew
+FROM m ORDER BY event_type
+"""
+
+
+SQL_QUERIES["grouped_skew"] = (grouped_skew, GROUPED_SKEW_SQL)

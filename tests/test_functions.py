@@ -3160,3 +3160,17 @@ def test_normalized_dedup_collapses_replicas(ray_session):
     planted = (docs["doc_id"] % 4 == 0).sum()
     assert (a["n_copies"] >= 2).sum() >= planted
     assert not a["doc_id"].ge(2_000_000).any()  # replicas never win keep-min
+
+
+def test_grouped_skew_matches_scipy_free(ray_session):
+    from outage_data_scraper_ray.functions.relational import grouped_skew
+
+    sf = "/root/testdata/sf0.001"
+    got = grouped_skew(sf).set_index("event_type")
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    ev["x"] = np.round(ev["value"] * 100).astype("int64") // 100
+    for et, grp in ev.groupby("event_type"):
+        x = grp["x"].to_numpy().astype(float)
+        m = x.mean()
+        want = ((x - m) ** 3).mean() / (x.std() ** 3)
+        assert abs(got.loc[et, "skew"] - want) < 1e-9
